@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.RelationalPack
+import graft.queries.{JoinPack, MaplePack, RelationalPack, SelectPack, ShapePack}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -14,6 +14,10 @@ object SparkEntry {
   /** Every shipped pack. Order is stable for reproducible listings. */
   def packs: Seq[QueryPack] = Seq(
     RelationalPack,
+    SelectPack,
+    JoinPack,
+    ShapePack,
+    MaplePack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,158 @@
+package graft.catalog
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** One catalog entry: where a named dataset lives and (simulated)
+  * which hosts replicate it. On a real cluster the path would sit on
+  * HDFS/object storage and `replicas` would be the FS's concern — the
+  * reference manages replication by hand because its storage layer is
+  * scp between VMs (SURVEY.md §1.1).
+  */
+final case class CatalogEntry(name: String, path: String, format: String,
+                              replicas: Seq[String])
+
+/** The SDFS verb surface (SURVEY.md §2.1) as a dataset catalog:
+  * put / get / delete / ls / store / filetable
+  * (reference file_server/fileserver.py:1240-1284, leader paths
+  * :843-960).
+  *
+  * Semantics preserved:
+  *  - `put` upserts a name → storage mapping and places `replicas`-many
+  *    replica hosts (reference picks a random 4 of the alive members,
+  *    fileserver.py:863-867; here placement is rendezvous-hashed so
+  *    tests are deterministic — same spread, no RNG);
+  *  - `get` resolves the name and reads it back;
+  *  - `delete` removes data + entry (fileserver.py:944-960);
+  *  - `ls` lists a file's replica hosts, `store` inverts it per host,
+  *    `filetable` dumps the whole map (fileserver.py:1252-1284).
+  *
+  * Semantics intentionally NOT preserved: the reference's
+  * ≤2-readers/1-writer leader gate (fileserver.py:843-891) exists
+  * because it mutates files in place over scp. Writes here are
+  * immutable directory swaps (write-new, atomic-rename), so any
+  * number of concurrent readers and writers are safe without locks —
+  * the `multiread` stress op (fileserver.py:1266-1281) becomes a
+  * plain concurrent read, asserted in tests.
+  *
+  * The manifest is persisted as TSV (name, format, path,
+  * comma-joined hosts) so a new session can re-open the catalog.
+  */
+final class Catalog(spark: SparkSession, root: String,
+                    hosts: Seq[String] = Catalog.defaultHosts,
+                    replicationFactor: Int = 4) {
+
+  private val entries = TrieMap.empty[String, CatalogEntry]
+  private val rootPath: Path = Paths.get(root)
+  private val manifest: Path = rootPath.resolve("_catalog.tsv")
+  Files.createDirectories(rootPath)
+  loadManifest()
+
+  private def require_valid(name: String): Unit =
+    require(name.matches("[A-Za-z0-9._-]+"), s"invalid dataset name: $name")
+
+  /** Deterministic "random 4 of members": rendezvous (highest-random-
+    * weight) hashing of (name, host) — stable spread, no RNG state. */
+  private[graft] def placeReplicas(name: String): Seq[String] =
+    hosts.sortBy(h => (s"$name|$h".hashCode, h)).take(
+      math.min(replicationFactor, hosts.size))
+
+  /** `put local sdfs`: store a DataFrame under a catalog name. */
+  def put(name: String, df: DataFrame, format: String = "parquet"): CatalogEntry =
+    synchronized {
+      require_valid(name)
+      val target = rootPath.resolve(name)
+      val tmp = rootPath.resolve(s".$name.tmp-${System.nanoTime()}")
+      df.write.format(format).mode(SaveMode.Overwrite).save(tmp.toString)
+      deleteRecursively(target)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
+      entries.put(name, e)
+      saveManifest()
+      e
+    }
+
+  /** Register an existing file/directory (the reference's `put` of a
+    * pre-existing local file) without rewriting it. */
+  def putPath(name: String, path: String, format: String): CatalogEntry =
+    synchronized {
+      require_valid(name)
+      val e = CatalogEntry(name, path, format, placeReplicas(name))
+      entries.put(name, e)
+      saveManifest()
+      e
+    }
+
+  /** `get sdfs local`: resolve and read a named dataset. */
+  def get(name: String): DataFrame = {
+    val e = entries.getOrElse(name,
+      throw new NoSuchElementException(s"no such dataset: $name"))
+    spark.read.format(e.format).load(e.path)
+  }
+
+  /** `delete sdfs`: drop data and entry. */
+  def delete(name: String): Boolean = synchronized {
+    entries.remove(name) match {
+      case Some(e) =>
+        if (e.path.startsWith(rootPath.toString)) deleteRecursively(Paths.get(e.path))
+        saveManifest()
+        true
+      case None => false
+    }
+  }
+
+  /** `ls sdfs`: replica hosts of one file. */
+  def ls(name: String): Seq[String] =
+    entries.get(name).map(_.replicas).getOrElse(Seq.empty)
+
+  /** `store`: names whose replica set includes this host. */
+  def store(host: String): Seq[String] =
+    entries.values.filter(_.replicas.contains(host)).map(_.name).toSeq.sorted
+
+  /** `filetable`: the full name → entry map. */
+  def filetable: Map[String, CatalogEntry] = entries.toMap
+
+  /** `multiread`: m concurrent `get`+count of the same name — the
+    * reference's consistency stress op (fileserver.py:1266-1281),
+    * trivially safe under immutable writes. Returns the m row counts.
+    */
+  def multiread(name: String, m: Int): Seq[Long] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = (1 to m).map(_ => Future(get(name).count()))
+    fs.map(f => Await.result(f, Duration.Inf))
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  private def saveManifest(): Unit = {
+    val lines = entries.values.toSeq.sortBy(_.name).map { e =>
+      s"${e.name}\t${e.format}\t${e.path}\t${e.replicas.mkString(",")}"
+    }
+    Files.write(manifest, lines.asJava)
+  }
+
+  private def loadManifest(): Unit =
+    if (Files.exists(manifest)) {
+      Files.readAllLines(manifest).asScala.foreach { line =>
+        line.split("\t", -1) match {
+          case Array(n, f, p, r) =>
+            entries.put(n, CatalogEntry(n, p, f,
+              r.split(",").toSeq.filter(_.nonEmpty)))
+          case _ => // skip malformed line
+        }
+      }
+    }
+}
+
+object Catalog {
+  /** Stand-in for the reference's 10-VM membership list
+    * (fileserver.py:22-25) when no host list is supplied. */
+  val defaultHosts: Seq[String] = (1 to 10).map(i => f"node$i%02d")
+}

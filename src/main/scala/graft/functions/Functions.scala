@@ -18,9 +18,13 @@ object Text {
     * string to the literal "empty" (data/maple-exe.go:30-32,
     * hadoop/TrafficMapper.java:37-43). `""` and `" "` collapse to the
     * same class; "None" vs "NONE" stay distinct (case-sensitive).
+    * The reference has no true NULL (SURVEY.md §1.2) — but Spark's CSV
+    * reader surfaces empty unquoted cells as NULL, so NULL must land
+    * in the same "empty" class or those rows silently form a null
+    * group.
     */
   def normalizeEmpty(c: Column): Column =
-    when(length(trim(c)) === 0, lit("empty")).otherwise(trim(c))
+    when(c.isNull || length(trim(c)) === 0, lit("empty")).otherwise(trim(c))
 
   /** Reference key sanitization `[/ ]` -> `_` (data/maple-exe.go:34-35).
     * Only needed for output-layout compatibility; keys stay data here.

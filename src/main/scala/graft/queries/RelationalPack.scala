@@ -81,7 +81,7 @@ object RelationalPack extends QueryPack {
 
     "q_normalize_empty" ->
       """SELECT c_custkey,
-        |  CASE WHEN length(trim(c_mktsegment)) = 0 THEN 'empty'
+        |  CASE WHEN c_mktsegment IS NULL OR length(trim(c_mktsegment)) = 0 THEN 'empty'
         |       ELSE trim(c_mktsegment) END AS segment
         |FROM customer""".stripMargin,
 
@@ -98,7 +98,7 @@ object RelationalPack extends QueryPack {
     "q_pct_of_total" ->
       """SELECT grp, cnt, round(100.0 * cnt / sum(cnt) OVER (), 4) AS pct
         |FROM (
-        |  SELECT CASE WHEN length(trim(l_returnflag)) = 0 THEN 'empty'
+        |  SELECT CASE WHEN l_returnflag IS NULL OR length(trim(l_returnflag)) = 0 THEN 'empty'
         |              ELSE trim(l_returnflag) END AS grp,
         |         count(*) AS cnt
         |  FROM lineitem WHERE trim(l_linestatus) = 'F' GROUP BY 1

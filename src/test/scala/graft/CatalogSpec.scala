@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.catalog.Catalog
+
+class CatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def freshCatalog(): (Catalog, String) = {
+    val dir = Files.createTempDirectory("graft-catalog").toString
+    (new Catalog(spark, dir), dir)
+  }
+
+  test("put/get round-trip preserves rows") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+    cat.put("t1", df)
+    assert(cat.get("t1").collect().map(_.getInt(0)).sorted === Array(1, 2, 3))
+  }
+
+  test("delete removes data and entry; get then throws") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.put("gone", Seq(1).toDF("x"))
+    assert(cat.delete("gone"))
+    assert(!cat.delete("gone"))
+    intercept[NoSuchElementException](cat.get("gone"))
+  }
+
+  test("ls/store/filetable expose replica placement (4 hosts, deterministic)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.put("a", Seq(1).toDF("x"))
+    cat.put("b", Seq(2).toDF("x"))
+    assert(cat.ls("a").size === 4)
+    assert(cat.ls("a") === cat.placeReplicas("a")) // stable
+    assert(cat.ls("missing").isEmpty)
+    // every name appears on exactly replicationFactor hosts
+    val perHost = Catalog.defaultHosts.map(h => cat.store(h))
+    assert(perHost.flatten.groupBy(identity).map(_._2.size).forall(_ == 4))
+    assert(cat.filetable.keySet === Set("a", "b"))
+  }
+
+  test("manifest persists across catalog reopen") {
+    import spark.implicits._
+    val (cat, dir) = freshCatalog()
+    cat.put("persist", Seq((1, "x")).toDF("id", "v"))
+    val reopened = new Catalog(spark, dir)
+    assert(reopened.filetable.contains("persist"))
+    assert(reopened.get("persist").count() === 1L)
+  }
+
+  test("multiread: concurrent readers all see the same count") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.put("m", (1 to 100).toDF("x"))
+    assert(cat.multiread("m", 5) === Seq.fill(5)(100L))
+  }
+
+  test("put overwrites atomically (second put replaces first)") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.put("w", (1 to 10).toDF("x"))
+    cat.put("w", (1 to 3).toDF("x"))
+    assert(cat.get("w").count() === 3L)
+  }
+}
