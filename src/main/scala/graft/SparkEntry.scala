@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{JoinPack, MaplePack, RelationalPack, SelectPack, ShapePack}
+import graft.queries.{DedupPack, EventPack, JoinPack, MaplePack, RelationalPack,
+  SelectPack, ShapePack, SimilarityPack, TextPack}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +19,10 @@ object SparkEntry {
     JoinPack,
     ShapePack,
     MaplePack,
+    DedupPack,
+    SimilarityPack,
+    TextPack,
+    EventPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,181 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large text corpora: exact, MinHash-LSH banded
+  * near-dup, SimHash near-dup, and exact n-gram Jaccard verification.
+  *
+  * Beyond-reference operators (the reference dedups only metadata
+  * filenames, data/maple-exe.go:132-141); designed for the 100 TB
+  * path:
+  *
+  *  - Signatures (shingles → minhash / simhash) are computed entirely
+  *    map-side as nested array expressions (`transform` / `aggregate`
+  *    higher-order functions) — one narrow projection, no explode, no
+  *    shuffle, no UDF serialization boundary.
+  *  - Candidate generation is banded LSH: only docs sharing a
+  *    (band, signature) bucket are ever paired — O(n·bands) shuffle
+  *    rows instead of O(n²) comparisons. Oversized buckets (hash
+  *    skew, boilerplate texts) are capped before pairing so one hot
+  *    bucket cannot quadratically explode a task.
+  *  - Verification (exact Jaccard on shingle-hash sets) runs only on
+  *    surviving candidate pairs via array_intersect on the per-doc
+  *    hash arrays carried through the join.
+  */
+object Dedup {
+
+  /** 31-bit Mersenne prime; minhash permutation arithmetic stays in
+    * the Long range (a,x < 2^31 ⇒ a*x+b < 2^63). */
+  private val P = 2147483647L
+
+  /** Deterministic permutation parameters (a ∈ [1,P), b ∈ [0,P)). */
+  private[graft] def permutations(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(k)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
+  }
+
+  /** Distinct word-`w`-shingle hashes of `textCol`, reduced mod P, as
+    * one array column — computed without exploding rows. */
+  def shingleHashes(textCol: String, w: Int = 3): Column = {
+    val grams =
+      s"""transform(
+         |  sequence(0, greatest(size(split($textCol, ' ')) - $w, 0)),
+         |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $w)))""".stripMargin
+    expr(s"array_distinct(transform($grams, g -> pmod(xxhash64(g), ${P}L)))")
+  }
+
+  /** k-element MinHash signature from a shingle-hash array column:
+    * mh_j = min over shingles of (a_j*x + b_j) mod P. */
+  def minhashSignature(hashesCol: String, k: Int = 64,
+                       seed: Long = 42L): Column = {
+    val perms = permutations(k, seed)
+      .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
+      .mkString("array(", ", ", ")")
+    expr(
+      s"""transform($perms,
+         |  p -> array_min(transform($hashesCol, x -> pmod(p.a * x + p.b, ${P}L))))""".stripMargin)
+  }
+
+  /** (band, signature) rows for banded LSH: `bands` bands of
+    * `rowsPerBand` consecutive minhash values, each band hashed to one
+    * 64-bit bucket signature. Two docs collide in a band iff that
+    * band's minhashes agree exactly — the classic (b,r) S-curve:
+    * P(candidate) = 1 - (1 - s^r)^b for Jaccard s. */
+  def bandTable(docs: DataFrame, idCol: String, textCol: String,
+                w: Int = 3, k: Int = 64, bands: Int = 16,
+                seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val withSig = docs
+      .select(col(idCol).as("id"), shingleHashes(textCol, w).as("hashes"))
+      .filter(size(col("hashes")) > 0)
+      .withColumn("mh", minhashSignature("hashes", k, seed))
+    val bandStructs = (0 until bands).map { j =>
+      struct(lit(j).as("band"),
+             xxhash64(expr(s"slice(mh, ${j * r + 1}, $r)")).as("sig"))
+    }
+    withSig.select(col("id"), col("hashes"),
+                   explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("hashes"), col("bs.band"), col("bs.sig"))
+  }
+
+  /** Candidate pairs (a < b) from bucket co-membership, with hash
+    * arrays carried along for verification. Buckets larger than
+    * `maxBucket` are dropped (skew guard — at corpus scale these are
+    * boilerplate/empty texts that would generate quadratic pairs). */
+  def candidatePairs(bandTbl: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val sizes = bandTbl.groupBy("band", "sig").count()
+    val pruned = bandTbl
+      .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
+      .drop("count")
+    val l = pruned.alias("l")
+    val r = pruned.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+              col("l.hashes").as("ha"), col("r.hashes").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
+  /** Exact Jaccard on the shingle-hash sets of candidate pairs. */
+  def verifyJaccard(cands: DataFrame, threshold: Double): DataFrame =
+    cands
+      .withColumn("jaccard",
+        expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** End-to-end MinHash-LSH near-dup pairs: shingle → sign → band →
+    * bucket-join → exact-Jaccard verify. */
+  def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.8, w: Int = 3, k: Int = 64,
+                      bands: Int = 16, seed: Long = 42L): DataFrame =
+    verifyJaccard(candidatePairs(bandTable(docs, idCol, textCol, w, k, bands, seed)),
+                  threshold)
+
+  /** Brute-force exact n-gram Jaccard pairs (all-pairs — test oracle
+    * for LSH recall at small scale; never the production path). */
+  def bruteForceJaccard(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, w: Int = 3): DataFrame = {
+    val h = docs.select(col(idCol).as("id"), shingleHashes(textCol, w).as("h"))
+    val l = h.alias("l")
+    val r = h.alias("r")
+    l.join(r, col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        expr("size(array_intersect(l.h, r.h)) / size(array_union(l.h, r.h))")
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Exact dedup: one surviving row id per distinct text. Grouping on
+    * the 64-bit content hash keeps shuffle keys small; min(id) makes
+    * the survivor deterministic. (Colliding texts under xxhash64 would
+    * merge — at 2^-64 per pair this is the standard trade; swap in
+    * sha2(text, 256) where cryptographic certainty is required.) */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(xxhash64(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
+      .drop("content_hash")
+
+  /** 64-bit SimHash fingerprint of the token multiset: bit i is the
+    * sign of the sum over tokens of ±1 according to bit i of the
+    * token's hash. Near-identical texts differ in few bits. */
+  def simhash(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  sequence(0, 63),
+         |  0L,
+         |  (acc, i) -> acc + shiftleft(
+         |    CASE WHEN aggregate(
+         |           transform(split($textCol, ' '), t -> xxhash64(t)),
+         |           0L,
+         |           (s, h) -> s + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1L ELSE -1L END
+         |         ) > 0 THEN 1L ELSE 0L END, i))""".stripMargin)
+
+  /** SimHash near-dup pairs: band the 64-bit fingerprint into four
+    * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
+    * equal), bucket-join on chunks, verify hamming ≤ `maxHamming`. */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val withFp = docs.select(col(idCol).as("id"), simhash(textCol).as("fp"))
+    val chunks = withFp.select(col("id"), col("fp"),
+      explode(expr(
+        "transform(sequence(0, 3), j -> named_struct('band', j, 'sig', pmod(shiftright(fp, cast(j * 16 as int)), 65536)))"))
+        .as("bs"))
+      .select(col("id"), col("fp"), col("bs.band"), col("bs.sig"))
+    val sizes = chunks.groupBy("band", "sig").count()
+    val pruned = chunks
+      .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
+      .drop("count")
+    val l = pruned.alias("l")
+    val r = pruned.alias("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+              col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+              expr("bit_count(l.fp ^ r.fp)").as("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+}

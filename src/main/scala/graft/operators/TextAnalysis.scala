@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash
+
+/** Text-analysis operators for training-data pipelines: token
+  * counting, quality scoring, language ID, and content
+  * fingerprinting. All pure column expressions (codegen'd, one
+  * map-side pass, no shuffle) except the fingerprint, which is a
+  * native Catalyst expression ([[graft.functions.RollingHash]]).
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCount(textCol: String): Column =
+    size(expr(s"split($textCol, '\\\\s+')"))
+
+  /** BPE-ish subword-piece estimate: runs of word chars count 1 per
+    * ~4 chars (the usual tokens≈chars/4 heuristic applied per word),
+    * punctuation counts 1 each. */
+  def tokenEstimate(textCol: String): Column =
+    expr(
+      s"""aggregate(
+         |  regexp_extract_all($textCol, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0),
+         |  0L,
+         |  (acc, t) -> acc + CASE WHEN t rlike '^[A-Za-z0-9_]'
+         |                         THEN cast(ceil(length(t) / 4.0) as bigint)
+         |                         ELSE 1L END)""".stripMargin)
+
+  /** English stopword hit count over whitespace tokens. */
+  private val stopwords =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "for", "on")
+  def stopwordHits(textCol: String): Column = {
+    val set = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
+    expr(s"size(filter(split($textCol, ' '), x -> x IN $set))")
+  }
+
+  /** Quality features + a single score in [0,1]: long-enough text,
+    * low punctuation ratio, healthy stopword ratio — the
+    * length/punct/stopword shape of standard corpus-quality filters. */
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val nTokens = tokenCount(textCol)
+    val nChars = length(col(textCol))
+    val punct = expr(s"length(regexp_replace($textCol, '[A-Za-z0-9_\\\\s]+', ''))")
+    df.withColumn("n_tokens", nTokens)
+      .withColumn("punct_ratio", round(punct / greatest(nChars, lit(1)), 6))
+      .withColumn("stopword_ratio",
+        round(stopwordHits(textCol) / greatest(nTokens, lit(1)), 6))
+      .withColumn("quality_score", round(
+        least(col("n_tokens") / 20.0, lit(1.0)) * 0.4
+          + (lit(1.0) - least(col("punct_ratio") * 10.0, lit(1.0))) * 0.3
+          + least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3, 6))
+  }
+
+  /** N-gram/stopword-heuristic language ID: per-language tiny stopword
+    * lists; argmax of hit counts, 'und' when nothing hits. (A toy
+    * n-gram model — the operator shape, schema and scale behavior are
+    * the point; swap the tables for real profiles.) */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+  )
+
+  def langId(textCol: String): Column = {
+    val scores = langMarkers.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
+      (lang, s"size(filter(split($textCol, ' '), x -> x IN $set))")
+    }
+    // argmax via chained CASE: first language strictly greater than all others and > 0
+    val best = scores.map { case (lang, s) =>
+      val others = scores.filter(_._1 != lang).map(_._2)
+      val gt = others.map(o => s"$s >= $o").mkString(" AND ")
+      s"WHEN $s > 0 AND $gt THEN '$lang'"
+    }.mkString(" ")
+    expr(s"CASE $best ELSE 'und' END")
+  }
+
+  /** Rolling-hash content fingerprint (see [[graft.functions.RollingHash]]). */
+  def withFingerprint(spark: SparkSession, df: DataFrame,
+                      textCol: String): DataFrame = {
+    RollingHash.register(spark)
+    df.withColumn("fingerprint", expr(s"rolling_hash($textCol)"))
+  }
+}

@@ -1,0 +1,39 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{QueryPack, Tables}
+import graft.operators.Dedup
+
+/** Dedup suite over `documents` (SURVEY.md §7.1 step 7 /
+  * driver north-star ops). Exact dedup is DuckDB-oracle-able; the
+  * LSH/banded variants are not SQL-expressible, so they carry the
+  * driver's rows-only check and are cross-validated in ScalaTest
+  * against brute-force exact Jaccard (recall + precision) instead.
+  */
+object DedupPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.bruteForceJaccard(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)),
+
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+        maxHamming = 3)),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    // q_dedup_minhash / q_dedup_ngram / q_dedup_simhash: rows-only —
+    // LSH banding and 64-bit signature arithmetic are not expressible
+    // in DuckDB SQL; accuracy is pinned by DedupSpec instead.
+  )
+}

@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+import graft.operators.TextAnalysis
+
+/** Text-analysis suite over `documents`: token counting, quality
+  * scoring, language ID (all mirrored in DuckDB SQL so the hash gate
+  * applies), and the rolling-hash fingerprint (native Catalyst
+  * expression, rows-only + unit-pinned).
+  */
+object TextPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_token_count" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount("text").as("n_tokens"),
+        TextAnalysis.tokenEstimate("text").as("n_tokens_bpe"))),
+
+    "q_quality" -> ((s, d) =>
+      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .select("doc_id", "n_tokens", "punct_ratio", "stopword_ratio",
+                "quality_score")),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId("text").as("lang_pred"))),
+
+    "q_fingerprint" -> ((s, d) =>
+      TextAnalysis.withFingerprint(s, Tables.documents(s, d), "text")
+        .select("doc_id", "fingerprint")),
+  )
+
+  private val stop = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'for', 'on')"
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS n_tokens,
+        |  CAST(list_sum(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]', 0),
+        |    t -> CASE WHEN regexp_matches(t, '^[A-Za-z0-9_]')
+        |              THEN CAST(ceil(length(t) / 4.0) AS BIGINT)
+        |              ELSE 1 END)) AS BIGINT) AS n_tokens_bpe
+        |FROM documents""".stripMargin,
+
+    "q_quality" ->
+      s"""SELECT doc_id, n_tokens,
+         |  round(punct / greatest(n_chars2, 1), 6) AS punct_ratio,
+         |  round(stop_hits / greatest(n_tokens, 1), 6) AS stopword_ratio,
+         |  round(least(n_tokens / 20.0, 1.0) * 0.4
+         |    + (1.0 - least(round(punct / greatest(n_chars2, 1), 6) * 10.0, 1.0)) * 0.3
+         |    + least(round(stop_hits / greatest(n_tokens, 1), 6) * 10.0, 1.0) * 0.3, 6)
+         |    AS quality_score
+         |FROM (
+         |  SELECT doc_id,
+         |    len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |    length(text) AS n_chars2,
+         |    length(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g')) AS punct,
+         |    len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_hits
+         |  FROM documents
+         |)""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id, CASE
+        |  WHEN en > 0 AND en >= es AND en >= de AND en >= fr THEN 'en'
+        |  WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+        |  WHEN de > 0 AND de >= en AND de >= es AND de >= fr THEN 'de'
+        |  WHEN fr > 0 AND fr >= en AND fr >= es AND fr >= de THEN 'fr'
+        |  ELSE 'und' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('the', 'and', 'of', 'to', 'a'))) AS en,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('el', 'la', 'de', 'que', 'y'))) AS es,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('der', 'die', 'und', 'das', 'ist'))) AS de,
+        |    len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS fr
+        |  FROM documents
+        |)""".stripMargin,
+    // q_fingerprint: rows-only — the 2^61-1 modular rolling hash is a
+    // native Catalyst expression; values are pinned in RollingHashSpec.
+  )
+}

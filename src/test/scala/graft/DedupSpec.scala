@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+
+/** Accuracy of the LSH paths against brute-force exact Jaccard at
+  * sf0.001 (the only scale where all-pairs is acceptable). */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private def docs = Tables.documents(spark, SparkSuite.sf0001)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+
+  test("minhash-LSH candidates: perfect precision (post-verify) and high recall vs brute force") {
+    val truth = pairs(Dedup.bruteForceJaccard(docs, "doc_id", "text", 0.8))
+    val lsh = pairs(Dedup.minhashNearDups(docs, "doc_id", "text", 0.8))
+    assert(truth.nonEmpty, "test data must contain planted near-dups")
+    assert(lsh.subsetOf(truth), "verify stage must eliminate false positives")
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"LSH recall $recall < 0.9 (found ${lsh.size}/${truth.size})")
+  }
+
+  test("simhash near-dups agree with high-jaccard truth pairs") {
+    val truth = pairs(Dedup.bruteForceJaccard(docs, "doc_id", "text", 0.8))
+    val sim = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+    val simPairs = sim.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(simPairs.nonEmpty)
+    // hamming<=3 on 64-bit simhash is a different similarity notion
+    // than jaccard>=0.8 (token multiset vs shingle set) — expect
+    // strong but not perfect agreement
+    val precision = simPairs.intersect(truth).size.toDouble / simPairs.size
+    assert(precision >= 0.7, s"simhash precision $precision")
+  }
+
+  test("exact dedup keeps one row per distinct text with min id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((3L, "same"), (1L, "same"), (2L, "other")).toDF("doc_id", "text")
+    val out = Dedup.exact(df, "doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).toSet
+    assert(out === Set((1L, "same"), (2L, "other")))
+  }
+
+  test("shingle hashes: deterministic, distinct, and short-text safe") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("a b c d", 1), ("a", 2), ("a b c d", 3)).toDF("text", "id")
+    val hs = df.select(Dedup.shingleHashes("text").as("h")).collect()
+      .map(_.getSeq[Long](0))
+    assert(hs(0) === hs(2))          // same text → same shingles
+    assert(hs(1).size === 1)         // shorter than w → whole text gram
+    assert(hs(0).distinct.size === hs(0).size)
+  }
+}
