@@ -2,9 +2,11 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication for large text corpora: exact, MinHash-LSH banded
-  * near-dup, SimHash near-dup, and exact n-gram Jaccard verification.
+  * near-dup (word- or character-shingled), SimHash near-dup, and
+  * exact n-gram Jaccard verification.
   *
   * Beyond-reference operators (the reference dedups only metadata
   * filenames, data/maple-exe.go:132-141); designed for the 100 TB
@@ -12,16 +14,18 @@ import org.apache.spark.sql.functions._
   *
   *  - Signatures (shingles → minhash / simhash) are computed entirely
   *    map-side as nested array expressions (`transform` / `aggregate`
-  *    higher-order functions) — one narrow projection, no explode, no
-  *    shuffle, no UDF serialization boundary.
+  *    higher-order functions) — one narrow projection, no UDF
+  *    serialization boundary — and persisted once, so the band
+  *    self-join does not recompute them per side.
+  *  - The band table carries ONLY (id, band, sig): the shingle-hash
+  *    arrays never ride the candidate shuffle (a 16-band explode of
+  *    per-doc arrays would move the corpus 16× through the exchange).
+  *    Arrays are joined back for exactly the surviving candidates.
   *  - Candidate generation is banded LSH: only docs sharing a
   *    (band, signature) bucket are ever paired — O(n·bands) shuffle
   *    rows instead of O(n²) comparisons. Oversized buckets (hash
   *    skew, boilerplate texts) are capped before pairing so one hot
   *    bucket cannot quadratically explode a task.
-  *  - Verification (exact Jaccard on shingle-hash sets) runs only on
-  *    surviving candidate pairs via array_intersect on the per-doc
-  *    hash arrays carried through the join.
   */
 object Dedup {
 
@@ -45,6 +49,14 @@ object Dedup {
     expr(s"array_distinct(transform($grams, g -> pmod(xxhash64(g), ${P}L)))")
   }
 
+  /** Distinct character-`n`-gram hashes of `textCol` (the n-gram
+    * Jaccard similarity universe). */
+  def charShingleHashes(textCol: String, n: Int = 5): Column =
+    expr(
+      s"""array_distinct(transform(
+         |  sequence(1, greatest(length($textCol) - ${n - 1}, 1)),
+         |  i -> pmod(xxhash64(substring($textCol, i, $n)), ${P}L)))""".stripMargin)
+
   /** k-element MinHash signature from a shingle-hash array column:
     * mh_j = min over shingles of (a_j*x + b_j) mod P. */
   def minhashSignature(hashesCol: String, k: Int = 64,
@@ -57,34 +69,32 @@ object Dedup {
          |  p -> array_min(transform($hashesCol, x -> pmod(p.a * x + p.b, ${P}L))))""".stripMargin)
   }
 
-  /** (band, signature) rows for banded LSH: `bands` bands of
-    * `rowsPerBand` consecutive minhash values, each band hashed to one
-    * 64-bit bucket signature. Two docs collide in a band iff that
-    * band's minhashes agree exactly — the classic (b,r) S-curve:
-    * P(candidate) = 1 - (1 - s^r)^b for Jaccard s. */
-  def bandTable(docs: DataFrame, idCol: String, textCol: String,
-                w: Int = 3, k: Int = 64, bands: Int = 16,
-                seed: Long = 42L): DataFrame = {
-    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
-    val r = k / bands
-    val withSig = docs
-      .select(col(idCol).as("id"), shingleHashes(textCol, w).as("hashes"))
+  /** Per-doc signature frame: (id, hashes, mh). `shingler` picks the
+    * similarity universe (word shingles or char n-grams). */
+  def signatures(docs: DataFrame, idCol: String, shingler: Column,
+                 k: Int, seed: Long): DataFrame =
+    docs.select(col(idCol).as("id"), shingler.as("hashes"))
       .filter(size(col("hashes")) > 0)
       .withColumn("mh", minhashSignature("hashes", k, seed))
+
+  /** (id, band, sig) rows for banded LSH — deliberately WITHOUT the
+    * hash arrays. Two docs collide in a band iff that band's `r`
+    * consecutive minhashes agree — the classic (b,r) S-curve:
+    * P(candidate) = 1 - (1 - s^r)^b for Jaccard s. */
+  def bandRows(sigs: DataFrame, bands: Int, r: Int): DataFrame = {
     val bandStructs = (0 until bands).map { j =>
       struct(lit(j).as("band"),
              xxhash64(expr(s"slice(mh, ${j * r + 1}, $r)")).as("sig"))
     }
-    withSig.select(col("id"), col("hashes"),
-                   explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("hashes"), col("bs.band"), col("bs.sig"))
+    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.sig"))
   }
 
-  /** Candidate pairs (a < b) from bucket co-membership, with hash
-    * arrays carried along for verification. Buckets larger than
-    * `maxBucket` are dropped (skew guard — at corpus scale these are
-    * boilerplate/empty texts that would generate quadratic pairs). */
-  def candidatePairs(bandTbl: DataFrame, maxBucket: Int = 64): DataFrame = {
+  /** Distinct candidate id pairs (a < b) from bucket co-membership.
+    * Buckets larger than `maxBucket` are dropped (skew guard — at
+    * corpus scale these are boilerplate/empty texts that would
+    * generate quadratic pairs). */
+  def candidateIdPairs(bandTbl: DataFrame, maxBucket: Int = 64): DataFrame = {
     val sizes = bandTbl.groupBy("band", "sig").count()
     val pruned = bandTbl
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
@@ -93,26 +103,53 @@ object Dedup {
     val r = pruned.alias("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
-              col("l.hashes").as("ha"), col("r.hashes").as("hb"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
   }
 
-  /** Exact Jaccard on the shingle-hash sets of candidate pairs. */
-  def verifyJaccard(cands: DataFrame, threshold: Double): DataFrame =
-    cands
+  /** Exact Jaccard on candidates: join the (small) pair list back to
+    * the per-doc hash arrays, intersect/union per pair. */
+  def verifyJaccard(pairs: DataFrame, sigs: DataFrame,
+                    threshold: Double): DataFrame = {
+    val h = sigs.select(col("id"), col("hashes"))
+    pairs
+      .join(h.select(col("id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
+      .join(h.select(col("id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
       .withColumn("jaccard",
         expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
-  /** End-to-end MinHash-LSH near-dup pairs: shingle → sign → band →
-    * bucket-join → exact-Jaccard verify. */
+  /** End-to-end banded-LSH near-dup pairs over an arbitrary shingler:
+    * sign → band → bucket-join → exact-Jaccard verify. The signature
+    * frame is persisted for the duration of the job — it is read by
+    * the band explode, both self-join sides, and the verify join, and
+    * recomputing 64 minhash passes per consumer would dominate the
+    * runtime. */
+  def lshNearDups(docs: DataFrame, idCol: String, shingler: Column,
+                  threshold: Double, k: Int, bands: Int,
+                  seed: Long = 42L, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val sigs = signatures(docs, idCol, shingler, k, seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
+    verifyJaccard(pairs, sigs, threshold)
+  }
+
+  /** Word-shingle MinHash-LSH near-dups (the classic document dedup). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, w: Int = 3, k: Int = 64,
                       bands: Int = 16, seed: Long = 42L): DataFrame =
-    verifyJaccard(candidatePairs(bandTable(docs, idCol, textCol, w, k, bands, seed)),
-                  threshold)
+    lshNearDups(docs, idCol, shingleHashes(textCol, w), threshold, k, bands, seed)
+
+  /** Character-n-gram Jaccard near-dups, LSH-accelerated: same banded
+    * pipeline over the char-gram universe (k=32 keeps the signature
+    * pass proportionate to the denser gram sets). */
+  def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
+                    threshold: Double = 0.8, n: Int = 5, k: Int = 32,
+                    bands: Int = 16, seed: Long = 42L): DataFrame =
+    lshNearDups(docs, idCol, charShingleHashes(textCol, n), threshold, k, bands, seed)
 
   /** Brute-force exact n-gram Jaccard pairs (all-pairs — test oracle
     * for LSH recall at small scale; never the production path). */
@@ -160,6 +197,7 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val withFp = docs.select(col(idCol).as("id"), simhash(textCol).as("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = withFp.select(col("id"), col("fp"),
       explode(expr(
         "transform(sequence(0, 3), j -> named_struct('band', j, 'sig', pmod(shiftright(fp, cast(j * 16 as int)), 65536)))"))

@@ -112,9 +112,13 @@ object Similarity {
     val rnd = new scala.util.Random(seed + 1)
     val bandIdx = Seq.fill(bands)(
       rnd.shuffle((0 until numBits).toList).take(bitsPerBand))
+    // signatures persisted once; band rows carry ONLY (id, band, sig)
+    // so the vectors never ride the 16-way band explode — they are
+    // joined back for exactly the candidate pairs
     val withBits = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
       hyperplaneBits(vecCol, dim, numBits, seed).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = bandIdx.zipWithIndex.map { case (idx, j) =>
       val sig = idx.map(i => s"element_at(bits, ${i + 1})").zipWithIndex
         .map { case (b, pos) => s"shiftleft(cast($b as bigint), $pos)" }
@@ -122,20 +126,23 @@ object Similarity {
       struct(lit(j).as("band"), expr(sig).as("sig"))
     }
     val chunks = withBits
-      .select(col("id"), col("v"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("v"), col("bs.band"), col("bs.sig"))
+      .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("id"), col("bs.band"), col("bs.sig"))
     val sizes = chunks.groupBy("band", "sig").count()
     val pruned = chunks
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
       .drop("count")
     val l = pruned.alias("l")
     val r = pruned.alias("r")
+    val vecs = withBits.select(col("id"), col("v"))
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        expr("aggregate(zip_with(l.v, r.v, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-          .as("cos"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("cos",
+        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

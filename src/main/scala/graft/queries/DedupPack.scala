@@ -21,7 +21,7 @@ object DedupPack extends QueryPack {
         threshold = 0.8)),
 
     "q_dedup_ngram" -> ((s, d) =>
-      Dedup.bruteForceJaccard(Tables.documents(s, d), "doc_id", "text",
+      Dedup.ngramNearDups(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8)),
 
     "q_dedup_simhash" -> ((s, d) =>

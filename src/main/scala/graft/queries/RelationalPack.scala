@@ -32,8 +32,11 @@ object RelationalPack extends QueryPack {
     * transplanted onto `lineitem`.
     */
   def pctOfTotal(s: SparkSession, d: String): DataFrame = {
+    // direct equality (not trim(col)===…) so the predicate pushes to
+    // the parquet scan; trim-normalization semantics live where the
+    // data is untyped text (Traffic CSV, MapleJuice UDFs)
     val counts = Tables.lineitem(s, d)
-      .filter(trim(col("l_linestatus")) === "F")
+      .filter(col("l_linestatus") === "F")
       .select(Text.normalizeEmpty(col("l_returnflag")).as("grp"))
       .groupBy("grp").agg(count(lit(1)).as("cnt"))
     Pct.withPctOfTotal(counts, "cnt", "pct")
@@ -43,7 +46,7 @@ object RelationalPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_filter_eq" -> ((s, d) =>
       Tables.orders(s, d)
-        .filter(trim(col("o_orderstatus")) === "F")
+        .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"), col("o_custkey"),
                 col("o_orderstatus"), col("o_totalprice"))),
 
@@ -74,7 +77,7 @@ object RelationalPack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_filter_eq" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
-        |FROM orders WHERE trim(o_orderstatus) = 'F'""".stripMargin,
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -101,7 +104,7 @@ object RelationalPack extends QueryPack {
         |  SELECT CASE WHEN l_returnflag IS NULL OR length(trim(l_returnflag)) = 0 THEN 'empty'
         |              ELSE trim(l_returnflag) END AS grp,
         |         count(*) AS cnt
-        |  FROM lineitem WHERE trim(l_linestatus) = 'F' GROUP BY 1
+        |  FROM lineitem WHERE l_linestatus = 'F' GROUP BY 1
         |)""".stripMargin,
   )
 }
