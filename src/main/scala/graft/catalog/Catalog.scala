@@ -54,10 +54,13 @@ final class Catalog(spark: SparkSession, root: String,
     require(name.matches("[A-Za-z0-9._-]+"), s"invalid dataset name: $name")
 
   /** Deterministic "random 4 of members": rendezvous (highest-random-
-    * weight) hashing of (name, host) — stable spread, no RNG state. */
+    * weight) hashing of (name, host) — stable spread, no RNG state.
+    * MurmurHash3 (not String.hashCode, whose values for
+    * "name|node01".."name|node10" are consecutive integers and would
+    * pin every dataset to the same four hosts). */
   private[graft] def placeReplicas(name: String): Seq[String] =
-    hosts.sortBy(h => (s"$name|$h".hashCode, h)).take(
-      math.min(replicationFactor, hosts.size))
+    hosts.sortBy(h => (scala.util.hashing.MurmurHash3.stringHash(s"$name|$h"), h))
+      .take(math.min(replicationFactor, hosts.size))
 
   /** `put local sdfs`: store a DataFrame under a catalog name. */
   def put(name: String, df: DataFrame, format: String = "parquet"): CatalogEntry =

@@ -66,7 +66,9 @@ object MapleJuice {
                         mode: PartitionMode = HashPartition)(
       g: (String, Iterator[String]) => IterableOnce[R]): Dataset[R] = {
     val n = math.max(1, numTasks)
-    val key: Column = col("_1")
+    // an `.as[(String, String)]` view keeps its source column names,
+    // so resolve the key column positionally rather than assuming `_1`
+    val key: Column = col(kv.columns(0))
     val parted = mode match {
       case HashPartition  => kv.repartition(n, key)
       case RangePartition => kv.repartitionByRange(n, key)

@@ -78,6 +78,30 @@ object TextAnalysis {
     expr(s"CASE $best ELSE 'und' END")
   }
 
+  /** Top-k terms per document by TF-IDF (natural-log IDF over the
+    * corpus document frequency). Shuffles: one for per-(doc,term)
+    * counts, one for term document-frequency, one shuffle join back
+    * on term, plus a 1-row broadcast of the corpus size — the
+    * standard two-pass shape; no driver-side vocabulary. */
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * log(col("n") / col("df")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+              col("rn"))
+  }
+
   /** Rolling-hash content fingerprint (see [[graft.functions.RollingHash]]). */
   def withFingerprint(spark: SparkSession, df: DataFrame,
                       textCol: String): DataFrame = {

@@ -32,4 +32,26 @@ object Traffic {
   def analyze(spark: SparkSession, csvPath: String,
               interconne: String): DataFrame =
     analyze(readCsv(spark, csvPath), interconne)
+
+  /** The reference maple executable as a line UDF for the generic
+    * MapleJuice API (data/maple-exe.go:16-69): positional CSV fields,
+    * filter col `filterIdx` == param (trimmed), emit normalized col
+    * `projectIdx` as the key, sanitized `[/ ]`→`_` exactly as the
+    * reference does for filename-safety (maple-exe.go:34-39 — note
+    * this makes "Loop/Video" surface as "Loop_Video", a deliberate
+    * byte-compat quirk of the maple path; the Catalyst path keeps
+    * keys as data and skips sanitization).
+    */
+  def csvMaple(filterIdx: Int = 10, projectIdx: Int = 9, param: String)
+              (line: String): Iterator[(String, String)] = {
+    val parts = line.split(",", -1)
+    if (parts.length <= math.max(filterIdx, projectIdx) ||
+        parts(filterIdx).trim != param) Iterator.empty
+    else {
+      val v = parts(projectIdx).trim
+      val normalized = if (v.isEmpty) "empty" else v
+      val key = normalized.replace('/', '_').replace(' ', '_')
+      Iterator((key, normalized))
+    }
+  }
 }

@@ -30,6 +30,9 @@ object TextPack extends QueryPack {
     "q_fingerprint" -> ((s, d) =>
       TextAnalysis.withFingerprint(s, Tables.documents(s, d), "text")
         .select("doc_id", "fingerprint")),
+
+    "q_tfidf" -> ((s, d) =>
+      TextAnalysis.tfidfTop(Tables.documents(s, d), "doc_id", "text", k = 3)),
   )
 
   private val stop = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'for', 'on')"
@@ -79,5 +82,20 @@ object TextPack extends QueryPack {
         |)""".stripMargin,
     // q_fingerprint: rows-only — the 2^61-1 modular rolling hash is a
     // native Catalyst expression; values are pinned in RollingHashSpec.
+
+    "q_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents)
+        |SELECT doc_id, term, round(score, 6) AS score, rn FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf * ln(n.n / dfreq.df) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.term) AS rn
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |) WHERE rn <= 3""".stripMargin,
   )
 }

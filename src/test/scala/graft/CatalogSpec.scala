@@ -40,6 +40,9 @@ class CatalogSpec extends AnyFunSuite {
     // every name appears on exactly replicationFactor hosts
     val perHost = Catalog.defaultHosts.map(h => cat.store(h))
     assert(perHost.flatten.groupBy(identity).map(_._2.size).forall(_ == 4))
+    // placement actually varies by name (guards against a degenerate
+    // hash that pins every dataset to the same four hosts)
+    assert(cat.placeReplicas("a").toSet !== cat.placeReplicas("b").toSet)
     assert(cat.filetable.keySet === Set("a", "b"))
   }
 
