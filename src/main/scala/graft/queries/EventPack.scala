@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
-import graft.operators.Multimodal
+import graft.operators.{AsOfJoin, Multimodal, Sessionize}
 import graft.streaming.EventStream
 
 /** Events (windowed time aggregation — the batch twin of the
@@ -29,6 +29,26 @@ object EventPack extends QueryPack {
       Multimodal.extractFeatures(blobs).toDF()
         .select(col("id"), col("n_bytes"), col("checksum"))
     }),
+
+    // gap-based sessionization (batch twin of the stateful stream op)
+    "q_sessionize" -> ((s, d) =>
+      Sessionize.sessions(Tables.events(s, d), "user_id", "ts")),
+
+    // as-of join: each click enriched with the user's latest prior purchase
+    "q_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts_us"), col("value"))
+      // no-match rows carry -1 sentinels instead of NULL: result
+      // comparators that sort rows handle NULL-in-sort-key orderings
+      // inconsistently across engines
+      AsOfJoin.asOf(clicks, purchases, "user_id", "ts_us", "pts_us", Seq("value"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                coalesce(col("asof_ts"), lit(-1L)).as("asof_ts_us"),
+                coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -43,5 +63,31 @@ object EventPack extends QueryPack {
         |FROM documents""".stripMargin,
     // q_multimodal_features: rows-only — the stub decoder's checksum
     // is a JVM-side computation; pinned in MultimodalSpec.
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+        |w AS (
+        |  SELECT user_id, ts_ms,
+        |    CASE WHEN lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) IS NULL
+        |           OR ts_ms - lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms) > 1800000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |), s AS (
+        |  SELECT user_id, ts_ms,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM w
+        |)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS cnt, min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  coalesce(epoch_us(r.ts), -1) AS asof_ts_us,
+        |  coalesce(r.value, -1.0) AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
   )
 }

@@ -32,6 +32,50 @@ object EventStream {
     windowed(stream.withWatermark("ts", "10 minutes"))
   }
 
+  /** Stateful sessionization: custom per-key state via
+    * flatMapGroupsWithState (the KeyValueGroupedDataset escape hatch
+    * the reference's UDF surface maps to for streams). Emits every
+    * session seen in a batch — closed ones and the still-open one —
+    * and carries the open session in state so a later batch can
+    * continue it; production would close sessions on an event-time
+    * timeout instead of re-emitting. */
+  def sessionizeStream(spark: SparkSession, dir: String,
+                       gapMs: Long = graft.operators.Sessionize.DefaultGapMs): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import graft.operators.{SessEvent, Session, Sessionize}
+    val schema = spark.read.parquet(dir).schema
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .as[SessEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessEvent], state: GroupState[Session]) =>
+          val sorted = it.map(_.ts_ms).toSeq.sorted
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            val open = state.getOption
+            val merged = open match {
+              case Some(s) if sorted.head - s.end_ms <= gapMs =>
+                // continue the open session: seed with its events' span
+                Sessionize.sessionizeSorted(uid, sorted, gapMs).map { x =>
+                  if (x.session_id == 1)
+                    Session(uid, s.session_id, x.cnt + s.cnt, s.start_ms, x.end_ms)
+                  else x.copy(session_id = x.session_id + s.session_id - 1)
+                }
+              case Some(s) =>
+                Sessionize.sessionizeSorted(uid, sorted, gapMs)
+                  .map(x => x.copy(session_id = x.session_id + s.session_id))
+              case None =>
+                Sessionize.sessionizeSorted(uid, sorted, gapMs)
+            }
+            state.update(merged.last)
+            merged.iterator
+          }
+      }.toDF()
+  }
+
   /** Run the streaming query to completion over the (finite) input and
     * return the materialized result — used by tests to assert
     * stream == batch. `complete` output mode because the sink is the

@@ -18,10 +18,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)]
-    # normalize for comparison: floats rounded to 9 sig places already by
-    # query-side round(); compare exact values otherwise
-    df = df.sort_values(by=list(df.columns), ignore_index=True)
-    return df
+    # fillna before sorting: pandas appends NaN-keyed rows in original
+    # order, ignoring secondary sort keys, which misaligns frames whose
+    # row order differs
+    key = df.fillna(-1.5e308)
+    order = key.sort_values(by=list(key.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 def values_equal(a, b) -> bool:
     if a is None and b is None:
