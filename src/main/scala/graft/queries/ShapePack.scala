@@ -56,6 +56,52 @@ object ShapePack extends QueryPack {
         .filter(col("rn") <= 3)
     }),
 
+    // exact distinct-count aggregate
+    "q_count_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // min/max/avg statistics per group
+    "q_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as("min_price"),
+             max(col("l_extendedprice")).as("max_price"),
+             round(avg(col("l_extendedprice")), 4).as("avg_price"))),
+
+    // ROLLUP with sentinel'd subtotal rows (no NULLs in compared cols)
+    "q_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+                col("cnt"))),
+
+    // set ops beyond union: INTERSECT / EXCEPT (distinct semantics)
+    "q_intersect" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .intersect(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+    "q_except" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "O").select(col("o_custkey")))
+    }),
+
+    // date part extraction + string scalar functions
+    "q_date_parts" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("cnt"))),
+    "q_string_funcs" -> ((s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), upper(col("c_name")).as("uname"),
+                substring(col("c_name"), 1, 8).as("prefix"),
+                length(col("c_name")).as("len"))),
+
     // running-total window per customer in order time
     "q_window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -90,6 +136,42 @@ object ShapePack extends QueryPack {
         |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |  FROM lineitem
         |) WHERE rn <= 3""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+
+    "q_stats" ->
+      """SELECT l_returnflag, min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price,
+        |  round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin,
+
+    "q_date_parts" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y,
+        |  CAST(month(o_orderdate) AS INT) AS m, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname,
+        |  substr(c_name, 1, 8) AS prefix,
+        |  CAST(length(c_name) AS INT) AS len
+        |FROM customer""".stripMargin,
 
     "q_window_running" ->
       """SELECT o_custkey, o_orderkey,
