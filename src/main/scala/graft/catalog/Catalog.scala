@@ -77,6 +77,28 @@ final class Catalog(spark: SparkSession, root: String,
       e
     }
 
+  /** `put` with a partitioned layout: rows land in one directory per
+    * `partitionCol` value, so reads filtered on that column prune
+    * whole directories at planning time (PartitionFilters in the scan
+    * — the storage-level analog of the reference's per-key
+    * intermediate files, SURVEY.md §1.1, but pruned for free by
+    * Catalyst instead of matched by filename). */
+  def putPartitioned(name: String, df: DataFrame, partitionCol: String,
+                     format: String = "parquet"): CatalogEntry =
+    synchronized {
+      require_valid(name)
+      val target = rootPath.resolve(name)
+      val tmp = rootPath.resolve(s".$name.tmp-${System.nanoTime()}")
+      df.write.format(format).partitionBy(partitionCol)
+        .mode(SaveMode.Overwrite).save(tmp.toString)
+      deleteRecursively(target)
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
+      entries.put(name, e)
+      saveManifest()
+      e
+    }
+
   /** Register an existing file/directory (the reference's `put` of a
     * pre-existing local file) without rewriting it. */
   def putPath(name: String, path: String, format: String): CatalogEntry =

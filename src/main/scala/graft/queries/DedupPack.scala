@@ -27,6 +27,16 @@ object DedupPack extends QueryPack {
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
+
+    // HLL sketch cardinality next to the exact answer: the constant-
+    // memory scale path for distinct counts over arbitrary cardinality
+    "q_approx_distinct" -> ((s, d) =>
+      Tables.documents(s, d).agg(
+        org.apache.spark.sql.functions.approx_count_distinct(
+          org.apache.spark.sql.functions.col("text"), rsd = 0.02)
+          .as("approx_docs"),
+        org.apache.spark.sql.functions.countDistinct(
+          org.apache.spark.sql.functions.col("text")).as("exact_docs"))),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -35,5 +45,8 @@ object DedupPack extends QueryPack {
     // q_dedup_minhash / q_dedup_ngram / q_dedup_simhash: rows-only —
     // LSH banding and 64-bit signature arithmetic are not expressible
     // in DuckDB SQL; accuracy is pinned by DedupSpec instead.
+    // q_approx_distinct: rows-only — HLL estimates are
+    // implementation-specific; DedupSpec bounds the estimate against
+    // the exact count.
   )
 }

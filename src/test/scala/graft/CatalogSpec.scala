@@ -62,6 +62,18 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.multiread("m", 5) === Seq.fill(5)(100L))
   }
 
+  test("putPartitioned prunes partitions for filtered reads") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("id", "part")
+    cat.putPartitioned("parted", df, "part")
+    val filtered = cat.get("parted").filter($"part" === "a")
+    assert(filtered.collect().map(_.getAs[Int]("id")).sorted === Array(1, 3))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(part"), s"expected partition pruning in:\n$plan")
+  }
+
   test("put overwrites atomically (second put replaces first)") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

@@ -43,6 +43,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((1L, "same"), (2L, "other")))
   }
 
+  test("approx_count_distinct lands within its rsd bound of the exact count") {
+    val r = graft.queries.DedupPack.queries("q_approx_distinct")(
+      spark, SparkSuite.sf0001).head()
+    val approx = r.getAs[Long]("approx_docs").toDouble
+    val exact = r.getAs[Long]("exact_docs").toDouble
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("shingle hashes: deterministic, distinct, and short-text safe") {
     val spark2 = spark
     import spark2.implicits._
