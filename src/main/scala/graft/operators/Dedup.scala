@@ -144,12 +144,32 @@ object Dedup {
     lshNearDups(docs, idCol, shingleHashes(textCol, w), threshold, k, bands, seed)
 
   /** Character-n-gram Jaccard near-dups, LSH-accelerated: same banded
-    * pipeline over the char-gram universe (k=32 keeps the signature
-    * pass proportionate to the denser gram sets). */
+    * pipeline over the char-gram universe. k=32 in 16 bands of 2
+    * measured faster end-to-end than k=16/8 despite the cheaper
+    * signature pass — r=2 bands admit more false candidates and the
+    * exact-Jaccard verify on dense char-gram arrays is the pricier
+    * stage, so narrower bands don't pay. */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.8, n: Int = 5, k: Int = 32,
                     bands: Int = 16, seed: Long = 42L): DataFrame =
     lshNearDups(docs, idCol, charShingleHashes(textCol, n), threshold, k, bands, seed)
+
+  /** Brute-force exact Jaccard pairs over an arbitrary shingler
+    * (all-pairs — test oracle for LSH recall at small scale; never
+    * the production path). */
+  def bruteForceJaccardBy(docs: DataFrame, idCol: String,
+                          shingler: Column, threshold: Double): DataFrame = {
+    val h = docs.select(col(idCol).as("id"), shingler.as("h"))
+      .filter(size(col("h")) > 0)
+    val l = h.alias("l")
+    val r = h.alias("r")
+    l.join(r, col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
+        expr("size(array_intersect(l.h, r.h)) / size(array_union(l.h, r.h))")
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   /** Brute-force exact n-gram Jaccard pairs (all-pairs — test oracle
     * for LSH recall at small scale; never the production path). */

@@ -43,6 +43,16 @@ class DedupSpec extends AnyFunSuite {
     assert(out === Set((1L, "same"), (2L, "other")))
   }
 
+  test("char-n-gram LSH near-dups: high recall vs brute-force char-gram Jaccard") {
+    val truth = pairs(Dedup.bruteForceJaccardBy(docs, "doc_id",
+      Dedup.charShingleHashes("text", 5), 0.8))
+    val lsh = pairs(Dedup.ngramNearDups(docs, "doc_id", "text", 0.8))
+    assert(truth.nonEmpty)
+    assert(lsh.subsetOf(truth))
+    val recall = lsh.size.toDouble / truth.size
+    assert(recall >= 0.9, s"char-gram LSH recall $recall (${lsh.size}/${truth.size})")
+  }
+
   test("approx_count_distinct lands within its rsd bound of the exact count") {
     val r = graft.queries.DedupPack.queries("q_approx_distinct")(
       spark, SparkSuite.sf0001).head()
