@@ -1,0 +1,136 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.ClusteredDistribution
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.graftbridge.DatasetBridge
+
+/** Whole-operator extension tier (SURVEY.md §7.2 option (c)): an
+  * as-of join as a first-class Catalyst operator — logical node,
+  * planner strategy, and physical sort-merge exec.
+  *
+  * Semantics match [[graft.operators.AsOfJoin.asOf]] (every left row
+  * gets the latest right row with equal key and right ts ≤ left ts,
+  * or NULLs): the compositional version is the cross-check oracle in
+  * AsOfNativeSpec, alongside DuckDB's native ASOF JOIN.
+  *
+  * Execution: both sides are clustered on the key and sorted by
+  * (key, ts) — declared via requiredChildDistribution/Ordering, so
+  * Catalyst inserts exactly one exchange + sort per side — then each
+  * partition pair is merged with a single forward pass holding at
+  * most ONE candidate right row (vs the window formulation, which
+  * materializes the union). v1 restriction: key and ts must be
+  * non-null LongType columns.
+  */
+case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTs: Expression, rightTs: Expression)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution =
+    Seq(ClusteredDistribution(Seq(leftKey)), ClusteredDistribution(Seq(rightKey)))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lkB = BindReferences.bindReference(leftKey, left.output)
+    val ltB = BindReferences.bindReference(leftTs, left.output)
+    val rkB = BindReferences.bindReference(rightKey, right.output)
+    val rtB = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.size
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val joiner = new JoinedRow
+      val nullRight = new GenericInternalRow(rightWidth)
+      val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      var held: InternalRow = null
+      var heldKey: Long = 0L
+      lIter.map { lRow =>
+        val k = lkB.eval(lRow).asInstanceOf[Long]
+        val t = ltB.eval(lRow).asInstanceOf[Long]
+        if (held != null && heldKey != k) held = null
+        var advancing = true
+        while (advancing && rRow != null) {
+          val rk = rkB.eval(rRow).asInstanceOf[Long]
+          val rt = rtB.eval(rRow).asInstanceOf[Long]
+          if (rk < k || (rk == k && rt <= t)) {
+            if (rk == k) { held = rRow.copy(); heldKey = k }
+            rRow = if (rIter.hasNext) rIter.next() else null
+          } else advancing = false
+        }
+        val out =
+          if (held != null && heldKey == k) joiner(lRow, held)
+          else joiner(lRow, nullRight)
+        proj(out)
+      }
+    }
+  }
+}
+
+object AsOfStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+object AsOfJoinNative {
+
+  /** Register the planner strategy on a session (idempotent). The
+    * extensions-config route is `GraftExtensions`. */
+  def register(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(AsOfStrategy))
+      spark.experimental.extraStrategies = cur :+ AsOfStrategy
+  }
+
+  /** As-of join as a native operator. Key and ts columns must be
+    * non-null longs (v1 restriction, see class doc). Output: all left
+    * columns, then all right columns from the matched as-of row
+    * (NULLs when no match). */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String,
+           leftTsCol: String, rightTsCol: String): DataFrame = {
+    val spark = left.sparkSession
+    register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Expression =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))
+    DatasetBridge.ofRows(spark,
+      AsOfJoinNode(lPlan, rPlan,
+        attr(lPlan, keyCol), attr(rPlan, keyCol),
+        attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.plans.AsOfJoinNative
+
+/** The native (custom LogicalPlan/Strategy/SparkPlan) as-of join must
+  * agree exactly with the compositional window formulation — which is
+  * itself checked against DuckDB's ASOF JOIN in the correctness gate.
+  */
+class AsOfNativeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("native as-of join matches the compositional operator on events") {
+    val ev = Tables.events(spark, SparkSuite.sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pts_us"),
+              col("value"))
+
+    val native = AsOfJoinNative.asOf(
+        clicks, purchases.withColumnRenamed("p_user", "user_id"),
+        "user_id", "ts_us", "pts_us")
+      .select(col("event_id"),
+              coalesce(col("pts_us"), lit(-1L)).as("ats"),
+              coalesce(col("value"), lit(-1.0)).as("av"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val compositional = AsOfJoin.asOf(clicks,
+        purchases.withColumnRenamed("p_user", "user_id"),
+        "user_id", "ts_us", "pts_us", Seq("value"))
+      .select(col("event_id"),
+              coalesce(col("asof_ts"), lit(-1L)).as("ats"),
+              coalesce(col("asof_value"), lit(-1.0)).as("av"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(native === compositional)
+    assert(native.nonEmpty)
+    assert(native.exists(_._2 == -1L), "expected some no-match rows")
+  }
+
+  test("native exec plans one exchange per side and an AsOfJoinExec node") {
+    val spark2 = spark
+    import spark2.implicits._
+    val l = Seq((1L, 10L, "a"), (2L, 5L, "b")).toDF("k", "t", "tag")
+    val r = Seq((1L, 5L, 1.0)).toDF("k", "rt", "v")
+    val out = AsOfJoinNative.asOf(l, r.withColumnRenamed("k", "k"), "k", "t", "rt")
+    val plan = out.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix in plan strings
+    assert(plan.contains("AsOfJoin"))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      s"expected exactly one exchange per side in:\n$plan")
+    val rows = out.collect().map(x =>
+      (x.getAs[String]("tag"), Option(x.getAs[java.lang.Double]("v")))).toSet
+    assert(rows === Set(("a", Some(1.0)), ("b", None)))
+  }
+}
