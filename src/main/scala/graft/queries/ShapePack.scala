@@ -70,6 +70,15 @@ object ShapePack extends QueryPack {
              max(col("l_extendedprice")).as("max_price"),
              round(avg(col("l_extendedprice")), 4).as("avg_price"))),
 
+    // exact interpolated percentiles (both engines use the same
+    // continuous-quantile definition; approx_percentile would not
+    // cross-check)
+    "q_percentile" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("med"),
+             round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))),
+
     // ROLLUP with sentinel'd subtotal rows (no NULLs in compared cols)
     "q_rollup" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -145,6 +154,12 @@ object ShapePack extends QueryPack {
       """SELECT l_returnflag, min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price,
         |  round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS med,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q_rollup" ->
