@@ -33,6 +33,24 @@ object TextPack extends QueryPack {
 
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
+    // scrubbing transform: redact digit runs (the PII-scrub shape —
+    // swap the pattern for emails/SSNs/etc. in a real pipeline)
+    "q_scrub" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrubbed"))),
+
+    // corpus-wide top bigrams (two shuffles: bigram count, then top-k)
+    "q_top_bigrams" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(explode(expr(
+          """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),
+            |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))""".stripMargin))
+          .as("bigram"))
+        .filter(size(split(col("bigram"), " ")) === 2)
+        .groupBy("bigram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram").asc)
+        .limit(20)),
   )
 
   private val stop = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'for', 'on')"
@@ -82,6 +100,18 @@ object TextPack extends QueryPack {
         |)""".stripMargin,
     // q_fingerprint: rows-only — the 2^61-1 modular rolling hash is a
     // native Catalyst expression; values are pinned in RollingHashSpec.
+
+    "q_scrub" ->
+      """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents""".stripMargin,
+
+    "q_top_bigrams" ->
+      """SELECT bigram, count(*) AS cnt FROM (
+        |  SELECT unnest(list_transform(
+        |    range(len(string_split(text, ' ')) - 1),
+        |    i -> string_split(text, ' ')[i + 1] || ' ' || string_split(text, ' ')[i + 2]
+        |  )) AS bigram FROM documents
+        |) GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""".stripMargin,
 
     "q_tfidf" ->
       """WITH toks AS (
