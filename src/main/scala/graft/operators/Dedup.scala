@@ -69,11 +69,24 @@ object Dedup {
          |  p -> array_min(transform($hashesCol, x -> pmod(p.a * x + p.b, ${P}L))))""".stripMargin)
   }
 
+  /** Spread a narrow input across the cluster before a compute-heavy
+    * map stage: a small parquet file arrives as ONE partition, which
+    * would serialize the whole signature pass onto a single core. No
+    * effect when the input is already at least this wide. */
+  private def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Per-doc signature frame: (id, hashes, mh). `shingler` picks the
-    * similarity universe (word shingles or char n-grams). */
+    * similarity universe (word shingles or char n-grams). The RAW doc
+    * rows are spread before any hashing so the whole signature pass
+    * parallelizes (spreading afterwards would serialize the shingle
+    * hashing and shuffle the large arrays instead of small texts). */
   def signatures(docs: DataFrame, idCol: String, shingler: Column,
                  k: Int, seed: Long): DataFrame =
-    docs.select(col(idCol).as("id"), shingler.as("hashes"))
+    spread(docs)
+      .select(col(idCol).as("id"), shingler.as("hashes"))
       .filter(size(col("hashes")) > 0)
       .withColumn("mh", minhashSignature("hashes", k, seed))
 
@@ -216,7 +229,8 @@ object Dedup {
     * equal), bucket-join on chunks, verify hamming ≤ `maxHamming`. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
-    val withFp = docs.select(col(idCol).as("id"), simhash(textCol).as("fp"))
+    val withFp = spread(docs)
+      .select(col(idCol).as("id"), simhash(textCol).as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = withFp.select(col("id"), col("fp"),
       explode(expr(

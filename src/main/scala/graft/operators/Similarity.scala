@@ -115,7 +115,9 @@ object Similarity {
     // signatures persisted once; band rows carry ONLY (id, band, sig)
     // so the vectors never ride the 16-way band explode — they are
     // joined back for exactly the candidate pairs
-    val withBits = emb.select(col(idCol).as("id"),
+    val target = emb.sparkSession.sparkContext.defaultParallelism
+    val wide = if (emb.rdd.getNumPartitions < target) emb.repartition(target) else emb
+    val withBits = wide.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
       hyperplaneBits(vecCol, dim, numBits, seed).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

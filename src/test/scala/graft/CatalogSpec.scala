@@ -55,6 +55,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(reopened.get("persist").count() === 1L)
   }
 
+  test("multiwrite: concurrent puts of different names all land (no leader gate needed)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (cat, _) = freshCatalog()
+    val fs = (1 to 4).map(i => Future {
+      cat.put(s"w$i", Seq((i, s"v$i")).toDF("id", "v")); i
+    })
+    fs.foreach(f => Await.result(f, Duration.Inf))
+    assert(cat.filetable.keySet === Set("w1", "w2", "w3", "w4"))
+    (1 to 4).foreach(i => assert(cat.get(s"w$i").count() === 1L))
+  }
+
   test("multiread: concurrent readers all see the same count") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
