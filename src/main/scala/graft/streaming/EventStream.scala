@@ -76,6 +76,18 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming exact dedup: keep the first occurrence per key, with a
+    * watermark bounding the dedup state (keys older than the
+    * watermark are dropped from state — the standard unbounded-stream
+    * trade: exact within the watermark horizon). */
+  def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
+                  tsCol: String, watermark: String = "1 hour"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+  }
+
   /** Run the streaming query to completion over the (finite) input and
     * return the materialized result — used by tests to assert
     * stream == batch. `complete` output mode because the sink is the

@@ -20,6 +20,15 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.get("t1").collect().map(_.getInt(0)).sorted === Array(1, 2, 3))
   }
 
+  test("put/get round-trips json and csv formats too") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    cat.put("j", df, format = "json")
+    assert(cat.get("j").count() === 2L)
+    assert(cat.filetable("j").format === "json")
+  }
+
   test("delete removes data and entry; get then throws") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

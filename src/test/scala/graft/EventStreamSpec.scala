@@ -7,6 +7,21 @@ import graft.streaming.EventStream
 class EventStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark
 
+  test("streaming dedup with watermark equals batch dropDuplicates on finite input") {
+    val dir = Files.createTempDirectory("graft-sdedup").toString
+    val events = Tables.events(spark, SparkSuite.sf0001)
+    // plant exact duplicates
+    events.unionAll(events.limit(50)).write.mode("overwrite").parquet(dir)
+    val batch = spark.read.parquet(dir)
+      .dropDuplicates(Seq("user_id", "event_type", "ts"))
+      .count()
+    val q = EventStream.dedupStream(spark, dir, Seq("user_id", "event_type"), "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sdedup").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("graft_sdedup").count() === batch)
+  }
+
   test("streaming hourly aggregation equals the batch formulation") {
     // stage events as micro-precision parquet (streaming source can't
     // read the nanos-typed original)
