@@ -38,6 +38,10 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
         }
+      // LSH queries persist their signature frames; drop them so one
+      // query's cache can't crowd out the next (and timings stay
+      // independent)
+      spark.catalog.clearCache()
       name -> elapsed
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -41,15 +41,21 @@ final class Engine(val spark: SparkSession, catalogRoot: String) {
   def multiread(name: String, m: Int): Seq[Long] = catalog.multiread(name, m)
 
   /** Raw text lines of a catalog dataset (the reference's unit of
-    * maple input; CSV files line-granular, fileserver.py:265-289). */
+    * maple input; CSV files line-granular, fileserver.py:265-289).
+    * Typed rows serialize NULL cells as empty fields (concat_ws alone
+    * would silently DROP them, shifting every later positional field
+    * the maple UDF indexes). */
   def lines(name: String): Dataset[String] = {
     val e = catalog.filetable.getOrElse(name,
       throw new NoSuchElementException(s"no such dataset: $name"))
     import spark.implicits._
     if (e.format == "csv" || e.format == "text")
       spark.read.text(e.path).select(col("value")).as[String]
-    else
-      get(name).select(concat_ws(",", get(name).columns.map(col).toIndexedSeq: _*)).as[String]
+    else {
+      val df = get(name)
+      val cells = df.columns.map(c => coalesce(col(c).cast("string"), lit("")))
+      df.select(concat_ws(",", cells.toIndexedSeq: _*)).as[String]
+    }
   }
 
   // ---- MapleJuice job surface -------------------------------------------
@@ -101,6 +107,7 @@ final class Engine(val spark: SparkSession, catalogRoot: String) {
   /** "Conglomerate" (fileserver.py:598-635): union independently
     * produced partial outputs into one dataset; optionally register. */
   def conglomerate(dest: String, parts: Seq[DataFrame]): DataFrame = {
+    require(parts.nonEmpty, "conglomerate requires at least one partial output")
     val all = parts.reduce(_ unionAll _)
     catalog.put(dest, all)
     get(dest)

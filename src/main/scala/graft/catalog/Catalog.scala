@@ -1,6 +1,6 @@
 package graft.catalog
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -62,20 +62,36 @@ final class Catalog(spark: SparkSession, root: String,
     hosts.sortBy(h => (scala.util.hashing.MurmurHash3.stringHash(s"$name|$h"), h))
       .take(math.min(replicationFactor, hosts.size))
 
-  /** `put local sdfs`: store a DataFrame under a catalog name. */
+  /** `put local sdfs`: store a DataFrame under a catalog name.
+    *
+    * Writes are versioned: each put lands in a fresh `name-v<nano>`
+    * directory and the catalog pointer swaps to it, so there is never
+    * a window where the dataset has no data on disk (a delete-then-
+    * rename overwrite would have one). The previous version is
+    * removed after the swap — readers that resolved the old path
+    * before the put keep snapshot isolation only until then (the
+    * reference's leader R/W gate solved this with locks; here the
+    * catalog pointer is the consistency point). */
   def put(name: String, df: DataFrame, format: String = "parquet"): CatalogEntry =
-    synchronized {
-      require_valid(name)
-      val target = rootPath.resolve(name)
-      val tmp = rootPath.resolve(s".$name.tmp-${System.nanoTime()}")
-      df.write.format(format).mode(SaveMode.Overwrite).save(tmp.toString)
-      deleteRecursively(target)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
-      entries.put(name, e)
-      saveManifest()
-      e
+    writeVersioned(name, format) { dir =>
+      df.write.format(format).mode(SaveMode.Overwrite).save(dir)
     }
+
+  private def writeVersioned(name: String, format: String)(
+      write: String => Unit): CatalogEntry = synchronized {
+    require_valid(name)
+    val target = rootPath.resolve(s"$name-v${System.nanoTime()}")
+    write(target.toString)
+    val previous = entries.get(name)
+    val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
+    entries.put(name, e)
+    saveManifest()
+    previous.foreach { p =>
+      val prev = Paths.get(p.path)
+      if (prev.startsWith(rootPath)) deleteRecursively(prev)
+    }
+    e
+  }
 
   /** `put` with a partitioned layout: rows land in one directory per
     * `partitionCol` value, so reads filtered on that column prune
@@ -85,18 +101,9 @@ final class Catalog(spark: SparkSession, root: String,
     * Catalyst instead of matched by filename). */
   def putPartitioned(name: String, df: DataFrame, partitionCol: String,
                      format: String = "parquet"): CatalogEntry =
-    synchronized {
-      require_valid(name)
-      val target = rootPath.resolve(name)
-      val tmp = rootPath.resolve(s".$name.tmp-${System.nanoTime()}")
+    writeVersioned(name, format) { dir =>
       df.write.format(format).partitionBy(partitionCol)
-        .mode(SaveMode.Overwrite).save(tmp.toString)
-      deleteRecursively(target)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-      val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
-      entries.put(name, e)
-      saveManifest()
-      e
+        .mode(SaveMode.Overwrite).save(dir)
     }
 
   /** Register an existing file/directory (the reference's `put` of a
@@ -117,11 +124,16 @@ final class Catalog(spark: SparkSession, root: String,
     spark.read.format(e.format).load(e.path)
   }
 
-  /** `delete sdfs`: drop data and entry. */
+  /** `delete sdfs`: drop data and entry. Data is deleted only when it
+    * lives under the catalog root — judged by path components, not a
+    * string prefix (a prefix test would also match sibling
+    * directories like `<root>-archive` and destroy external data
+    * registered via putPath). */
   def delete(name: String): Boolean = synchronized {
     entries.remove(name) match {
       case Some(e) =>
-        if (e.path.startsWith(rootPath.toString)) deleteRecursively(Paths.get(e.path))
+        if (Paths.get(e.path).normalize().startsWith(rootPath.normalize()))
+          deleteRecursively(Paths.get(e.path))
         saveManifest()
         true
       case None => false

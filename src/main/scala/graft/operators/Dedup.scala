@@ -209,20 +209,42 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
       .drop("content_hash")
 
-  /** 64-bit SimHash fingerprint of the token multiset: bit i is the
-    * sign of the sum over tokens of ±1 according to bit i of the
-    * token's hash. Near-identical texts differ in few bits. */
-  def simhash(textCol: String): Column =
+  /** 64-bit SimHash from a precomputed token-hash array column: bit i
+    * is the sign of the sum over tokens of ±1 according to bit i of
+    * the token's hash. Near-identical texts differ in few bits. */
+  def simhashFromHashes(hashesCol: String): Column =
     expr(
       s"""aggregate(
          |  sequence(0, 63),
          |  0L,
          |  (acc, i) -> acc + shiftleft(
          |    CASE WHEN aggregate(
-         |           transform(split($textCol, ' '), t -> xxhash64(t)),
+         |           $hashesCol,
          |           0L,
          |           (s, h) -> s + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1L ELSE -1L END
          |         ) > 0 THEN 1L ELSE 0L END, i))""".stripMargin)
+
+  /** Token-hash array for [[simhashFromHashes]]. Kept separate so the
+    * tokenize+hash pass runs ONCE per row — inlining it under the
+    * per-bit aggregate would re-split and re-hash the text 64×. */
+  def tokenHashes(textCol: String): Column =
+    expr(s"transform(split($textCol, ' '), t -> xxhash64(t))")
+
+  /** One-expression convenience form (re-tokenizes per bit — use the
+    * two-step tokenHashes → simhashFromHashes in hot paths). */
+  def simhash(textCol: String): Column = {
+    val th = s"transform(split($textCol, ' '), t -> xxhash64(t))"
+    expr(
+      s"""aggregate(
+         |  sequence(0, 63),
+         |  0L,
+         |  (acc, i) -> acc + shiftleft(
+         |    CASE WHEN aggregate(
+         |           $th,
+         |           0L,
+         |           (s, h) -> s + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1L ELSE -1L END
+         |         ) > 0 THEN 1L ELSE 0L END, i))""".stripMargin)
+  }
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
@@ -230,7 +252,8 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
     val withFp = spread(docs)
-      .select(col(idCol).as("id"), simhash(textCol).as("fp"))
+      .select(col(idCol).as("id"), tokenHashes(textCol).as("th"))
+      .select(col("id"), simhashFromHashes("th").as("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val chunks = withFp.select(col("id"), col("fp"),
       explode(expr(

@@ -26,7 +26,9 @@ object Sessionize {
   /** Batch: session summaries per (user, session ordinal). */
   def sessions(events: DataFrame, userCol: String, tsCol: String,
                gapMs: Long = DefaultGapMs): DataFrame = {
-    val byTime = Window.partitionBy(col(userCol)).orderBy(col("ts_ms"))
+    // partition on the post-select alias, not userCol — the select
+    // below renames the user column to "user_id"
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
     events
       .select(col(userCol).as("user_id"), unix_millis(col(tsCol)).as("ts_ms"))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byTime))

@@ -46,8 +46,12 @@ object MaplePack extends QueryPack {
   def pctViaMapleJuice(s: SparkSession, d: String,
                        mode: PartitionMode): DataFrame = {
     import s.implicits._
+    // NULL cells serialize as empty fields (concat_ws alone would
+    // drop them and shift the positional fields the UDF indexes)
     val lines = Tables.lineitem(s, d)
-      .select(concat_ws(",", col("l_linestatus"), col("l_returnflag")))
+      .select(concat_ws(",",
+        coalesce(col("l_linestatus").cast("string"), lit("")),
+        coalesce(col("l_returnflag").cast("string"), lit(""))))
       .as[String]
     val kv = MapleJuice.maple(lines, numTasks = 4)(trafficMaple("F"))
     val counts = MapleJuice.juice(kv, numTasks = 4, mode)(countJuice).toDF()

@@ -76,10 +76,13 @@ object EventStream {
       }.toDF()
   }
 
-  /** Streaming exact dedup: keep the first occurrence per key, with a
-    * watermark bounding the dedup state (keys older than the
-    * watermark are dropped from state — the standard unbounded-stream
-    * trade: exact within the watermark horizon). */
+  /** Streaming exact-duplicate removal on (keyCols, ts): identical
+    * re-deliveries of the same event are dropped, while genuine new
+    * events for the same key (different ts) pass through. The
+    * watermark bounds the dedup state (the standard unbounded-stream
+    * trade: exact within the watermark horizon). For per-key
+    * first-occurrence-only semantics use
+    * `dropDuplicatesWithinWatermark(keyCols)` instead. */
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
                   tsCol: String, watermark: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(dir).schema
