@@ -69,6 +69,20 @@ object Dedup {
          |  p -> array_min(transform($hashesCol, x -> pmod(p.a * x + p.b, ${P}L))))""".stripMargin)
   }
 
+  /** Same signature computed in ONE traversal of the gram array (fold
+    * carrying all k running minima) — A/B alternative to the k-pass
+    * form; see MinhashBench. */
+  private[graft] def minhashSignatureSinglePass(hashesCol: String, k: Int,
+                                                seed: Long = 42L): Column = {
+    val perms = permutations(k, seed)
+      .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
+      .mkString("array(", ", ", ")")
+    expr(
+      s"""aggregate($hashesCol,
+         |  array_repeat(${P}L, $k),
+         |  (acc, x) -> zip_with(acc, $perms, (m, p) -> least(m, pmod(p.a * x + p.b, ${P}L))))""".stripMargin)
+  }
+
   /** Spread a narrow input across the cluster before a compute-heavy
     * map stage: a small parquet file arrives as ONE partition, which
     * would serialize the whole signature pass onto a single core. No
