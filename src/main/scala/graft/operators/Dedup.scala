@@ -40,14 +40,15 @@ object Dedup {
   }
 
   /** Distinct word-`w`-shingle hashes of `textCol`, reduced mod P, as
-    * one array column — computed without exploding rows. */
-  def shingleHashes(textCol: String, w: Int = 3): Column = {
-    val grams =
-      s"""transform(
-         |  sequence(0, greatest(size(split($textCol, ' ')) - $w, 0)),
-         |  i -> concat_ws(' ', slice(split($textCol, ' '), i + 1, $w)))""".stripMargin
-    expr(s"array_distinct(transform($grams, g -> pmod(xxhash64(g), ${P}L)))")
-  }
+    * one array column — computed without exploding rows. The token
+    * array is let-bound ([[graft.functions.Let]]) so `split` runs ONCE
+    * per row; inlining it in the lambda would re-split per shingle,
+    * O(words²) per row. */
+  def shingleHashes(textCol: String, w: Int = 3): Column =
+    expr(graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+      s"""array_distinct(transform(
+         |  sequence(0, greatest(size(toks) - $w, 0)),
+         |  i -> pmod(xxhash64(concat_ws(' ', slice(toks, i + 1, $w))), ${P}L)))""".stripMargin))
 
   /** Distinct character-`n`-gram hashes of `textCol` (the n-gram
     * Jaccard similarity universe). */

@@ -100,18 +100,39 @@ object Similarity {
          |       THEN 1 ELSE 0 END)""".stripMargin)
   }
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Embedding near-dup pairs above a cosine threshold. Banded
     * hyperplane LSH: `bands` bands, each `bitsPerBand` bits drawn
     * from a shared pool of `numBits` sign bits; bucket-join per band,
     * exact-cosine verify on candidates only. Recall per pair with
-    * angle θ: 1-(1-(1-θ/π)^r)^b — tune (b, r) to the threshold. */
+    * angle θ: 1-(1-(1-θ/π)^r)^b — tune (b, r) to the threshold.
+    *
+    * Band space must GROW with the corpus: a fixed `bitsPerBand` of r
+    * gives 2^r buckets per band, so mean bucket size grows as n/2^r —
+    * candidates explode quadratically, and once typical buckets cross
+    * `maxBucket` the skew cap starts silently deleting true pairs.
+    * Defaults are therefore adaptive: `bitsPerBand = 0` sizes r ≈
+    * log2(n / targetBucket) from a metadata-only count of the input
+    * (expected bucket ≈ `targetBucket` at ANY corpus size), the sign
+    * pool scales with it, and the skew cap only trims far-outlier
+    * buckets — with every dropped bucket COUNTED AND LOGGED, never
+    * silent. Pass explicit values to pin any of them. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                   threshold: Double, dim: Int = 64, numBits: Int = 32,
-                   bands: Int = 16, bitsPerBand: Int = 8,
-                   seed: Long = 7L, maxBucket: Int = 256): DataFrame = {
+                   threshold: Double, dim: Int = 64, numBits: Int = 0,
+                   bands: Int = 16, bitsPerBand: Int = 0,
+                   seed: Long = 7L, maxBucket: Int = 0,
+                   targetBucket: Int = 32): DataFrame = {
+    val n = emb.count() // parquet metadata count — no data scan
+    val r = if (bitsPerBand > 0) bitsPerBand
+      else math.max(8, math.ceil(
+        math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt)
+    val pool = if (numBits > 0) numBits else math.max(32, 2 * r)
+    val maxB = if (maxBucket > 0) maxBucket else math.max(256, 32 * targetBucket)
+    log.info(s"nearDupPairs: n=$n bands=$bands bitsPerBand=$r pool=$pool maxBucket=$maxB")
     val rnd = new scala.util.Random(seed + 1)
     val bandIdx = Seq.fill(bands)(
-      rnd.shuffle((0 until numBits).toList).take(bitsPerBand))
+      rnd.shuffle((0 until pool).toList).take(r))
     // signatures persisted once; band rows carry ONLY (id, band, sig)
     // so the vectors never ride the 16-way band explode — they are
     // joined back for exactly the candidate pairs
@@ -119,7 +140,7 @@ object Similarity {
     val wide = if (emb.rdd.getNumPartitions < target) emb.repartition(target) else emb
     val withBits = wide.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"),
-      hyperplaneBits(vecCol, dim, numBits, seed).as("bits"))
+      hyperplaneBits(vecCol, dim, pool, seed).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = bandIdx.zipWithIndex.map { case (idx, j) =>
       val sig = idx.map(i => s"element_at(bits, ${i + 1})").zipWithIndex
@@ -131,8 +152,21 @@ object Similarity {
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
     val sizes = chunks.groupBy("band", "sig").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Skew-cap accounting: dropping a bucket drops its pairs from the
+    // output — that must be visible, not silent. With adaptive r the
+    // expected bucket is ~targetBucket, so anything over maxB is a
+    // genuine outlier (duplicated boilerplate vectors), but we still
+    // surface the loss.
+    val over = sizes.filter(col("count") > maxB)
+      .agg(count(lit(1)).as("buckets"), coalesce(sum("count"), lit(0L)).as("rows"))
+      .head()
+    if (over.getLong(0) > 0)
+      log.warn(s"nearDupPairs: dropping ${over.getLong(0)} oversized buckets " +
+        s"(${over.getLong(1)} band-rows, cap=$maxB) — pairs within them are " +
+        s"NOT examined; raise maxBucket or bands to recover them")
     val pruned = chunks
-      .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
+      .join(sizes.filter(col("count") <= maxB), Seq("band", "sig"))
       .drop("count")
     val l = pruned.alias("l")
     val r = pruned.alias("r")

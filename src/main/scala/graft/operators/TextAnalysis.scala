@@ -65,17 +65,26 @@ object TextAnalysis {
   )
 
   def langId(textCol: String): Column = {
-    val scores = langMarkers.map { case (lang, words) =>
+    import graft.functions.Let.let1
+    // Tokens and the 4 per-language scores are let-bound so each is
+    // computed ONCE per row; inlining the score expressions into every
+    // CASE arm would evaluate split 16× and each filter 4× per row
+    // (HOFs are interpreted with no common-subexpression elimination).
+    val scoresArr = langMarkers.map { case (_, words) =>
       val set = words.map(w => s"'$w'").mkString("(", ", ", ")")
-      (lang, s"size(filter(split($textCol, ' '), x -> x IN $set))")
-    }
-    // argmax via chained CASE: first language strictly greater than all others and > 0
-    val best = scores.map { case (lang, s) =>
-      val others = scores.filter(_._1 != lang).map(_._2)
-      val gt = others.map(o => s"$s >= $o").mkString(" AND ")
-      s"WHEN $s > 0 AND $gt THEN '$lang'"
+      s"size(filter(toks, x -> x IN $set))"
+    }.mkString("array(", ", ", ")")
+    // argmax via chained CASE over the BOUND scores: first language
+    // with a positive score >= all others, in declaration order
+    val langs = langMarkers.map(_._1)
+    val best = langs.zipWithIndex.map { case (lang, i) =>
+      val mine = s"element_at(sc, ${i + 1})"
+      val gt = langs.indices.filter(_ != i)
+        .map(j => s"$mine >= element_at(sc, ${j + 1})").mkString(" AND ")
+      s"WHEN $mine > 0 AND $gt THEN '$lang'"
     }.mkString(" ")
-    expr(s"CASE $best ELSE 'und' END")
+    expr(let1(s"split($textCol, ' ')", "toks")(
+      let1(scoresArr, "sc")(s"CASE $best ELSE 'und' END")))
   }
 
   /** Top-k terms per document by TF-IDF (natural-log IDF over the

@@ -40,14 +40,17 @@ object TextPack extends QueryPack {
       Tables.documents(s, d).select(col("doc_id"),
         regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrubbed"))),
 
-    // corpus-wide top bigrams (two shuffles: bigram count, then top-k)
+    // corpus-wide top bigrams (two shuffles: bigram count, then top-k).
+    // Tokens are let-bound so split(text) runs once per row, not once
+    // per bigram; <2-token docs yield an empty array (explode drops
+    // them — same rows the old size-filter removed).
     "q_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(expr(
-          """transform(sequence(0, greatest(size(split(text, ' ')) - 2, 0)),
-            |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))""".stripMargin))
+        .select(explode(expr(graft.functions.Let.let1("split(text, ' ')", "toks")(
+          """CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)
+            |ELSE transform(sequence(0, size(toks) - 2),
+            |  i -> concat_ws(' ', slice(toks, i + 1, 2))) END""".stripMargin)))
           .as("bigram"))
-        .filter(size(split(col("bigram"), " ")) === 2)
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),

@@ -43,9 +43,14 @@ object SelectParser {
   }
 
   /** The reference's "row" is a CSV line; for a typed frame the
-    * equivalent raw view is the comma-joined columns. */
+    * equivalent raw view is the comma-joined columns. NULL cells must
+    * serialize as EMPTY fields — bare concat_ws skips NULL arguments
+    * entirely, which would shift comma adjacency and let a comma-form
+    * regex false-match across the dropped cell (same rule as
+    * [[graft.Engine.lines]]). */
   def rowAsLine(df: DataFrame): Column =
-    concat_ws(",", df.columns.map(col).toIndexedSeq: _*)
+    concat_ws(",",
+      df.columns.map(c => coalesce(col(c).cast("string"), lit(""))).toIndexedSeq: _*)
 
   /** Run a parsed SELECT against a resolved DataFrame: regex filter on
     * the raw line, rows returned verbatim. */
