@@ -127,9 +127,9 @@ object Dedup {
     val pruned = bandTbl
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
       .drop("count")
-    val l = pruned.alias("l")
-    val r = pruned.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+    val lhs = pruned.alias("l")
+    val rhs = pruned.alias("r")
+    lhs.join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
@@ -200,9 +200,9 @@ object Dedup {
                           shingler: Column, threshold: Double): DataFrame = {
     val h = docs.select(col(idCol).as("id"), shingler.as("h"))
       .filter(size(col("h")) > 0)
-    val l = h.alias("l")
-    val r = h.alias("r")
-    l.join(r, col("l.id") < col("r.id"))
+    val lhs = h.alias("l")
+    val rhs = h.alias("r")
+    lhs.join(rhs, col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
         expr("size(array_intersect(l.h, r.h)) / size(array_union(l.h, r.h))")
           .as("jaccard"))
@@ -215,9 +215,9 @@ object Dedup {
   def bruteForceJaccard(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, w: Int = 3): DataFrame = {
     val h = docs.select(col(idCol).as("id"), shingleHashes(textCol, w).as("h"))
-    val l = h.alias("l")
-    val r = h.alias("r")
-    l.join(r, col("l.id") < col("r.id"))
+    val lhs = h.alias("l")
+    val rhs = h.alias("r")
+    lhs.join(rhs, col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
         expr("size(array_intersect(l.h, r.h)) / size(array_union(l.h, r.h))")
           .as("jaccard"))
@@ -290,9 +290,9 @@ object Dedup {
     val pruned = chunks
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
       .drop("count")
-    val l = pruned.alias("l")
-    val r = pruned.alias("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+    val lhs = pruned.alias("l")
+    val rhs = pruned.alias("r")
+    lhs.join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
               expr("bit_count(l.fp ^ r.fp)").as("hamming"))

@@ -123,7 +123,16 @@ object Similarity {
                    bands: Int = 16, bitsPerBand: Int = 0,
                    seed: Long = 7L, maxBucket: Int = 0,
                    targetBucket: Int = 32): DataFrame = {
-    val n = emb.count() // parquet metadata count — no data scan
+    // Pool size depends on n, and n needs a count — so persist the raw
+    // (id, vec) projection FIRST and count THAT: the input is scanned
+    // exactly once, the count job populates the cache, and the same
+    // cached frame later serves the candidate-verify vector lookups.
+    val target = emb.sparkSession.sparkContext.defaultParallelism
+    val wide = if (emb.rdd.getNumPartitions < target) emb.repartition(target) else emb
+    val base = wide.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = base.count()
     val r = if (bitsPerBand > 0) bitsPerBand
       else math.max(8, math.ceil(
         math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt)
@@ -133,14 +142,12 @@ object Similarity {
     val rnd = new scala.util.Random(seed + 1)
     val bandIdx = Seq.fill(bands)(
       rnd.shuffle((0 until pool).toList).take(r))
-    // signatures persisted once; band rows carry ONLY (id, band, sig)
-    // so the vectors never ride the 16-way band explode — they are
-    // joined back for exactly the candidate pairs
-    val target = emb.sparkSession.sparkContext.defaultParallelism
-    val wide = if (emb.rdd.getNumPartitions < target) emb.repartition(target) else emb
-    val withBits = wide.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"),
-      hyperplaneBits(vecCol, dim, pool, seed).as("bits"))
+    // signatures persisted once (id + bits only — vectors stay in
+    // `base`, so neither cache stores them twice); band rows carry ONLY
+    // (id, band, sig) so the vectors never ride the 16-way band explode
+    // — they are joined back for exactly the candidate pairs
+    val withBits = base.select(col("id"),
+      hyperplaneBits("v", dim, pool, seed).as("bits"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = bandIdx.zipWithIndex.map { case (idx, j) =>
       val sig = idx.map(i => s"element_at(bits, ${i + 1})").zipWithIndex
@@ -168,10 +175,10 @@ object Similarity {
     val pruned = chunks
       .join(sizes.filter(col("count") <= maxB), Seq("band", "sig"))
       .drop("count")
-    val l = pruned.alias("l")
-    val r = pruned.alias("r")
-    val vecs = withBits.select(col("id"), col("v"))
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+    val lhs = pruned.alias("l")
+    val rhs = pruned.alias("r")
+    val vecs = base.select(col("id"), col("v"))
+    lhs.join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
