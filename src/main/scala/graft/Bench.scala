@@ -28,6 +28,18 @@ object Bench {
     spark.range(1L << 20).selectExpr("sum(id)").collect()
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
 
+    // Canary: this VM's throughput swings 2-4× between rounds, so a
+    // raw total is not comparable across runs. q_project is tiny,
+    // shuffle-free and stable (~0.15 s at sf0.1 on a healthy host);
+    // its median over 5 runs travels with the JSON so any reader can
+    // normalize the other timings by host speed.
+    val canaryRuns = (1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries("q_project")(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }.sorted
+    val canaryMedian = canaryRuns(canaryRuns.size / 2)
+
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -48,7 +60,8 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val canary = s"""{"query":"q_project","median_sec":$canaryMedian,"runs":${canaryRuns.size},"healthy_ref_sec_sf01":0.15}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

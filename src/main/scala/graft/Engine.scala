@@ -39,6 +39,8 @@ final class Engine(val spark: SparkSession, catalogRoot: String) {
   def store(host: String): Seq[String] = catalog.store(host)
   def filetable: Map[String, CatalogEntry] = catalog.filetable
   def multiread(name: String, m: Int): Seq[Long] = catalog.multiread(name, m)
+  def multiwrite(name: String, dfs: Seq[DataFrame]): Seq[CatalogEntry] =
+    catalog.multiwrite(name, dfs)
 
   /** Raw text lines of a catalog dataset (the reference's unit of
     * maple input; CSV files line-granular, fileserver.py:265-289).
@@ -90,10 +92,22 @@ final class Engine(val spark: SparkSession, catalogRoot: String) {
 
   // ---- SQL / grep surface ------------------------------------------------
 
-  /** `SELECT ALL FROM <ds> WHERE <regex>` over a catalog dataset. */
-  def select(command: String): DataFrame = {
+  /** `SELECT ALL FROM <ds> WHERE <regex>` over a catalog dataset.
+    *
+    * The result is not just returned — it is registered back into the
+    * catalog under `dest`, mirroring the reference's lifecycle: SELECT
+    * runs as a maple+juice job whose juice output is `put` into SDFS
+    * as sql-juice-output.csv and the requester is acked with the
+    * location (fileserver.py:661-668; `put` + display ack at
+    * :635-640, client print at :254-256). The returned frame reads
+    * from the registered copy, so a follow-up `get(dest)` sees
+    * exactly what the caller saw. */
+  def select(command: String,
+             dest: String = Engine.SelectOutputName): DataFrame = {
     val sel = SelectParser.parse(command)
-    SelectParser.run(get(sel.dataset), sel)
+    val out = SelectParser.run(get(sel.dataset), sel)
+    catalog.put(dest, out)
+    get(dest)
   }
 
   /** Distributed grep over files (mode `c`): per-file counts. */
@@ -112,4 +126,10 @@ final class Engine(val spark: SparkSession, catalogRoot: String) {
     catalog.put(dest, all)
     get(dest)
   }
+}
+
+object Engine {
+  /** Fixed SELECT output name, as the reference hard-codes it
+    * (fileserver.py:666 `output_file_path = "sql-juice-output.csv"`). */
+  val SelectOutputName = "sql-juice-output.csv"
 }

@@ -53,6 +53,12 @@ object Repl {
           println(s"$n -> ${e.path} [${e.replicas.mkString(",")}]") }
       case Seq("multiread", name, m) =>
         println(engine.multiread(name, m.toInt).mkString(", "))
+      case Seq("multiwrite", local, name, m) =>
+        // reference: m simultaneous puts of the same local file
+        // (fileserver.py:1276-1281); last writer wins on the pointer
+        val df = engine.spark.read.csv(local)
+        engine.multiwrite(name, Seq.fill(m.toInt)(df))
+        println(s"multiwrite done -> $name x$m")
       case Seq("maple", _, num, prefix, src, param) =>
         engine.maple(prefix, src, num.toInt)(
           Traffic.csvMaple(param = param))
@@ -66,6 +72,8 @@ object Repl {
         println(s"juice done -> $dest")
       case _ if cmd.toUpperCase.startsWith("SELECT") =>
         engine.select(cmd).show(100, truncate = false)
+        // the reference's display ack (fileserver.py:254-256)
+        println(s"Output is saved to: ${Engine.SelectOutputName}")
       case _ if cmd.toUpperCase.startsWith("JOIN") =>
         // parity with the reference's stub (fileserver.py:1383-1384) —
         // except the real join surface exists programmatically

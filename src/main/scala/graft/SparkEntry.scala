@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupPack, EventPack, JoinPack, MaplePack, RelationalPack,
-  SelectPack, ShapePack, SimilarityPack, TextPack}
+import graft.queries.{CatalogPack, DedupPack, EventPack, JoinPack, MaplePack,
+  RelationalPack, SelectPack, ShapePack, SimilarityPack, TextPack}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -23,6 +23,7 @@ object SparkEntry {
     SimilarityPack,
     TextPack,
     EventPack,
+    CatalogPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -163,6 +163,23 @@ final class Catalog(spark: SparkSession, root: String,
     fs.map(f => Await.result(f, Duration.Inf))
   }
 
+  /** `multiwrite`: concurrent puts of the SAME name — the write half
+    * of the reference's consistency stress pair (fileserver.py:
+    * 1276-1281 fires m simultaneous `put`s of one sdfs file). The
+    * reference needs its leader write-lock here; these writes are
+    * versioned directories racing only on the synchronized pointer
+    * swap, so the outcome is last-writer-wins: the surviving entry is
+    * whichever put swapped last (= the highest version, since the
+    * version stamp is taken inside the same lock). Returns the m
+    * entries in input order. */
+  def multiwrite(name: String, dfs: Seq[DataFrame]): Seq[CatalogEntry] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = dfs.map(df => Future(put(name, df)))
+    fs.map(f => Await.result(f, Duration.Inf))
+  }
+
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)

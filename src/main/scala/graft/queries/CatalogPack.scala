@@ -1,0 +1,40 @@
+package graft.queries
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{QueryPack, Tables}
+import graft.catalog.Catalog
+
+/** Driver-checkable coverage for the SDFS verb surface (SURVEY.md
+  * §2.1; reference file_server/fileserver.py:1240-1284): the data
+  * makes a full put → (ls / store / filetable / multiread sanity) →
+  * get round trip through a real on-disk catalog before being
+  * compared against DuckDB reading the source table directly — so a
+  * green hash row proves the catalog write/read path is lossless.
+  */
+object CatalogPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_catalog_roundtrip" -> ((s, d) => {
+      // fresh root per run: the registered output must outlive this
+      // call (Verify reads the returned frame lazily), so the temp
+      // dir is created but never deleted here
+      val root = Files.createTempDirectory("graft-cat-rt").toString
+      val cat = new Catalog(s, root)
+      cat.put("nation_rt", Tables.nation(s, d))
+      require(cat.ls("nation_rt").size == 4, "replica placement missing")
+      require(cat.store(cat.ls("nation_rt").head).contains("nation_rt"),
+        "store() does not invert ls()")
+      require(cat.filetable.contains("nation_rt"), "filetable missing entry")
+      val counts = cat.multiread("nation_rt", m = 3)
+      require(counts.distinct.size == 1,
+        s"multiread saw divergent counts: $counts")
+      cat.get("nation_rt")
+    }),
+  )
+
+  override def oracleSql: Map[String, String] = Map(
+    "q_catalog_roundtrip" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+  )
+}

@@ -39,9 +39,29 @@ object SimilarityPack extends QueryPack {
            |                     CAST($lit AS DOUBLE[])) AS sim
            |  FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
            |)""".stripMargin,
-      // q_ann_ivf / q_embed_neardup: rows-only (probe pruning and
-      // hyperplane-LSH bucketing are not SQL-expressible); recall vs
-      // the exact baseline is asserted in SimilaritySpec.
+      // IVF probe selection is SQL-expressible through linearity:
+      // dot(mean(v), q) == mean(dot(v, q)), so the top-nprobe
+      // clusters by centroid·q are the top-nprobe by avg(v·q) — no
+      // array unnesting needed. Rescan of the probed lists is then a
+      // plain filtered top-k, matching Similarity.ivfTopK row-for-row.
+      "q_ann_ivf" ->
+        s"""WITH probed AS (
+           |  SELECT label FROM embeddings
+           |  GROUP BY label
+           |  ORDER BY avg(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |                                CAST($lit AS DOUBLE[]))) DESC
+           |  LIMIT 3
+           |)
+           |SELECT vec_id, round(sim, 4) AS sim FROM (
+           |  SELECT vec_id,
+           |    list_dot_product(CAST(embedding AS DOUBLE[]),
+           |                     CAST($lit AS DOUBLE[])) AS sim
+           |  FROM embeddings WHERE label IN (SELECT label FROM probed)
+           |  ORDER BY sim DESC, vec_id LIMIT 10
+           |)""".stripMargin,
+      // q_embed_neardup: rows-only (hyperplane-LSH bucketing is not
+      // SQL-expressible); recall vs the exact baseline is asserted in
+      // SimilaritySpec.
     )
   }
 }

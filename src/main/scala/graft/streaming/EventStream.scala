@@ -12,6 +12,13 @@ import org.apache.spark.sql.functions._
   * batch-files-only); this is the readStream → watermark → window →
   * writeStream shape a user upgrading from the reference gets.
   */
+/** Event row for stateful sessionization with the watermarked `ts`
+  * column kept alongside its millisecond view — EventTimeTimeout
+  * requires the watermark-carrying attribute to survive into the
+  * grouped input (projecting it away strips the watermark metadata
+  * and Spark rejects the query at analysis). */
+case class WatermarkedEvent(user_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
+
 object EventStream {
 
   /** Shared aggregation: hourly tumbling window per event_type. */
@@ -34,44 +41,64 @@ object EventStream {
 
   /** Stateful sessionization: custom per-key state via
     * flatMapGroupsWithState (the KeyValueGroupedDataset escape hatch
-    * the reference's UDF surface maps to for streams). Emits every
-    * session seen in a batch — closed ones and the still-open one —
-    * and carries the open session in state so a later batch can
-    * continue it; production would close sessions on an event-time
-    * timeout instead of re-emitting. */
+    * the reference's UDF surface maps to for streams). A session is
+    * emitted exactly once, when it CLOSES: either a newer event
+    * arrives past the gap (closed within/between batches), or the
+    * event-time watermark passes `end + gap` and the timeout fires —
+    * the still-open session is carried in state, never re-emitted.
+    * `delay` is the watermark lateness bound: state for a session is
+    * held until the watermark (max event ts − delay) clears its
+    * close point, so state size is bounded by gap + delay regardless
+    * of stream length. */
   def sessionizeStream(spark: SparkSession, dir: String,
-                       gapMs: Long = graft.operators.Sessionize.DefaultGapMs): DataFrame = {
+                       gapMs: Long = graft.operators.Sessionize.DefaultGapMs,
+                       delay: String = "10 minutes"): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    import graft.operators.{SessEvent, Session, Sessionize}
+    import graft.operators.{Session, Sessionize}
     val schema = spark.read.parquet(dir).schema
     val events = spark.readStream.schema(schema).parquet(dir)
-      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
-      .as[SessEvent]
+      .withWatermark("ts", delay)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"), col("ts"))
+      .as[WatermarkedEvent]
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[Session, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (uid: Long, it: Iterator[SessEvent], state: GroupState[Session]) =>
-          val sorted = it.map(_.ts_ms).toSeq.sorted
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            val open = state.getOption
-            val merged = open match {
-              case Some(s) if sorted.head - s.end_ms <= gapMs =>
-                // continue the open session: seed with its events' span
-                Sessionize.sessionizeSorted(uid, sorted, gapMs).map { x =>
-                  if (x.session_id == 1)
-                    Session(uid, s.session_id, x.cnt + s.cnt, s.start_ms, x.end_ms)
-                  else x.copy(session_id = x.session_id + s.session_id - 1)
-                }
-              case Some(s) =>
-                Sessionize.sessionizeSorted(uid, sorted, gapMs)
-                  .map(x => x.copy(session_id = x.session_id + s.session_id))
-              case None =>
-                Sessionize.sessionizeSorted(uid, sorted, gapMs)
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[WatermarkedEvent], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end + gap with no new events: the open
+            // session can never be extended — close and emit it
+            val closed = state.get
+            state.remove()
+            Iterator(closed)
+          } else {
+            val sorted = it.map(_.ts_ms).toSeq.sorted
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val open = state.getOption
+              val merged = open match {
+                case Some(s) if sorted.head - s.end_ms <= gapMs =>
+                  // continue the open session: seed with its events' span
+                  Sessionize.sessionizeSorted(uid, sorted, gapMs).map { x =>
+                    if (x.session_id == 1)
+                      Session(uid, s.session_id, x.cnt + s.cnt, s.start_ms, x.end_ms)
+                    else x.copy(session_id = x.session_id + s.session_id - 1)
+                  }
+                case Some(s) =>
+                  Sessionize.sessionizeSorted(uid, sorted, gapMs)
+                    .map(x => x.copy(session_id = x.session_id + s.session_id))
+                case None =>
+                  Sessionize.sessionizeSorted(uid, sorted, gapMs)
+              }
+              state.update(merged.last)
+              // the open session dies when the watermark clears its
+              // close point (must stay ahead of the current watermark
+              // or Spark rejects the timestamp — can lag it when this
+              // batch's events were all near the lateness bound)
+              state.setTimeoutTimestamp(math.max(merged.last.end_ms + gapMs,
+                state.getCurrentWatermarkMs() + 1))
+              merged.init.iterator
             }
-            state.update(merged.last)
-            merged.iterator
           }
       }.toDF()
   }

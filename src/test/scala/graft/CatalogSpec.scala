@@ -78,6 +78,24 @@ class CatalogSpec extends AnyFunSuite {
     (1 to 4).foreach(i => assert(cat.get(s"w$i").count() === 1L))
   }
 
+  test("multiwrite: m concurrent puts of the SAME name — last writer wins") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // writer i writes i rows, so the surviving version identifies itself
+    val entries = cat.multiwrite("hot",
+      (1 to 4).map(i => Seq.fill(i)(i).toDF("x")))
+    assert(entries.size === 4)
+    def version(p: String): Long = p.split("-v").last.toLong
+    // the version stamp is taken inside the pointer-swap lock, so the
+    // highest version IS the last writer; the catalog must point at it
+    val winner = entries.maxBy(e => version(e.path))
+    assert(cat.filetable("hot").path === winner.path)
+    // and the surviving DATA matches the surviving pointer (writer i
+    // wrote i rows)
+    val winnerRows = entries.indexWhere(_.path == winner.path) + 1
+    assert(cat.get("hot").count() === winnerRows.toLong)
+  }
+
   test("multiread: concurrent readers all see the same count") {
     import spark.implicits._
     val (cat, _) = freshCatalog()

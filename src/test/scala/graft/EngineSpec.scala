@@ -48,6 +48,25 @@ class EngineSpec extends AnyFunSuite {
       .count() === 1L)
   }
 
+  test("SELECT registers its output in the catalog (reference put + display ack)") {
+    val engine = freshEngine()
+    val dir = Files.createTempDirectory("graft-selreg")
+    val f = dir.resolve("rows.csv")
+    Files.writeString(f, "1,Video,x\n2,Radio,y\n3,Loop,z\n")
+    engine.put("rows.csv", f.toString, "csv")
+    val out = engine.select("SELECT ALL FROM rows.csv WHERE 'Video|Radio'")
+    assert(out.count() === 2L)
+    // the result itself is now a first-class catalog dataset: a
+    // follow-up get() round-trips it, like the reference's
+    // sql-juice-output.csv put back into SDFS (fileserver.py:661-668)
+    assert(engine.filetable.contains(Engine.SelectOutputName))
+    assert(engine.get(Engine.SelectOutputName).count() === 2L)
+    // a second SELECT replaces the output (same fixed name, reference
+    // semantics)
+    engine.select("SELECT ALL FROM rows.csv WHERE Loop")
+    assert(engine.get(Engine.SelectOutputName).count() === 1L)
+  }
+
   test("conglomerate unions partial outputs into one catalog dataset") {
     val engine = freshEngine()
     import spark.implicits._

@@ -35,4 +35,17 @@ class SelectParserSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("id")).toSet
     assert(seam === Set("2"))
   }
+
+  test("NULL cells serialize as empty fields, preserving comma adjacency") {
+    val spark = SparkSuite.spark
+    import spark.implicits._
+    val df = Seq(("1", null: String, "Radio"), ("2", "x", "Radio"))
+      .toDF("id", "mid", "det")
+    // row 1's raw line must be "1,,Radio" — a dropped NULL would
+    // collapse it to "1,Radio" and false-match the comma form below
+    assert(SelectParser.select(df, "SELECT ALL FROM t WHERE 1,Radio")
+      .count() === 0L)
+    assert(SelectParser.select(df, "SELECT ALL FROM t WHERE 1,,Radio")
+      .count() === 1L)
+  }
 }

@@ -30,16 +30,27 @@ class SessionizeAsOfSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
-  test("streaming stateful sessionization equals batch on finite input") {
+  test("streaming sessions close on event-time timeout and equal batch on finite input") {
     val dir = Files.createTempDirectory("graft-sess").toString
-    Tables.events(spark, SparkSuite.sf0001)
+    val ev = Tables.events(spark, SparkSuite.sf0001)
       .select(col("user_id"), col("ts"))
-      .write.mode("overwrite").parquet(dir)
-    val batch = Sessionize.sessions(spark.read.parquet(dir), "user_id", "ts")
+    // Sessions are emitted only when they CLOSE. On a finite input the
+    // last session per user closes via EventTimeTimeout, which needs
+    // the watermark to advance past its end + gap — so append one
+    // far-future sentinel event (user -1) that drags the watermark
+    // forward. Every real session then times out and is emitted; the
+    // sentinel's own still-open session is the only one withheld.
+    val flush = ev.agg(max(col("ts")).as("ts"))
+      .select(lit(-1L).as("user_id"),
+              (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"))
+    ev.union(flush).write.mode("overwrite").parquet(dir)
+    val batch = Sessionize.sessions(
+        spark.read.parquet(dir).filter(col("user_id") =!= -1L), "user_id", "ts")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
       .toSet
-    val q = EventStream.sessionizeStream(spark, dir).writeStream
+    val q = EventStream.sessionizeStream(spark, dir, delay = "0 seconds")
+      .writeStream
       .outputMode("append").format("memory").queryName("graft_sessions").start()
     try q.processAllAvailable() finally q.stop()
     val stream = spark.table("graft_sessions").collect()

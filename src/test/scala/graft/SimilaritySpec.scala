@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.{col, expr}
 import graft.operators.Similarity
 import graft.queries.SimilarityPack
 
@@ -34,6 +35,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("cos") >= 0.40))
     // symmetric dedup: a<b ordering, no self-pairs
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
+  }
+
+  test("near-dup recall vs brute force holds at 10× rows") {
+    // The testdata has no larger embeddings table (sf0.01 is also 500
+    // rows), so scale is synthesized: 10 deterministically perturbed
+    // copies of each vector (5000 rows). Family pairs are near-dups
+    // by construction; cross-family pairs keep the base distribution.
+    // Ground truth is exact all-pairs cosine, so this pins BOTH
+    // precision (exact-verify ⇒ subset of truth) and recall of the
+    // banded hyperplane LSH at 10× the driver-query size.
+    val big = emb.crossJoin(spark.range(10).select(col("id").as("k")))
+      .select((col("vec_id") * 10 + col("k")).as("vec_id"),
+        expr("transform(embedding, (x, i) -> cast(x + 0.02d * sin((k + 1) * (i + 1)) as float))")
+          .as("embedding"))
+    val v = big.select(col("vec_id").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val lhs = v.alias("l")
+    val rhs = v.alias("r")
+    val truth = lhs.join(rhs, col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        expr("aggregate(zip_with(l.v, r.v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)")
+          .as("cos"))
+      .filter(col("cos") >= 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.nearDupPairs(big, "vec_id", "embedding", 0.40)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got.subsetOf(truth), "exact verify must keep precision at 1.0")
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"LSH recall $recall at 10× rows (truth=${truth.size})")
   }
 
   test("dot/cosine column helpers agree with manual computation") {
