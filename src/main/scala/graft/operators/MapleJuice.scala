@@ -92,7 +92,13 @@ object MapleJuice {
         val k = buf.head._1
         val vs = Iterator.unfold(()) { _ =>
           if (buf.hasNext && buf.head._1 == k) Some((buf.next()._2, ())) else None
-        }.toVector // materialize the run so callers may re-enter lazily
+        }.toVector // materialize the run so callers may re-enter lazily.
+        // Heap bound: ONE key's values must fit in a task's memory —
+        // the same per-key bound as the reference's prefix--key.csv
+        // intermediate file (one file per key read whole by juice,
+        // fileserver.py:571-597). A genuinely hot key needs pre-salting
+        // (Skew.saltedGroupCount) before juice, exactly as it would
+        // need manual splitting in the reference.
         (k, vs.iterator)
       }
     }

@@ -89,20 +89,40 @@ object TextAnalysis {
 
   /** Top-k terms per document by TF-IDF (natural-log IDF over the
     * corpus document frequency). Shuffles: one for per-(doc,term)
-    * counts, one for term document-frequency, one shuffle join back
-    * on term, plus a 1-row broadcast of the corpus size — the
-    * standard two-pass shape; no driver-side vocabulary. */
+    * counts, one for term document-frequency, the frequency-split
+    * term join below, plus a 1-row broadcast of the corpus size —
+    * the standard two-pass shape; no driver-side vocabulary.
+    *
+    * The tf⋈df join is keyed on term — a textbook skew key, since
+    * stopword terms hit nearly every document. The whole vocabulary
+    * won't broadcast at corpus scale, but the hot head of it is
+    * BOUNDED (`hotTerms` rows), so the join is frequency-split:
+    * the top-`hotTerms` terms by df join map-side via broadcast (and
+    * with them the bulk of the tf rows never shuffle), while the long
+    * tail — high-cardinality but per-key small — takes the ordinary
+    * shuffle join. Row-identical to the single shuffle join; only the
+    * exchange's key distribution changes. */
   def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 3): DataFrame = {
+               k: Int = 3, hotTerms: Int = 1024): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
+    // tf feeds three consumers (df agg, hot join, tail join): persist
+    // so the explode+partial-agg runs once
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hot = broadcast(dfreq.orderBy(col("df").desc, col("term").asc)
+      .limit(hotTerms))
+    val hotJoined = tf.join(hot, Seq("term"))
+    val tailJoined = tf.join(hot.select("term"), Seq("term"), "left_anti")
+      .join(dfreq.join(hot.select("term"), Seq("term"), "left_anti"), Seq("term"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    tf.join(dfreq, "term")
+    hotJoined.unionByName(tailJoined)
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n") / col("df")))
       .withColumn("rn", row_number().over(w))
