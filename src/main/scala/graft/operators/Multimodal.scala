@@ -13,6 +13,9 @@ case class MediaBlob(id: Long, data: Array[Byte], meta: MediaMeta)
 case class MediaFeatures(id: Long, n_bytes: Long, checksum: Long,
                          head_histogram: Array[Int])
 
+/** One sampled frame of a blob (video frame-sample shape). */
+case class MediaFrame(id: Long, frame_idx: Long, frame: Array[Byte])
+
 /** Multimodal (image/audio/video) column plumbing: blobs are opaque
   * `binary` columns with a typed metadata struct; decode /
   * feature-extract runs batch-wise over partitions.
@@ -68,6 +71,54 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition "codec init" would happen here
         it.map { case (id, data) => decodeStub(id, data) }
+      }
+  }
+
+  /** Deterministic stand-in for a media resize: subsample the byte
+    * stream to at most `w*h` bytes with a fixed stride. The contract
+    * (bytes + target dims in, bytes + updated meta out) and the
+    * per-partition batch boundary are the real thing; only the pixel
+    * math is fake (no codecs in this environment). */
+  def resizeStub(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val target = math.max(1, w * h)
+    if (data.length <= target) data
+    else {
+      val stride = data.length.toDouble / target
+      Array.tabulate(target)(i => data((i * stride).toInt))
+    }
+  }
+
+  /** Resize every blob to `w`×`h`, rewriting the metadata struct.
+    * One narrow mapPartitions stage: no shuffle, no driver hop. */
+  def resized(blobs: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, d) => (id, resizeStub(d, w, h)) })
+      .toDF("id", "data")
+      .withColumn("meta", struct(lit("resized").as("format"),
+        lit(w).as("width"), lit(h).as("height")))
+  }
+
+  /** Sample `n` evenly spaced frames per blob (the video frame-sample
+    * shape): frame i is the byte span [i·sz, (i+1)·sz) with sz =
+    * len/n, the last frame absorbing the remainder — so short blobs
+    * yield n-1 empty frames plus the whole payload, never an error.
+    * Each input row expands to its n frames in place (flatMap, one
+    * narrow stage); at corpus scale the fan-out is bounded by n and
+    * never shuffles. */
+  def frameSample(blobs: DataFrame, n: Int): Dataset[MediaFrame] = {
+    require(n >= 1, "frameSample needs n >= 1")
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
+      .flatMap { case (id, d) =>
+        val sz = d.length / n
+        (0 until n).map { i =>
+          val from = i * sz
+          val until = if (i == n - 1) d.length else (i + 1) * sz
+          MediaFrame(id, i.toLong, java.util.Arrays.copyOfRange(d, from, until))
+        }
       }
   }
 }

@@ -30,6 +30,27 @@ object EventPack extends QueryPack {
         .select(col("id"), col("n_bytes"), col("checksum"))
     }),
 
+    // stubbed resize: byte-subsample to w*h with updated meta; the
+    // OBSERVABLE contract (output size = min(len, w*h), new dims) is
+    // SQL-expressible, so it gets a full oracle even though the
+    // "pixel" math is a stub
+    "q_multimodal_resize" -> ((s, d) => {
+      val blobs = Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.resized(blobs, w = 64, h = 48)
+        .select(col("id"), octet_length(col("data")).cast("long").as("n_bytes"),
+                col("meta.width").as("width"), col("meta.height").as("height"))
+    }),
+
+    // video-shaped frame sampling: n evenly spaced byte-span frames
+    // per blob; frame boundaries are pure arithmetic on the byte
+    // length, so (id, frame_idx, frame_len) is fully oracle-checkable
+    "q_multimodal_frames" -> ((s, d) => {
+      val blobs = Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.frameSample(blobs, n = 4).toDF()
+        .select(col("id"), col("frame_idx"),
+                octet_length(col("frame")).cast("long").as("frame_len"))
+    }),
+
     // gap-based sessionization (batch twin of the stateful stream op)
     "q_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d), "user_id", "ts")),
@@ -63,6 +84,23 @@ object EventPack extends QueryPack {
         |FROM documents""".stripMargin,
     // q_multimodal_features: rows-only — the stub decoder's checksum
     // is a JVM-side computation; pinned in MultimodalSpec.
+
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS id,
+        |  CAST(LEAST(octet_length(CAST(text AS BLOB)), 64 * 48) AS BIGINT) AS n_bytes,
+        |  64 AS width, 48 AS height
+        |FROM documents""".stripMargin,
+
+    // frame i of n=4 spans [i*sz, (i+1)*sz), sz = len/4, last frame
+    // takes the remainder — pure integer arithmetic replayed in SQL
+    "q_multimodal_frames" ->
+      """SELECT d.doc_id AS id, CAST(r.range AS BIGINT) AS frame_idx,
+        |  CAST(CASE WHEN r.range < 3
+        |            THEN octet_length(CAST(d.text AS BLOB)) // 4
+        |            ELSE octet_length(CAST(d.text AS BLOB))
+        |                 - 3 * (octet_length(CAST(d.text AS BLOB)) // 4)
+        |       END AS BIGINT) AS frame_len
+        |FROM documents d, range(4) r""".stripMargin,
 
     "q_sessionize" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
