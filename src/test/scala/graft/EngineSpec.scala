@@ -87,4 +87,12 @@ class EngineSpec extends AnyFunSuite {
     Repl.handle(engine, "delete bear")
     assert(!engine.filetable.contains("bear"))
   }
+
+  test("REPL multiwrite verb lands the dataset under concurrent puts") {
+    val engine = freshEngine()
+    Repl.handle(engine,
+      "multiwrite /root/reference/data/traffic.csv traffic_mw.csv 3")
+    assert(engine.filetable.contains("traffic_mw.csv"))
+    assert(engine.get("traffic_mw.csv").count() > 0L)
+  }
 }
