@@ -85,19 +85,77 @@ object Similarity {
       .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
 
+  /** The seeded random hyperplanes behind every LSH signature here —
+    * exposed so an external oracle (DuckDB SQL in the driver gate)
+    * can replay the exact same bucketing. */
+  private[graft] def hyperplanes(dim: Int, numBits: Int,
+                                 seed: Long): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
   /** Random-hyperplane bit signature: bit h = sign of ⟨v, plane_h⟩.
     * `numBits` hyperplanes are embedded as a literal array-of-arrays;
     * the whole signature is one map-side expression. */
   def hyperplaneBits(vecCol: String, dim: Int, numBits: Int,
                      seed: Long = 7L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Seq.fill(numBits)(Seq.fill(dim)(rnd.nextGaussian()))
+    val planes = hyperplanes(dim, numBits, seed)
       .map(p => p.map(x => s"${x}D").mkString("array(", ", ", ")"))
       .mkString("array(", ", ", ")")
     expr(
       s"""transform($planes,
          |  p -> CASE WHEN aggregate(zip_with($vecCol, p, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) >= 0D
          |       THEN 1 ELSE 0 END)""".stripMargin)
+  }
+
+  /** The multi-probe bucket set for a query vector: its own signature
+    * plus every signature within `probeFlips` bit flips. Driver-side
+    * arithmetic on the same seeded planes — no data touched. */
+  private[graft] def probeBuckets(query: Seq[Double], numBits: Int,
+                                  seed: Long, probeFlips: Int): Seq[Long] = {
+    val qSig = hyperplanes(query.size, numBits, seed).zipWithIndex.map {
+      case (p, i) =>
+        val d = p.lazyZip(query).map(_ * _).sum
+        if (d >= 0) 1L << i else 0L
+    }.sum
+    val flips1 = (0 until numBits).map(i => qSig ^ (1L << i))
+    val flips2 = for {
+      i <- 0 until numBits; j <- (i + 1) until numBits
+    } yield qSig ^ (1L << i) ^ (1L << j)
+    (Seq(qSig) ++ (if (probeFlips >= 1) flips1 else Nil)
+      ++ (if (probeFlips >= 2) flips2 else Nil)).distinct
+  }
+
+  /** LSH-bucketed ANN top-k — the scale path for similarity search
+    * when the corpus has NO precomputed clustering column (the
+    * [[ivfTopK]] precondition): hyperplane signs bucket every vector
+    * map-side, and the query's own signature — computed driver-side
+    * from the same seeded planes — selects which buckets to scan: the
+    * exact bucket plus everything within `probeFlips` bit flips
+    * (multi-probe LSH). The scan is pruned to ~probes/2^bits of the
+    * corpus before any exact scoring; recall is governed by the bit
+    * count and probe radius exactly as in published multi-probe LSH
+    * designs. At 100 TB the bucket column is what you'd bucket/
+    * partition the table BY, making the probe a partition-pruned read.
+    * `numBits` is explicit (not adaptive) because the probe set must
+    * be computable without touching the data. */
+  def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
+              query: Seq[Double], k: Int, numBits: Int = 4,
+              probeFlips: Int = 2, seed: Long = 7L): DataFrame = {
+    val dim = query.size
+    val probes = probeBuckets(query, numBits, seed, probeFlips)
+    val sig = (0 until numBits).map(i =>
+      s"shiftleft(cast(element_at(bits, ${i + 1}) as bigint), $i)")
+      .mkString(" + ")
+    emb.withColumn("bits", hyperplaneBits(vecCol, dim, numBits, seed))
+      .withColumn("bucket", expr(sig))
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol),
+        expr(s"aggregate(zip_with($vecCol, ${vecLiteral(query)}, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
+          .as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)

@@ -24,6 +24,12 @@ object SimilarityPack extends QueryPack {
       Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         "label", queryVec, k = 10, nprobe = 3)),
 
+    // multi-probe LSH variant (no clustering column needed); numBits
+    // pinned so the oracle can replay the identical bucket space
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        queryVec, k = 10, numBits = 4, probeFlips = 2)),
+
     "q_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.40)),
@@ -59,7 +65,30 @@ object SimilarityPack extends QueryPack {
            |  FROM embeddings WHERE label IN (SELECT label FROM probed)
            |  ORDER BY sim DESC, vec_id LIMIT 10
            |)""".stripMargin,
-      // q_embed_neardup: rows-only (hyperplane-LSH bucketing is not
+      // The LSH probe IS SQL-expressible because the planes are
+      // seeded literals: replay bit h = sign(v·plane_h) per row,
+      // assemble the bucket id, and filter to the same driver-side
+      // probe set — then exact top-k over the pruned rows.
+      "q_ann_lsh" -> {
+        val planes = Similarity.hyperplanes(64, 4, 7L)
+        val probes = Similarity.probeBuckets(queryVec, 4, 7L, 2)
+          .mkString(", ")
+        val bucket = planes.zipWithIndex.map { case (p, i) =>
+          val pl = p.map(_.toString).mkString("[", ", ", "]")
+          s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+             |                            CAST($pl AS DOUBLE[])) >= 0
+             |      THEN ${1L << i} ELSE 0 END)""".stripMargin
+        }.mkString(" + ")
+        s"""SELECT vec_id, round(sim, 4) AS sim FROM (
+           |  SELECT vec_id,
+           |    list_dot_product(CAST(embedding AS DOUBLE[]),
+           |                     CAST($lit AS DOUBLE[])) AS sim
+           |  FROM embeddings
+           |  WHERE ($bucket) IN ($probes)
+           |  ORDER BY sim DESC, vec_id LIMIT 10
+           |)""".stripMargin
+      },
+      // q_embed_neardup: rows-only (banded pair-join LSH is not
       // SQL-expressible); recall vs the exact baseline is asserted in
       // SimilaritySpec.
     )

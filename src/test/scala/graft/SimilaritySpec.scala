@@ -37,6 +37,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("LSH-bucketed top-k prunes the scan and recalls most of the exact top-k") {
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      SimilarityPack.queryVec, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding",
+      SimilarityPack.queryVec, 10, numBits = 4, probeFlips = 2).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"multi-probe LSH recall $recall (4 bits, 2 flips)")
+    // the probe genuinely prunes: 1+4+6 = 11 of 16 buckets selected,
+    // so some rows must be excluded from the scan
+    val probes = Similarity.probeBuckets(SimilarityPack.queryVec, 4, 7L, 2)
+    assert(probes.size === 11)
+    val scanned = emb.withColumn("bits",
+        Similarity.hyperplaneBits("embedding", 64, 4))
+      .withColumn("bucket", expr((0 until 4).map(i =>
+        s"shiftleft(cast(element_at(bits, ${i + 1}) as bigint), $i)").mkString(" + ")))
+      .filter(col("bucket").isin(probes: _*)).count()
+    assert(scanned < emb.count(), "probe filter must exclude some buckets")
+  }
+
   test("near-dup recall vs brute force holds at 10× rows") {
     // The testdata has no larger embeddings table (sf0.01 is also 500
     // rows), so scale is synthesized: 10 deterministically perturbed
