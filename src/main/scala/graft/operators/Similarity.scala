@@ -27,7 +27,10 @@ object Similarity {
 
   /** Dot product of an array<float/double> column with either another
     * column or a literal query vector, accumulated in double. For
-    * unit-normalized embeddings this IS the cosine similarity. */
+    * unit-normalized embeddings this IS the cosine similarity.
+    * Registration-free HOF formulation — the operators below use the
+    * bit-identical native [[graft.functions.DotProduct]] (codegen'd;
+    * registered per session as `graft_dot`) in their hot loops. */
   def dot(a: String, b: String): Column =
     expr(s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
 
@@ -48,13 +51,14 @@ object Similarity {
 
   /** Exact top-k by cosine against a literal query vector. */
   def bruteForceTopK(emb: DataFrame, idCol: String, vecCol: String,
-                     query: Seq[Double], k: Int): DataFrame =
+                     query: Seq[Double], k: Int): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     emb.select(col(idCol),
-        expr(s"aggregate(zip_with($vecCol, ${vecLiteral(query)}, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
-          .as("sim"))
+        expr(s"graft_dot($vecCol, ${vecLiteral(query)})").as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("sim"), 4).as("sim"))
+  }
 
   /** IVF-flat: centroids = per-cluster mean vectors (the inverted
     * lists); probe the `nprobe` centroids nearest the query, scan only
@@ -62,6 +66,7 @@ object Similarity {
     * label in a full pipeline; any clustering column works). */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, clusterCol: String,
               query: Seq[Double], k: Int, nprobe: Int = 3): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val dim = query.size
     // centroid per cluster: element-wise mean via posexplode-free agg
     val centroids = emb
@@ -71,15 +76,11 @@ object Similarity {
         .as("centroid"))
     val q = vecLiteral(query)
     val probed = centroids
-      .select(col("cluster"),
-        expr(s"aggregate(zip_with(centroid, $q, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-          .as("csim"))
+      .select(col("cluster"), expr(s"graft_dot(centroid, $q)").as("csim"))
       .orderBy(col("csim").desc)
       .limit(nprobe)
     emb.join(broadcast(probed), col(clusterCol) === probed("cluster"))
-      .select(col(idCol),
-        expr(s"aggregate(zip_with($vecCol, $q, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
-          .as("sim"))
+      .select(col(idCol), expr(s"graft_dot($vecCol, $q)").as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("sim"), 4).as("sim"))
@@ -95,17 +96,19 @@ object Similarity {
   }
 
   /** Random-hyperplane bit signature: bit h = sign of ⟨v, plane_h⟩.
-    * `numBits` hyperplanes are embedded as a literal array-of-arrays;
-    * the whole signature is one map-side expression. */
+    * One CASE + native `graft_dot` per plane, assembled with a plain
+    * `array(...)` — every bit is an independent codegen'd tight loop,
+    * where the previous `transform(planes, p -> aggregate(...))` shape
+    * evaluated interpreted lambdas per element per plane per row.
+    * Callers must have registered [[graft.functions.DotProduct]] on
+    * the session (every DataFrame-taking operator here does). */
   def hyperplaneBits(vecCol: String, dim: Int, numBits: Int,
                      seed: Long = 7L): Column = {
-    val planes = hyperplanes(dim, numBits, seed)
-      .map(p => p.map(x => s"${x}D").mkString("array(", ", ", ")"))
-      .mkString("array(", ", ", ")")
-    expr(
-      s"""transform($planes,
-         |  p -> CASE WHEN aggregate(zip_with($vecCol, p, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v) >= 0D
-         |       THEN 1 ELSE 0 END)""".stripMargin)
+    val bits = hyperplanes(dim, numBits, seed).map { p =>
+      val pl = p.map(x => s"${x}D").mkString("array(", ", ", ")")
+      s"CASE WHEN graft_dot($vecCol, $pl) >= 0D THEN 1 ELSE 0 END"
+    }.mkString("array(", ", ", ")")
+    expr(bits)
   }
 
   /** The multi-probe bucket set for a query vector: its own signature
@@ -142,6 +145,7 @@ object Similarity {
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, numBits: Int = 4,
               probeFlips: Int = 2, seed: Long = 7L): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     val dim = query.size
     val probes = probeBuckets(query, numBits, seed, probeFlips)
     val sig = (0 until numBits).map(i =>
@@ -151,8 +155,7 @@ object Similarity {
       .withColumn("bucket", expr(sig))
       .filter(col("bucket").isin(probes: _*))
       .select(col(idCol),
-        expr(s"aggregate(zip_with($vecCol, ${vecLiteral(query)}, (x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)")
-          .as("sim"))
+        expr(s"graft_dot($vecCol, ${vecLiteral(query)})").as("sim"))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
       .select(col(idCol), round(col("sim"), 4).as("sim"))
@@ -181,6 +184,7 @@ object Similarity {
                    bands: Int = 16, bitsPerBand: Int = 0,
                    seed: Long = 7L, maxBucket: Int = 0,
                    targetBucket: Int = 32): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
     // Pool size depends on n, and n needs a count — so persist the raw
     // (id, vec) projection FIRST and count THAT: the input is scanned
     // exactly once, the count job populates the cache, and the same
@@ -242,8 +246,7 @@ object Similarity {
       .dropDuplicates("id_a", "id_b")
       .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("cos",
-        expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"))
+      .withColumn("cos", expr("graft_dot(va, vb)"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }

@@ -49,6 +49,7 @@ class SimilaritySpec extends AnyFunSuite {
     // so some rows must be excluded from the scan
     val probes = Similarity.probeBuckets(SimilarityPack.queryVec, 4, 7L, 2)
     assert(probes.size === 11)
+    graft.functions.DotProduct.register(spark) // hyperplaneBits emits graft_dot
     val scanned = emb.withColumn("bits",
         Similarity.hyperplaneBits("embedding", 64, 4))
       .withColumn("bucket", expr((0 until 4).map(i =>
