@@ -4,10 +4,12 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.operators.Dedup
 
-/** Interleaved A/B of the two minhash formulations (k-pass transform
-  * vs single-pass fold) over the char-gram universe — the dominant
-  * cost of q_dedup_ngram. Interleaved so host-throughput drift can't
-  * masquerade as a win. Dev tool: `runMain graft.MinhashBench [sfDir]`.
+/** Interleaved A/B of the minhash formulations (native codegen'd
+  * expression vs interpreted k-pass transform vs single-pass fold)
+  * over the char-gram universe — the dominant cost of q_dedup_ngram.
+  * Interleaved so host-throughput drift can't masquerade as a win;
+  * identical checksums across variants double as an equality check.
+  * Dev tool: `runMain graft.MinhashBench [sfDir]`.
   */
 object MinhashBench {
   def main(args: Array[String]): Unit = {
@@ -18,6 +20,7 @@ object MinhashBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.MinHashSignature.register(spark)
     val docs = Tables.documents(spark, sfDir)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("doc_id"), Dedup.charShingleHashes("text", 5).as("h"))
@@ -32,7 +35,8 @@ object MinhashBench {
     }
     for (trial <- 1 to 3) {
       println(s"--- trial $trial")
-      time("k-pass")(Dedup.minhashSignature("h", 32))
+      time("hof-k-pass")(Dedup.minhashSignatureHof("h", 32))
+      time("native")(Dedup.minhashSignature("h", 32))
       time("single-pass")(Dedup.minhashSignatureSinglePass("h", 32))
     }
     docs.unpersist()

@@ -30,14 +30,13 @@ import org.apache.spark.storage.StorageLevel
 object Dedup {
 
   /** 31-bit Mersenne prime; minhash permutation arithmetic stays in
-    * the Long range (a,x < 2^31 ⇒ a*x+b < 2^63). */
-  private val P = 2147483647L
+    * the Long range (a,x < 2^31 ⇒ a*x+b < 2^63). Single source of
+    * truth lives with the native expression. */
+  private val P = graft.functions.MinHashSignature.P
 
   /** Deterministic permutation parameters (a ∈ [1,P), b ∈ [0,P)). */
-  private[graft] def permutations(k: Int, seed: Long = 42L): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(k)((1L + rnd.nextLong(P - 1), rnd.nextLong(P)))
-  }
+  private[graft] def permutations(k: Int, seed: Long = 42L): Seq[(Long, Long)] =
+    graft.functions.MinHashSignature.permutations(k, seed)
 
   /** Distinct word-`w`-shingle hashes of `textCol`, reduced mod P, as
     * one array column — computed without exploding rows. The token
@@ -59,9 +58,19 @@ object Dedup {
          |  i -> pmod(xxhash64(substring($textCol, i, $n)), ${P}L)))""".stripMargin)
 
   /** k-element MinHash signature from a shingle-hash array column:
-    * mh_j = min over shingles of (a_j*x + b_j) mod P. */
+    * mh_j = min over shingles of (a_j*x + b_j) mod P. Delegates to
+    * the native codegen'd [[graft.functions.MinHashSignature]]
+    * (`graft_minhash`, registered by [[signatures]]); the interpreted
+    * HOF twin below exists for the bitwise-equality spec and A/B. */
   def minhashSignature(hashesCol: String, k: Int = 64,
-                       seed: Long = 42L): Column = {
+                       seed: Long = 42L): Column =
+    expr(s"graft_minhash($hashesCol, $k, ${seed}L)")
+
+  /** The pre-native HOF formulation: k interpreted array_min passes.
+    * Kept as the semantic reference (MinhashBench A/B; DedupSpec pins
+    * native == HOF bit-for-bit). */
+  private[graft] def minhashSignatureHof(hashesCol: String, k: Int = 64,
+                                         seed: Long = 42L): Column = {
     val perms = permutations(k, seed)
       .map { case (a, b) => s"named_struct('a', ${a}L, 'b', ${b}L)" }
       .mkString("array(", ", ", ")")
@@ -99,11 +108,13 @@ object Dedup {
     * parallelizes (spreading afterwards would serialize the shingle
     * hashing and shuffle the large arrays instead of small texts). */
   def signatures(docs: DataFrame, idCol: String, shingler: Column,
-                 k: Int, seed: Long): DataFrame =
+                 k: Int, seed: Long): DataFrame = {
+    graft.functions.MinHashSignature.register(docs.sparkSession)
     spread(docs)
       .select(col(idCol).as("id"), shingler.as("hashes"))
       .filter(size(col("hashes")) > 0)
       .withColumn("mh", minhashSignature("hashes", k, seed))
+  }
 
   /** (id, band, sig) rows for banded LSH — deliberately WITHOUT the
     * hash arrays. Two docs collide in a band iff that band's `r`

@@ -62,6 +62,26 @@ class DedupSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("native graft_minhash equals the HOF k-pass signature bit-for-bit") {
+    graft.functions.MinHashSignature.register(spark)
+    // both shingle universes, both production k values
+    for ((shingler, k) <- Seq(Dedup.charShingleHashes("text", 5) -> 32,
+                              Dedup.shingleHashes("text", 3) -> 64)) {
+      val h = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          shingler.as("h"))
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("h")) > 0)
+      val both = h.select(
+          Dedup.minhashSignature("h", k).as("native"),
+          Dedup.minhashSignatureHof("h", k).as("hof"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1))
+      }
+    }
+  }
+
   test("shingle hashes: deterministic, distinct, and short-text safe") {
     val spark2 = spark
     import spark2.implicits._
