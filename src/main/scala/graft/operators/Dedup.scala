@@ -250,6 +250,13 @@ object Dedup {
     * is the sign of the sum over tokens of ±1 according to bit i of
     * the token's hash. Near-identical texts differ in few bits. */
   def simhashFromHashes(hashesCol: String): Column =
+    // native one-pass fold (graft_simhash, registered by
+    // simhashNearDups); the HOF twin below is the semantic reference
+    expr(s"graft_simhash($hashesCol)")
+
+  /** The pre-native HOF formulation: 64 interpreted passes over the
+    * hash array (one per bit). Kept for the bitwise-equality spec. */
+  private[graft] def simhashFromHashesHof(hashesCol: String): Column =
     expr(
       s"""aggregate(
          |  sequence(0, 63),
@@ -267,27 +274,17 @@ object Dedup {
   def tokenHashes(textCol: String): Column =
     expr(s"transform(split($textCol, ' '), t -> xxhash64(t))")
 
-  /** One-expression convenience form (re-tokenizes per bit — use the
-    * two-step tokenHashes → simhashFromHashes in hot paths). */
-  def simhash(textCol: String): Column = {
-    val th = s"transform(split($textCol, ' '), t -> xxhash64(t))"
-    expr(
-      s"""aggregate(
-         |  sequence(0, 63),
-         |  0L,
-         |  (acc, i) -> acc + shiftleft(
-         |    CASE WHEN aggregate(
-         |           $th,
-         |           0L,
-         |           (s, h) -> s + CASE WHEN shiftright(h, i) % 2 != 0 THEN 1L ELSE -1L END
-         |         ) > 0 THEN 1L ELSE 0L END, i))""".stripMargin)
-  }
+  /** One-expression convenience form: tokenize+hash feeds the native
+    * one-pass fold directly (the old per-bit HOF re-tokenized 64×). */
+  def simhash(textCol: String): Column =
+    expr(s"graft_simhash(transform(split($textCol, ' '), t -> xxhash64(t)))")
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
     * equal), bucket-join on chunks, verify hamming ≤ `maxHamming`. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
     val withFp = spread(docs)
       .select(col(idCol).as("id"), tokenHashes(textCol).as("th"))
       .select(col("id"), simhashFromHashes("th").as("fp"))

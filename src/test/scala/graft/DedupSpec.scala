@@ -62,6 +62,16 @@ class DedupSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("native graft_simhash equals the HOF per-bit fold bit-for-bit") {
+    graft.functions.SimHash64.register(spark)
+    val both = docs.select(Dedup.tokenHashes("text").as("th"))
+      .select(Dedup.simhashFromHashes("th").as("native"),
+              Dedup.simhashFromHashesHof("th").as("hof"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("native graft_minhash equals the HOF k-pass signature bit-for-bit") {
     graft.functions.MinHashSignature.register(spark)
     // both shingle universes, both production k values
