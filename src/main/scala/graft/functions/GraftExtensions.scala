@@ -31,5 +31,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashSignature(children.head,
         children(1).eval() match { case i: Int => i; case l: Long => l.toInt },
         children(2).eval() match { case l: Long => l; case i: Int => i.toLong })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_chargrams"),
+      new ExpressionInfo(classOf[CharGramHashes].getName, "graft_chargrams"),
+      (children: Seq[Expression]) => CharGramHashes(children.head,
+        children(1).eval() match { case i: Int => i; case l: Long => l.toInt })))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "graft_shingles"),
+      (children: Seq[Expression]) => WordShingleHashes(children.head,
+        children(1).eval() match { case i: Int => i; case l: Long => l.toInt })))
   }
 }

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Arithmetic is identical to the HOF form (same seeded coefficients,
   * same exact long math — a,b,x < 2^31 so a·x+b < 2^63 never
   * overflows), so signatures are bit-for-bit unchanged
-  * (MinHashSignatureSpec pins this). Empty or all-NULL gram arrays
+  * (DedupSpec pins this). Empty or all-NULL gram arrays
   * yield NULL (callers filter `size > 0` first, as
   * [[graft.operators.Dedup.signatures]] does).
   */

@@ -39,19 +39,36 @@ object Dedup {
     graft.functions.MinHashSignature.permutations(k, seed)
 
   /** Distinct word-`w`-shingle hashes of `textCol`, reduced mod P, as
-    * one array column — computed without exploding rows. The token
-    * array is let-bound ([[graft.functions.Let]]) so `split` runs ONCE
-    * per row; inlining it in the lambda would re-split per shingle,
-    * O(words²) per row. */
+    * one array column — computed without exploding rows. Delegates to
+    * the native codegen'd [[graft.functions.WordShingleHashes]]
+    * (`graft_shingles`; register via [[graft.functions.GramHashes]],
+    * done by [[signatures]] and the brute-force oracles). The
+    * interpreted HOF twin below exists for the bitwise-equality spec. */
   def shingleHashes(textCol: String, w: Int = 3): Column =
+    expr(s"graft_shingles($textCol, $w)")
+
+  /** The pre-native HOF formulation: one interpreted lambda dispatch
+    * per shingle. The token array is let-bound ([[graft.functions
+    * .Let]]) so `split` runs ONCE per row; inlining it in the lambda
+    * would re-split per shingle, O(words²) per row. Kept as the
+    * semantic reference (DedupSpec pins native == HOF bit-for-bit). */
+  private[graft] def shingleHashesHof(textCol: String, w: Int = 3): Column =
     expr(graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
       s"""array_distinct(transform(
          |  sequence(0, greatest(size(toks) - $w, 0)),
          |  i -> pmod(xxhash64(concat_ws(' ', slice(toks, i + 1, $w))), ${P}L)))""".stripMargin))
 
   /** Distinct character-`n`-gram hashes of `textCol` (the n-gram
-    * Jaccard similarity universe). */
+    * Jaccard similarity universe). Native codegen'd
+    * [[graft.functions.CharGramHashes]] (`graft_chargrams`); the HOF
+    * twin below is the semantic reference. */
   def charShingleHashes(textCol: String, n: Int = 5): Column =
+    expr(s"graft_chargrams($textCol, $n)")
+
+  /** The pre-native HOF formulation: ~one interpreted substring+hash
+    * lambda dispatch per character of text. Kept for the
+    * bitwise-equality spec. */
+  private[graft] def charShingleHashesHof(textCol: String, n: Int = 5): Column =
     expr(
       s"""array_distinct(transform(
          |  sequence(1, greatest(length($textCol) - ${n - 1}, 1)),
@@ -110,6 +127,7 @@ object Dedup {
   def signatures(docs: DataFrame, idCol: String, shingler: Column,
                  k: Int, seed: Long): DataFrame = {
     graft.functions.MinHashSignature.register(docs.sparkSession)
+    graft.functions.GramHashes.register(docs.sparkSession)
     spread(docs)
       .select(col(idCol).as("id"), shingler.as("hashes"))
       .filter(size(col("hashes")) > 0)
@@ -156,15 +174,23 @@ object Dedup {
     * of falling ≥0.25 below s is Φ(−3.5) ≈ 2·10⁻⁴. */
   def verifyJaccard(pairs: DataFrame, sigs: DataFrame,
                     threshold: Double, estMargin: Double = 0.25): DataFrame = {
-    val h = sigs.select(col("id"), col("hashes"), col("mh"))
-    pairs
-      .join(h.select(col("id").as("doc_a"), col("hashes").as("ha"),
-                     col("mh").as("mha")), Seq("doc_a"))
-      .join(h.select(col("id").as("doc_b"), col("hashes").as("hb"),
-                     col("mh").as("mhb")), Seq("doc_b"))
+    // Stage 1 — estimate-prune on the k-long signatures ONLY: the
+    // dense gram arrays must not ride the join for pairs the estimate
+    // will discard (at corpus scale that is the difference between
+    // shuffling signatures and shuffling the corpus).
+    val mh = sigs.select(col("id"), col("mh"))
+    val survivors = pairs
+      .join(mh.select(col("id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
+      .join(mh.select(col("id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
       .withColumn("est",
         expr("size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) / size(mha)"))
       .filter(col("est") >= threshold - estMargin)
+      .select(col("doc_a"), col("doc_b"))
+    // Stage 2 — fetch the dense arrays for survivors only and verify.
+    val h = sigs.select(col("id"), col("hashes"))
+    survivors
+      .join(h.select(col("id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
+      .join(h.select(col("id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
       .withColumn("jaccard",
         expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
       .filter(col("jaccard") >= threshold)
@@ -209,6 +235,7 @@ object Dedup {
     * the production path). */
   def bruteForceJaccardBy(docs: DataFrame, idCol: String,
                           shingler: Column, threshold: Double): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
     val h = docs.select(col(idCol).as("id"), shingler.as("h"))
       .filter(size(col("h")) > 0)
     val lhs = h.alias("l")
@@ -225,6 +252,7 @@ object Dedup {
     * for LSH recall at small scale; never the production path). */
   def bruteForceJaccard(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, w: Int = 3): DataFrame = {
+    graft.functions.GramHashes.register(docs.sparkSession)
     val h = docs.select(col(idCol).as("id"), shingleHashes(textCol, w).as("h"))
     val lhs = h.alias("l")
     val rhs = h.alias("r")

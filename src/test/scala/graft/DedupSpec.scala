@@ -95,11 +95,45 @@ class DedupSpec extends AnyFunSuite {
   test("shingle hashes: deterministic, distinct, and short-text safe") {
     val spark2 = spark
     import spark2.implicits._
+    graft.functions.GramHashes.register(spark)
     val df = Seq(("a b c d", 1), ("a", 2), ("a b c d", 3)).toDF("text", "id")
     val hs = df.select(Dedup.shingleHashes("text").as("h")).collect()
       .map(_.getSeq[Long](0))
     assert(hs(0) === hs(2))          // same text → same shingles
     assert(hs(1).size === 1)         // shorter than w → whole text gram
     assert(hs(0).distinct.size === hs(0).size)
+  }
+
+  test("native graft_chargrams/graft_shingles equal the HOF twins bit-for-bit") {
+    val spark2 = spark
+    import spark2.implicits._
+    graft.functions.GramHashes.register(spark)
+    // corpus plus adversarial edges: empty, shorter-than-gram, runs of
+    // spaces (empty tokens), leading/trailing spaces, multi-byte UTF-8
+    val edges = Seq("", "ab", "a", "  ", "a  b   c", " lead", "trail ",
+      "héllo wörld émoji 😀 texte", "日本語 テスト だよ", "x").toDF("text")
+    for (df <- Seq(docs.select("text"), edges)) {
+      val both = df.select(
+          Dedup.charShingleHashes("text", 5).as("cn"),
+          Dedup.charShingleHashesHof("text", 5).as("ch"),
+          Dedup.shingleHashes("text", 3).as("wn"),
+          Dedup.shingleHashesHof("text", 3).as("wh"))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"chargrams: $r")
+        assert(r.getSeq[Long](2) === r.getSeq[Long](3), s"shingles: $r")
+      }
+    }
+  }
+
+  test("native gram hashing stays inside whole-stage codegen") {
+    graft.functions.GramHashes.register(spark)
+    val plan = docs.select(Dedup.charShingleHashes("text", 5).as("h"),
+                           Dedup.shingleHashes("text", 3).as("s"))
+      .queryExecution.executedPlan.toString
+    // fused stages carry the *(n) prefix; a codegen fallback would
+    // show the project outside any fused stage
+    assert(plan.contains("*(1)"), s"expected fused stage in:\n$plan")
   }
 }
