@@ -3,9 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.operators.Dedup
 
-/** Interleaved A/B of the near-dup queries with and without the
-  * minhash-estimate candidate pre-filter. Dev tool:
-  * `runMain graft.NgramBench [sfDir] [char|word]`.
+/** Interleaved A/B harness for the near-dup hot paths. This VM's
+  * throughput swings 2-4× between runs, so configurations are only
+  * comparable when interleaved inside one JVM. Dev tool:
+  * `runMain graft.NgramBench [sfDir] [char|word|simhash]`.
+  *
+  *  - char/word: banding trade for the LSH pipeline — k=32 in 16
+  *    bands (r=2, more false candidates, cheaper signatures) vs k=64
+  *    in 16 bands (r=4, sharper S-curve) — and the minhash-estimate
+  *    pre-filter on/off at the chosen production k.
+  *  - simhash: the simhash near-dup pipeline alone (regression probe).
   */
 object NgramBench {
   def main(args: Array[String]): Unit = {
@@ -19,23 +26,33 @@ object NgramBench {
     spark.sparkContext.setLogLevel("WARN")
     val docs = Tables.documents(spark, sfDir)
 
-    val (shingler, k) =
-      if (variant == "word") (Dedup.shingleHashes("text", 3), 64)
-      else (Dedup.charShingleHashes("text", 5), 32)
+    def shingler = if (variant == "word") Dedup.shingleHashes("text", 3)
+                   else Dedup.charShingleHashes("text", 5)
 
-    def time(label: String, estMargin: Double): Unit = {
+    def timeLsh(label: String, k: Int, bands: Int, estMargin: Double): Unit = {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val sigs = Dedup.signatures(docs, "doc_id", shingler, k, seed = 42L)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.candidateIdPairs(Dedup.bandRows(sigs, 16, k / 16))
+      val pairs = Dedup.candidateIdPairs(Dedup.bandRows(sigs, bands, k / bands))
       val n = Dedup.verifyJaccard(pairs, sigs, 0.8, estMargin).count()
-      println(f"$label%-18s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
     }
+    def timeSimhash(label: String): Unit = {
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val n = Dedup.simhashNearDups(docs, "doc_id", "text").count()
+      println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
+    }
+
     for (trial <- 1 to 3) {
       println(s"--- trial $trial")
-      time("no-prefilter", estMargin = 2.0)  // est filter always passes
-      time("est-prefilter", estMargin = 0.25)
+      if (variant == "simhash") timeSimhash("simhash")
+      else {
+        timeLsh("k32-b16-r2", 32, 16, estMargin = 0.25)
+        timeLsh("k64-b16-r4", 64, 16, estMargin = 0.25)
+        timeLsh("k32-b16-no-prefilter", 32, 16, estMargin = 2.0)
+      }
     }
     spark.stop()
   }

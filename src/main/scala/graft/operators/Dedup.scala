@@ -220,13 +220,15 @@ object Dedup {
     lshNearDups(docs, idCol, shingleHashes(textCol, w), threshold, k, bands, seed)
 
   /** Character-n-gram Jaccard near-dups, LSH-accelerated: same banded
-    * pipeline over the char-gram universe. k=32 in 16 bands of 2
-    * measured faster end-to-end than k=16/8 despite the cheaper
-    * signature pass — r=2 bands admit more false candidates and the
-    * exact-Jaccard verify on dense char-gram arrays is the pricier
-    * stage, so narrower bands don't pay. */
+    * pipeline over the char-gram universe. k=64 in 16 bands of 4:
+    * with the signature pass native (graft_chargrams + graft_minhash)
+    * the doubled k costs little, and r=4 bands give a sharper S-curve
+    * — fewer fluke candidates into the verify join, the stage that
+    * dominates at corpus scale. NgramBench (interleaved A/B at sf0.1)
+    * measured k64/r4 ≥ k32/r2 end-to-end with identical pair output;
+    * the estimate pre-filter is worth 5-13× on its own there. */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
-                    threshold: Double = 0.8, n: Int = 5, k: Int = 32,
+                    threshold: Double = 0.8, n: Int = 5, k: Int = 64,
                     bands: Int = 16, seed: Long = 42L): DataFrame =
     lshNearDups(docs, idCol, charShingleHashes(textCol, n), threshold, k, bands, seed)
 
