@@ -106,6 +106,29 @@ final class Catalog(spark: SparkSession, root: String,
         .mode(SaveMode.Overwrite).save(dir)
     }
 
+  /** `put` of an opaque binary file (the reference stores arbitrary
+    * `files/file-*.bin` blobs byte-identically, fileserver.py:142-190,
+    * exercised by test_commands:3-12 — parquet re-encoding is not a
+    * blob store). The bytes land as a single file inside a versioned
+    * directory, so the same pointer-swap/delete/replica machinery
+    * applies. Driver-side byte arrays are for control-plane artifacts
+    * (model checkpoints, tarballs, configs) — bulk data still flows
+    * through `put(df)`; a 100 TB corpus is not a Array[Byte]. */
+  def putBlob(name: String, bytes: Array[Byte]): CatalogEntry =
+    writeVersioned(name, "blob") { dir =>
+      val d = Paths.get(dir)
+      Files.createDirectories(d)
+      Files.write(d.resolve(Catalog.BlobFile), bytes)
+    }
+
+  /** `get` of a blob: the exact bytes `putBlob` stored. */
+  def getBlob(name: String): Array[Byte] = {
+    val e = entries.getOrElse(name,
+      throw new NoSuchElementException(s"no such dataset: $name"))
+    require(e.format == "blob", s"$name is ${e.format}, not a blob")
+    Files.readAllBytes(Paths.get(e.path).resolve(Catalog.BlobFile))
+  }
+
   /** Register an existing file/directory (the reference's `put` of a
     * pre-existing local file) without rewriting it. */
   def putPath(name: String, path: String, format: String): CatalogEntry =
@@ -117,11 +140,15 @@ final class Catalog(spark: SparkSession, root: String,
       e
     }
 
-  /** `get sdfs local`: resolve and read a named dataset. */
+  /** `get sdfs local`: resolve and read a named dataset. Blob entries
+    * come back through Spark's `binaryFile` source (path, length,
+    * content, ...) so the DataFrame verbs — multiread above all — work
+    * unchanged over them; byte-exact retrieval is [[getBlob]]. */
   def get(name: String): DataFrame = {
     val e = entries.getOrElse(name,
       throw new NoSuchElementException(s"no such dataset: $name"))
-    spark.read.format(e.format).load(e.path)
+    val fmt = if (e.format == "blob") "binaryFile" else e.format
+    spark.read.format(fmt).load(e.path)
   }
 
   /** `delete sdfs`: drop data and entry. Data is deleted only when it
@@ -155,12 +182,13 @@ final class Catalog(spark: SparkSession, root: String,
     * reference's consistency stress op (fileserver.py:1266-1281),
     * trivially safe under immutable writes. Returns the m row counts.
     */
-  def multiread(name: String, m: Int): Seq[Long] = {
+  def multiread(name: String, m: Int,
+                timeout: scala.concurrent.duration.Duration =
+                  Catalog.DefaultOpTimeout): Seq[Long] = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = (1 to m).map(_ => Future(get(name).count()))
-    fs.map(f => Await.result(f, Duration.Inf))
+    fs.map(f => Await.result(f, timeout))
   }
 
   /** `multiwrite`: concurrent puts of the SAME name — the write half
@@ -172,12 +200,13 @@ final class Catalog(spark: SparkSession, root: String,
     * whichever put swapped last (= the highest version, since the
     * version stamp is taken inside the same lock). Returns the m
     * entries in input order. */
-  def multiwrite(name: String, dfs: Seq[DataFrame]): Seq[CatalogEntry] = {
+  def multiwrite(name: String, dfs: Seq[DataFrame],
+                 timeout: scala.concurrent.duration.Duration =
+                   Catalog.DefaultOpTimeout): Seq[CatalogEntry] = {
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val fs = dfs.map(df => Future(put(name, df)))
-    fs.map(f => Await.result(f, Duration.Inf))
+    fs.map(f => Await.result(f, timeout))
   }
 
   private def deleteRecursively(p: Path): Unit =
@@ -209,4 +238,13 @@ object Catalog {
   /** Stand-in for the reference's 10-VM membership list
     * (fileserver.py:22-25) when no host list is supplied. */
   val defaultHosts: Seq[String] = (1 to 10).map(i => f"node$i%02d")
+
+  /** File name a blob's bytes live under inside its versioned dir. */
+  private[catalog] val BlobFile = "blob.bin"
+
+  /** Bound on concurrent catalog ops — library code must not
+    * `Await.result(..., Duration.Inf)`; callers with genuinely longer
+    * jobs pass their own budget. */
+  val DefaultOpTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(10, "min")
 }

@@ -115,6 +115,45 @@ class CatalogSpec extends AnyFunSuite {
       plan.contains("isnotnull(part"), s"expected partition pruning in:\n$plan")
   }
 
+  test("putBlob/getBlob round-trips arbitrary bytes byte-identically") {
+    val (cat, _) = freshCatalog()
+    // non-UTF8 bytes incl. every value 0..255 and a zero run — parquet
+    // re-encoding or charset handling would corrupt these
+    val bytes = (0 to 255).map(_.toByte).toArray ++ Array.fill(64)(0.toByte)
+    cat.putBlob("ckpt.bin", bytes)
+    assert(java.util.Arrays.equals(cat.getBlob("ckpt.bin"), bytes))
+    // versioned overwrite: new bytes fully replace old
+    val v2 = Array[Byte](9, 8, 7)
+    cat.putBlob("ckpt.bin", v2)
+    assert(java.util.Arrays.equals(cat.getBlob("ckpt.bin"), v2))
+    // a dataframe entry refuses blob retrieval
+    import spark.implicits._
+    cat.put("df", Seq(1).toDF("x"))
+    intercept[IllegalArgumentException](cat.getBlob("df"))
+  }
+
+  test("catalog verbs work over blob entries: ls/store/filetable/multiread/get/delete") {
+    val (cat, _) = freshCatalog()
+    cat.putBlob("blob.a", Array[Byte](1, 2, 3))
+    assert(cat.ls("blob.a").size === 4)
+    assert(cat.store(cat.ls("blob.a").head).contains("blob.a"))
+    assert(cat.filetable("blob.a").format === "blob")
+    // get reads the blob through binaryFile: one row, exact length
+    val row = cat.get("blob.a").selectExpr("length").collect()
+    assert(row.map(_.getLong(0)).toSeq === Seq(3L))
+    assert(cat.multiread("blob.a", 3) === Seq.fill(3)(1L))
+    assert(cat.delete("blob.a"))
+    intercept[NoSuchElementException](cat.getBlob("blob.a"))
+  }
+
+  test("blob entries persist across catalog reopen") {
+    val (cat, dir) = freshCatalog()
+    val bytes = Array[Byte](42, -1, 0, 127, -128)
+    cat.putBlob("keep.bin", bytes)
+    val reopened = new Catalog(spark, dir)
+    assert(java.util.Arrays.equals(reopened.getBlob("keep.bin"), bytes))
+  }
+
   test("put overwrites atomically (second put replaces first)") {
     import spark.implicits._
     val (cat, _) = freshCatalog()
