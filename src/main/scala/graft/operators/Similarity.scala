@@ -144,15 +144,40 @@ object Similarity {
     * be computable without touching the data. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String,
               query: Seq[Double], k: Int, numBits: Int = 4,
-              probeFlips: Int = 2, seed: Long = 7L): DataFrame = {
+              probeFlips: Int = 2, seed: Long = 7L): DataFrame =
+    lshTopKBucketed(withLshBucket(emb, vecCol, query.size, numBits, seed),
+      idCol, vecCol, query, k, numBits, probeFlips, seed)
+
+  /** Materialize the LSH `bucket` column (the hyperplane-sign
+    * signature as one bigint). This IS the storage layout for ANN at
+    * scale: write the table `putPartitioned(..., "bucket")` (or
+    * bucketed BY it) once, and every probe becomes a partition-pruned
+    * read — [[lshTopKBucketed]] over the re-read table never touches
+    * the non-probed directories (PartitionFilters; pinned in
+    * SimilaritySpec). */
+  def withLshBucket(emb: DataFrame, vecCol: String, dim: Int,
+                    numBits: Int = 4, seed: Long = 7L): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
-    val dim = query.size
-    val probes = probeBuckets(query, numBits, seed, probeFlips)
     val sig = (0 until numBits).map(i =>
       s"shiftleft(cast(element_at(bits, ${i + 1}) as bigint), $i)")
       .mkString(" + ")
     emb.withColumn("bits", hyperplaneBits(vecCol, dim, numBits, seed))
       .withColumn("bucket", expr(sig))
+      .drop("bits")
+  }
+
+  /** Multi-probe top-k over a table that already carries the `bucket`
+    * column from [[withLshBucket]] — typically re-read from a
+    * bucket-partitioned layout, where the `isin(probes)` filter prunes
+    * whole partitions at planning time. The probe set is computed
+    * driver-side from the seeded planes (same `numBits`/`seed` as the
+    * bucketing); no data is touched to plan the probe. */
+  def lshTopKBucketed(bucketed: DataFrame, idCol: String, vecCol: String,
+                      query: Seq[Double], k: Int, numBits: Int = 4,
+                      probeFlips: Int = 2, seed: Long = 7L): DataFrame = {
+    graft.functions.DotProduct.register(bucketed.sparkSession)
+    val probes = probeBuckets(query, numBits, seed, probeFlips)
+    bucketed
       .filter(col("bucket").isin(probes: _*))
       .select(col(idCol),
         expr(s"graft_dot($vecCol, ${vecLiteral(query)})").as("sim"))
@@ -178,12 +203,16 @@ object Similarity {
     * (expected bucket ≈ `targetBucket` at ANY corpus size), the sign
     * pool scales with it, and the skew cap only trims far-outlier
     * buckets — with every dropped bucket COUNTED AND LOGGED, never
-    * silent. Pass explicit values to pin any of them. */
+    * silent. Pass explicit values to pin any of them.
+    *
+    * `skewWarn = false` skips the accounting job (one driver-side
+    * action over the persisted bucket sizes) for callers embedding
+    * this in a larger pipeline that audits the caps itself. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dim: Int = 64, numBits: Int = 0,
                    bands: Int = 16, bitsPerBand: Int = 0,
                    seed: Long = 7L, maxBucket: Int = 0,
-                   targetBucket: Int = 32): DataFrame = {
+                   targetBucket: Int = 32, skewWarn: Boolean = true): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     // Pool size depends on n, and n needs a count — so persist the raw
     // (id, vec) projection FIRST and count THAT: the input is scanned
@@ -227,13 +256,15 @@ object Similarity {
     // expected bucket is ~targetBucket, so anything over maxB is a
     // genuine outlier (duplicated boilerplate vectors), but we still
     // surface the loss.
-    val over = sizes.filter(col("count") > maxB)
-      .agg(count(lit(1)).as("buckets"), coalesce(sum("count"), lit(0L)).as("rows"))
-      .head()
-    if (over.getLong(0) > 0)
-      log.warn(s"nearDupPairs: dropping ${over.getLong(0)} oversized buckets " +
-        s"(${over.getLong(1)} band-rows, cap=$maxB) — pairs within them are " +
-        s"NOT examined; raise maxBucket or bands to recover them")
+    if (skewWarn) {
+      val over = sizes.filter(col("count") > maxB)
+        .agg(count(lit(1)).as("buckets"), coalesce(sum("count"), lit(0L)).as("rows"))
+        .head()
+      if (over.getLong(0) > 0)
+        log.warn(s"nearDupPairs: dropping ${over.getLong(0)} oversized buckets " +
+          s"(${over.getLong(1)} band-rows, cap=$maxB) — pairs within them are " +
+          s"NOT examined; raise maxBucket or bands to recover them")
+    }
     val pruned = chunks
       .join(sizes.filter(col("count") <= maxB), Seq("band", "sig"))
       .drop("count")

@@ -58,6 +58,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(scanned < emb.count(), "probe filter must exclude some buckets")
   }
 
+  test("LSH bucket column as storage layout: probe read prunes partitions") {
+    // write the table partitioned BY the bucket column, then probe the
+    // RE-READ table: the isin(probes) filter must prune non-probed
+    // bucket directories at planning time, and the pruned read must
+    // return exactly what the direct in-memory path returns
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    val cat = new graft.catalog.Catalog(spark, dir)
+    val bucketed = Similarity.withLshBucket(emb, "embedding", dim = 64)
+    cat.putPartitioned("ann_store", bucketed, "bucket")
+    val reread = cat.get("ann_store")
+    val pruned = Similarity.lshTopKBucketed(reread, "vec_id", "embedding",
+      SimilarityPack.queryVec, 10)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected bucket partition pruning in:\n$plan")
+    // 11 of 16 buckets probed -> the scan must read fewer than all
+    // bucket directories that exist on disk
+    val allBuckets = reread.select("bucket").distinct().count()
+    val probes = Similarity.probeBuckets(SimilarityPack.queryVec, 4, 7L, 2)
+    assert(probes.size < allBuckets || allBuckets < 16,
+      s"probe set ${probes.size} vs $allBuckets on-disk buckets")
+    val direct = Similarity.lshTopK(emb, "vec_id", "embedding",
+      SimilarityPack.queryVec, 10).collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val viaStore = pruned.collect().map(r =>
+      (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(viaStore === direct)
+  }
+
   test("near-dup recall vs brute force holds at 10× rows") {
     // The testdata has no larger embeddings table (sf0.01 is also 500
     // rows), so scale is synthesized: 10 deterministically perturbed
