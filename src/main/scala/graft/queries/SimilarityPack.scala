@@ -30,10 +30,48 @@ object SimilarityPack extends QueryPack {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryVec, k = 10, numBits = 4, probeFlips = 2)),
 
+    // same probe, but THROUGH the storage layout: the bucketed table
+    // is written partitioned by the LSH bucket and re-read, so the
+    // probe is a partition-pruned scan — identical results to
+    // q_ann_lsh by construction, which the shared oracle checks
+    "q_ann_lsh_pruned" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annstore").toString
+      val cat = new graft.catalog.Catalog(s, dir)
+      cat.putPartitioned("ann_lsh_store",
+        Similarity.withLshBucket(Tables.embeddings(s, d), "embedding",
+          dim = 64, numBits = 4, seed = 7L), "bucket")
+      Similarity.lshTopKBucketed(cat.get("ann_lsh_store"), "vec_id",
+        "embedding", queryVec, k = 10, numBits = 4, probeFlips = 2, seed = 7L)
+    }),
+
     "q_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.40)),
   )
+
+  /** The LSH probe IS SQL-expressible because the planes are seeded
+    * literals: replay bit h = sign(v·plane_h) per row, assemble the
+    * bucket id, and filter to the same driver-side probe set — then
+    * exact top-k over the pruned rows. */
+  private def lshOracle(lit: String): String = {
+    val planes = Similarity.hyperplanes(64, 4, 7L)
+    val probes = Similarity.probeBuckets(queryVec, 4, 7L, 2)
+      .mkString(", ")
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val pl = p.map(_.toString).mkString("[", ", ", "]")
+      s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
+         |                            CAST($pl AS DOUBLE[])) >= 0
+         |      THEN ${1L << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+    s"""SELECT vec_id, round(sim, 4) AS sim FROM (
+       |  SELECT vec_id,
+       |    list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                     CAST($lit AS DOUBLE[])) AS sim
+       |  FROM embeddings
+       |  WHERE ($bucket) IN ($probes)
+       |  ORDER BY sim DESC, vec_id LIMIT 10
+       |)""".stripMargin
+  }
 
   override def oracleSql: Map[String, String] = {
     val lit = queryVec.map(_.toString).mkString("[", ", ", "]")
@@ -65,29 +103,11 @@ object SimilarityPack extends QueryPack {
            |  FROM embeddings WHERE label IN (SELECT label FROM probed)
            |  ORDER BY sim DESC, vec_id LIMIT 10
            |)""".stripMargin,
-      // The LSH probe IS SQL-expressible because the planes are
-      // seeded literals: replay bit h = sign(v·plane_h) per row,
-      // assemble the bucket id, and filter to the same driver-side
-      // probe set — then exact top-k over the pruned rows.
-      "q_ann_lsh" -> {
-        val planes = Similarity.hyperplanes(64, 4, 7L)
-        val probes = Similarity.probeBuckets(queryVec, 4, 7L, 2)
-          .mkString(", ")
-        val bucket = planes.zipWithIndex.map { case (p, i) =>
-          val pl = p.map(_.toString).mkString("[", ", ", "]")
-          s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
-             |                            CAST($pl AS DOUBLE[])) >= 0
-             |      THEN ${1L << i} ELSE 0 END)""".stripMargin
-        }.mkString(" + ")
-        s"""SELECT vec_id, round(sim, 4) AS sim FROM (
-           |  SELECT vec_id,
-           |    list_dot_product(CAST(embedding AS DOUBLE[]),
-           |                     CAST($lit AS DOUBLE[])) AS sim
-           |  FROM embeddings
-           |  WHERE ($bucket) IN ($probes)
-           |  ORDER BY sim DESC, vec_id LIMIT 10
-           |)""".stripMargin
-      },
+      "q_ann_lsh" -> lshOracle(lit),
+      // the storage-routed variant must produce the identical result —
+      // same oracle, so any divergence introduced by the partitioned
+      // write/re-read (schema drift, bucket typing) hash-fails
+      "q_ann_lsh_pruned" -> lshOracle(lit),
       // q_embed_neardup: rows-only (banded pair-join LSH is not
       // SQL-expressible); recall vs the exact baseline is asserted in
       // SimilaritySpec.
