@@ -137,4 +137,39 @@ object TextAnalysis {
     RollingHash.register(spark)
     df.withColumn("fingerprint", expr(s"rolling_hash($textCol)"))
   }
+
+  /** Hex thresholds for [[hashSplit]]: cumulative fractions of the
+    * 32-bit space as 8 lowercase hex digits — shared with the DuckDB
+    * oracle so the two CASE expressions cannot drift. */
+  private[graft] def splitThresholds(splits: Seq[(String, Double)]): Seq[String] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
+
+  /** Deterministic train/val/test assignment keyed on a hash of the
+    * id — the reproducible-split primitive of a training-data
+    * pipeline: stable across runs, machines, partitionings and
+    * engines, with no shuffle and no sampling state (a `sample()`
+    * split changes membership whenever partitioning does). The first
+    * 8 md5 hex chars of the id are compared lexicographically against
+    * fraction thresholds; md5 — not xxhash64 — precisely so any
+    * external engine can replay the exact assignment (the DuckDB
+    * oracle in [[graft.queries.TextPack]] does). Map-side CASE, one
+    * codegen'd projection. */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Double)] =
+                  Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)): DataFrame = {
+    require(splits.nonEmpty, "at least one split")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val hex = s"substring(md5(cast(cast($idCol as string) as binary)), 1, 8)"
+    val caseExpr =
+      if (splits.size == 1) s"'${splits.head._1}'"
+      else {
+        val whens = splits.init.zip(splitThresholds(splits)).map {
+          case ((name, _), t) => s"WHEN $hex < '$t' THEN '$name'"
+        }.mkString(" ")
+        s"CASE $whens ELSE '${splits.last._1}' END"
+      }
+    df.withColumn("split", expr(caseExpr))
+  }
 }

@@ -40,6 +40,15 @@ object TextPack extends QueryPack {
       Tables.documents(s, d).select(col("doc_id"),
         regexp_replace(col("text"), "[0-9]+", "<NUM>").as("scrubbed"))),
 
+    // deterministic 80/10/10 split keyed on md5(doc_id) — summarized
+    // per split (count + id range) so the oracle hash-checks both the
+    // sizes AND the membership boundaries
+    "q_hash_split" -> ((s, d) =>
+      TextAnalysis.hashSplit(Tables.documents(s, d), "doc_id")
+        .groupBy("split")
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
+             max("doc_id").as("max_id"))),
+
     // corpus-wide top bigrams (two shuffles: bigram count, then top-k).
     // Tokens are let-bound so split(text) runs once per row, not once
     // per bigram; <2-token docs yield an empty array (explode drops
@@ -107,6 +116,21 @@ object TextPack extends QueryPack {
     "q_scrub" ->
       """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    "q_hash_split" -> {
+      // thresholds generated by the same code the operator uses
+      val Seq(t1, t2) = TextAnalysis.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""SELECT split, count(*) AS cnt, min(doc_id) AS min_id,
+         |  max(doc_id) AS max_id
+         |FROM (
+         |  SELECT doc_id, CASE
+         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t1' THEN 'train'
+         |    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '$t2' THEN 'val'
+         |    ELSE 'test' END AS split
+         |  FROM documents
+         |) GROUP BY split""".stripMargin
+    },
 
     "q_top_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (

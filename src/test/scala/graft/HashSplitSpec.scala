@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** Deterministic hash-split contract: complete, disjoint, stable
+  * across runs and partitionings, fractions approximately honored.
+  * Exact cross-engine agreement is hash-checked by the driver gate
+  * (`q_hash_split` vs its DuckDB oracle). */
+class HashSplitSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+  private def docs = Tables.documents(spark, SparkSuite.sf0001)
+
+  test("every row gets exactly one split and fractions are approximately honored") {
+    val n = docs.count().toDouble
+    val counts = TextAnalysis.hashSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet === Set("train", "val", "test"))
+    assert(counts.values.sum.toDouble === n) // complete and disjoint
+    // md5 uniformity at 500 rows: generous ±0.08 absolute tolerance
+    assert(math.abs(counts("train") / n - 0.8) < 0.08, s"train=${counts("train")}")
+    assert(math.abs(counts("val") / n - 0.1) < 0.08, s"val=${counts("val")}")
+    assert(math.abs(counts("test") / n - 0.1) < 0.08, s"test=${counts("test")}")
+  }
+
+  test("assignment is stable across runs and independent of partitioning") {
+    def assignment(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      TextAnalysis.hashSplit(df, "doc_id").select("doc_id", "split")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = assignment(docs)
+    val b = assignment(docs.repartition(7))
+    assert(a === b)
+  }
+
+  test("single split takes everything; bad fractions rejected") {
+    val only = TextAnalysis.hashSplit(docs, "doc_id", Seq("all" -> 1.0))
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(only === Seq("all"))
+    intercept[IllegalArgumentException](
+      TextAnalysis.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4)))
+  }
+}
