@@ -173,24 +173,29 @@ object Dedup {
     * estimate's sd is √(s(1-s)/k) ≲ 0.07 at k=32, so the probability
     * of falling ≥0.25 below s is Φ(−3.5) ≈ 2·10⁻⁴. */
   def verifyJaccard(pairs: DataFrame, sigs: DataFrame,
-                    threshold: Double, estMargin: Double = 0.25): DataFrame = {
+                    threshold: Double, estMargin: Double = 0.25): DataFrame =
+    verifyJaccardAB(pairs, sigs, sigs, threshold, estMargin)
+
+  /** [[verifyJaccard]] generalized to pairs whose two sides come from
+    * DIFFERENT signature frames (doc_a from `sigsA`, doc_b from
+    * `sigsB`) — the incremental-dedup shape. */
+  def verifyJaccardAB(pairs: DataFrame, sigsA: DataFrame, sigsB: DataFrame,
+                      threshold: Double, estMargin: Double = 0.25): DataFrame = {
     // Stage 1 — estimate-prune on the k-long signatures ONLY: the
     // dense gram arrays must not ride the join for pairs the estimate
     // will discard (at corpus scale that is the difference between
     // shuffling signatures and shuffling the corpus).
-    val mh = sigs.select(col("id"), col("mh"))
     val survivors = pairs
-      .join(mh.select(col("id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
-      .join(mh.select(col("id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
+      .join(sigsA.select(col("id").as("doc_a"), col("mh").as("mha")), Seq("doc_a"))
+      .join(sigsB.select(col("id").as("doc_b"), col("mh").as("mhb")), Seq("doc_b"))
       .withColumn("est",
         expr("size(filter(zip_with(mha, mhb, (x, y) -> x = y), b -> b)) / size(mha)"))
       .filter(col("est") >= threshold - estMargin)
       .select(col("doc_a"), col("doc_b"))
     // Stage 2 — fetch the dense arrays for survivors only and verify.
-    val h = sigs.select(col("id"), col("hashes"))
     survivors
-      .join(h.select(col("id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
-      .join(h.select(col("id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
+      .join(sigsA.select(col("id").as("doc_a"), col("hashes").as("ha")), Seq("doc_a"))
+      .join(sigsB.select(col("id").as("doc_b"), col("hashes").as("hb")), Seq("doc_b"))
       .withColumn("jaccard",
         expr("size(array_intersect(ha, hb)) / size(array_union(ha, hb))"))
       .filter(col("jaccard") >= threshold)
@@ -231,6 +236,50 @@ object Dedup {
                     threshold: Double = 0.8, n: Int = 5, k: Int = 64,
                     bands: Int = 16, seed: Long = 42L): DataFrame =
     lshNearDups(docs, idCol, charShingleHashes(textCol, n), threshold, k, bands, seed)
+
+  /** Incremental near-dup: candidates between NEW docs and an
+    * EXISTING corpus — the shape a 100 TB pipeline actually runs.
+    * A standing corpus is deduped ONCE and its signature frame
+    * ([[signatures]]: id, hashes, mh) kept as a table; each incoming
+    * batch is then signed and band-joined against the corpus bands —
+    * new×corpus candidates only, never corpus×corpus again, so
+    * per-batch cost scales with the BATCH, not the corpus. New-vs-new
+    * pairs within the batch are the caller's [[lshNearDups]] on the
+    * batch alone (orders of magnitude smaller). Ids of the two sides
+    * must be disjoint. Returns (doc_a = new id, doc_b = corpus id,
+    * jaccard). The corpus-side bucket cap guards the same skew
+    * (boilerplate texts) the self-join path caps. */
+  def incrementalNearDups(newDocs: DataFrame, corpusSigs: DataFrame,
+                          idCol: String, shingler: Column,
+                          threshold: Double, k: Int, bands: Int,
+                          seed: Long = 42L, maxBucket: Int = 64): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+    val r = k / bands
+    val newSigs = signatures(newDocs, idCol, shingler, k, seed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusBand = bandRows(corpusSigs, bands, r)
+    val sizes = corpusBand.groupBy("band", "sig").count()
+    val prunedCorpus = corpusBand
+      .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
+      .drop("count")
+    val pairs = bandRows(newSigs, bands, r).alias("l")
+      .join(prunedCorpus.alias("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    verifyJaccardAB(pairs, newSigs, corpusSigs, threshold)
+  }
+
+  /** Apply near-dup `pairs` (doc_a < doc_b) as a dedup filter: drop
+    * every doc that has a SMALLER near-dup neighbor (anti-join on
+    * doc_b). Each near-dup cluster keeps at least its minimum id;
+    * docs whose neighbors are all larger also survive — the standard
+    * greedy pairwise rule, avoiding an iterative connected-components
+    * pass that a full transitive clustering would need. */
+  def dropNearDups(docs: DataFrame, idCol: String,
+                   pairs: DataFrame): DataFrame =
+    docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 
   /** Brute-force exact Jaccard pairs over an arbitrary shingler
     * (all-pairs — test oracle for LSH recall at small scale; never

@@ -28,6 +28,29 @@ object DedupPack extends QueryPack {
       Dedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
         maxHamming = 3)),
 
+    // incremental shape: even ids stand in for the already-deduped
+    // corpus (signature table), odd ids for the incoming batch —
+    // new×corpus candidates only (DedupSpec pins precision/recall
+    // against brute-force cross pairs)
+    "q_dedup_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val shingler = Dedup.shingleHashes("text", 3)
+      val corpusSigs = Dedup.signatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", shingler, 64, 42L)
+      Dedup.incrementalNearDups(docs.filter(col("doc_id") % 2 === 1),
+        corpusSigs, "doc_id", shingler, threshold = 0.8, k = 64, bands = 16)
+    }),
+
+    // pairs applied as a filter: corpus minus docs with a smaller
+    // near-dup neighbor
+    "q_dedup_drop" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dropNearDups(docs, "doc_id",
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+        .select("doc_id")
+    }),
+
     // HLL sketch cardinality next to the exact answer: the constant-
     // memory scale path for distinct counts over arbitrary cardinality
     "q_approx_distinct" -> ((s, d) =>
@@ -42,9 +65,10 @@ object DedupPack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
-    // q_dedup_minhash / q_dedup_ngram / q_dedup_simhash: rows-only —
-    // LSH banding and 64-bit signature arithmetic are not expressible
-    // in DuckDB SQL; accuracy is pinned by DedupSpec instead.
+    // q_dedup_minhash / q_dedup_ngram / q_dedup_simhash /
+    // q_dedup_incremental / q_dedup_drop: rows-only — LSH banding and
+    // 64-bit signature arithmetic are not expressible in DuckDB SQL;
+    // accuracy is pinned by DedupSpec instead.
     // q_approx_distinct: rows-only — HLL estimates are
     // implementation-specific; DedupSpec bounds the estimate against
     // the exact count.

@@ -92,6 +92,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental near-dup: new-vs-corpus candidates only, precision 1.0, recall high") {
+    import org.apache.spark.sql.functions.col
+    // corpus = even ids (deduped once, signatures stored); batch = odd
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val shingler = Dedup.shingleHashes("text", 3)
+    val corpusSigs = Dedup.signatures(corpus, "doc_id", shingler, 64, 42L)
+      .persist()
+    val got = Dedup.incrementalNearDups(batch, corpusSigs, "doc_id",
+        shingler, 0.8, k = 64, bands = 16)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // truth: brute-force pairs with one odd and one even side,
+    // reoriented to (new, corpus)
+    val truth = pairs(Dedup.bruteForceJaccard(docs, "doc_id", "text", 0.8))
+      .collect { case (a, b) if (a % 2) != (b % 2) =>
+        if (a % 2 == 1) (a, b) else (b, a)
+      }
+    assert(truth.nonEmpty, "test data must contain cross-side near-dups")
+    assert(got.forall { case (a, b) => a % 2 == 1 && b % 2 == 0 },
+      "doc_a must be the new side, doc_b the corpus side")
+    assert(got.subsetOf(truth), "exact verify must keep precision 1.0")
+    val recall = got.size.toDouble / truth.size
+    assert(recall >= 0.9, s"incremental recall $recall (${got.size}/${truth.size})")
+  }
+
+  test("dropNearDups keeps cluster minima and never keeps both sides of a pair") {
+    val p = Dedup.minhashNearDups(docs, "doc_id", "text", 0.8).persist()
+    val survivors = Dedup.dropNearDups(docs, "doc_id", p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val prs = p.collect().map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(prs.nonEmpty)
+    // no surviving pair: doc_b of every pair is gone
+    prs.foreach { case (_, b) => assert(!survivors.contains(b)) }
+    // every cluster minimum survives (a doc with no smaller neighbor)
+    val dropped = prs.map(_._2).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(survivors === all -- dropped)
+  }
+
   test("shingle hashes: deterministic, distinct, and short-text safe") {
     val spark2 = spark
     import spark2.implicits._
