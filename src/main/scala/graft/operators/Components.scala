@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a pair graph, and its dedup application:
+  * turning near-dup PAIR lists ([[Dedup]] / [[Similarity]] output)
+  * into transitive CLUSTERS with one canonical survivor each.
+  *
+  * [[Dedup.dropNearDups]] applies the greedy pairwise rule (drop docs
+  * with a smaller neighbor); that can over-keep when similarity is
+  * not transitive through the pair list (a–b and b–c found, a–c
+  * missed ⇒ greedy keeps a AND the a-like c). A corpus dedup that
+  * must keep EXACTLY one doc per near-dup cluster needs the
+  * transitive closure — connected components.
+  *
+  * Beyond-reference operator (the reference has no graph pass at
+  * all); designed for the 100 TB path:
+  *
+  *  - Min-label propagation with POINTER JUMPING: each round a node
+  *    takes the min label over {itself} ∪ neighbors, then jumps
+  *    through its current label's own label (path compression). The
+  *    jump doubles the propagation distance per round, so rounds ≈
+  *    log2(diameter), not diameter — near-dup clusters are dense
+  *    (diameter ≤ ~3: rounds ≈ 2), and even a pathological
+  *    1000-link chain converges in ~10 rounds.
+  *  - The iterated state is (id, comp) — two longs per node. Edges
+  *    are symmetrized once, persisted, and re-joined each round; the
+  *    payload (text, vectors) never enters the loop.
+  *  - Each round ends in `localCheckpoint`: iterative self-joins
+  *    otherwise stack lineage (plan grows per round until analysis
+  *    dominates). The checkpoint materializes the two-long frame and
+  *    truncates the plan — the standard Spark iterative-algorithm
+  *    discipline (GraphX Pregel checkpoints the same way).
+  *  - Convergence is a driver-side emptiness check per round on the
+  *    already-materialized checkpoint — inherent to any fixpoint
+  *    loop (Pregel counts active vertices identically); it reads
+  *    cached state, never rescans the input.
+  */
+object Components {
+
+  /** (id, comp) for every node in `edges`: comp = min node id in the
+    * node's connected component. Input columns `src`, `dst`
+    * (undirected; both orientations derived internally). `maxIter`
+    * bounds the rounds (≈ log2 diameter needed; 25 covers any graph
+    * that fits storage); the fixpoint normally exits far earlier. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor-min: smallest label among my neighbors
+      val nbrMin = sym
+        .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min("ncomp").as("nbr"))
+      val lowered = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("old"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("mid"))
+      // pointer jump: follow my label to ITS label (labels only ever
+      // decrease, so the jump target is ≤ mid when present)
+      val next = lowered
+        .join(labels.select(col("id").as("mid"), col("comp").as("jump")),
+          Seq("mid"), "left")
+        .select(col("id"), col("old"),
+          least(col("mid"), coalesce(col("jump"), col("mid"))).as("comp"))
+        .localCheckpoint()
+      converged = next.filter(col("comp") < col("old")).isEmpty
+      labels = next.select("id", "comp")
+      iter += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** (idCol, cluster_id) for EVERY doc: cluster_id = min doc id of
+    * the doc's transitive near-dup cluster; docs in no pair are
+    * singletons (cluster_id = own id). `pairs` uses the [[Dedup]] /
+    * [[Similarity]] convention (doc_a, doc_b). */
+  def clusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+               aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val comps = connectedComponents(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    docs.select(col(idCol))
+      .join(comps.select(col("id").as(idCol), col("comp")), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("cluster_id"))
+  }
+
+  /** The transitive dedup filter: keep exactly ONE doc per near-dup
+    * cluster — the cluster's min id (whose cluster_id equals its own
+    * id) — plus every singleton. Left-semi join, so only idCol
+    * values move; the doc payload is never shuffled. */
+  def canonicalDocs(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    docs.join(
+      clusters(docs, idCol, pairs).filter(col("cluster_id") === col(idCol))
+        .select(col(idCol)),
+      Seq(idCol), "left_semi")
+}

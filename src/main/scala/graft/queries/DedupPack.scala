@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.{QueryPack, Tables}
-import graft.operators.Dedup
+import graft.operators.{Components, Dedup}
 
 /** Dedup suite over `documents` (SURVEY.md §7.1 step 7 /
   * driver north-star ops). Exact dedup is DuckDB-oracle-able; the
@@ -51,6 +51,39 @@ object DedupPack extends QueryPack {
         .select("doc_id")
     }),
 
+    // transitive clustering of the near-dup pair graph: every doc
+    // labeled with its cluster's min id (connected components with
+    // pointer jumping; rows-only — ComponentsSpec pins the kernel
+    // against union-find, q_components hash-checks it end-to-end)
+    "q_dedup_cluster" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Components.clusters(docs, "doc_id",
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+    }),
+
+    // the transitive dedup filter: exactly one survivor per cluster
+    "q_dedup_canonical" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Components.canonicalDocs(docs, "doc_id",
+        Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.8))
+        .select("doc_id")
+    }),
+
+    // the CC kernel under a DuckDB-recursive-CTE hash oracle: edges
+    // between consecutive doc_ids whose texts share a first character
+    // form variable-length chains — a non-transitive relation, so the
+    // clustering is genuinely the transitive closure (unlike
+    // equality-keyed groups, which are already cliques)
+    "q_components" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, substring}
+      val docs = Tables.documents(s, d)
+      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 1).as("c1"))
+      val edges = keyed.alias("l").join(keyed.alias("r"),
+          col("r.doc_id") === col("l.doc_id") + 1 && col("l.c1") === col("r.c1"))
+        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      Components.clusters(docs, "doc_id", edges)
+    }),
+
     // HLL sketch cardinality next to the exact answer: the constant-
     // memory scale path for distinct counts over arbitrary cardinality
     "q_approx_distinct" -> ((s, d) =>
@@ -65,10 +98,35 @@ object DedupPack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    // transitive closure of the chain-edge relation via recursive CTE:
+    // walk enumerates every node reachable from each doc through the
+    // symmetrized edges; min(reachable ∪ self) is the component label
+    "q_components" ->
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT a.doc_id AS src, b.doc_id AS dst
+        |  FROM documents a JOIN documents b
+        |    ON b.doc_id = a.doc_id + 1
+        |   AND substr(a.text, 1, 1) = substr(b.text, 1, 1)
+        |),
+        |sym AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT dst AS src, src AS dst FROM edges
+        |),
+        |walk(id, comp) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+        |)
+        |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+        |""".stripMargin,
     // q_dedup_minhash / q_dedup_ngram / q_dedup_simhash /
-    // q_dedup_incremental / q_dedup_drop: rows-only — LSH banding and
-    // 64-bit signature arithmetic are not expressible in DuckDB SQL;
-    // accuracy is pinned by DedupSpec instead.
+    // q_dedup_incremental / q_dedup_drop / q_dedup_cluster /
+    // q_dedup_canonical: rows-only — LSH banding and 64-bit signature
+    // arithmetic are not expressible in DuckDB SQL; accuracy is pinned
+    // by DedupSpec/ComponentsSpec instead (and the CC kernel itself is
+    // hash-checked via q_components above).
     // q_approx_distinct: rows-only — HLL estimates are
     // implementation-specific; DedupSpec bounds the estimate against
     // the exact count.

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, Dedup}
+
+/** Connected-components kernel pinned against a union-find reference,
+  * plus the transitive-dedup application semantics. */
+class ComponentsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  /** Reference: classic union-find with path compression, min id per
+    * root as the component label. */
+  private def unionFind(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val minOfRoot = nodes.groupBy(find).map { case (r, ns) => r -> ns.min }
+    nodes.map(n => n -> minOfRoot(find(n))).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+  }
+
+  test("connected components match union-find on chains, a ring, a star, and a bridge") {
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),        // chain
+      (10L, 11L), (11L, 12L), (12L, 10L),            // ring
+      (20L, 21L), (20L, 22L), (20L, 23L),            // star
+      (5L, 30L), (30L, 31L),                         // bridge extending the chain
+      (41L, 40L))                                    // reversed-order edge
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(ccOf(edges) === unionFind(nodes, edges))
+  }
+
+  test("a 200-link chain converges to one component (pointer jumping beats diameter)") {
+    val edges = (1L until 200L).map(i => (i, i + 1))
+    val got = ccOf(edges)
+    assert(got.size === 200)
+    assert(got.values.toSet === Set(1L), "every node must carry the chain minimum")
+  }
+
+  test("clusters labels singletons with their own id; canonicalDocs keeps one doc per cluster") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // non-transitive pair list: (2,3) and (1,3) — cluster {1,2,3}
+    val pairs = Seq((2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    val cl = Components.clusters(docs, "doc_id", pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(cl === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L))
+    val kept = Components.canonicalDocs(docs, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept === Set(1L, 4L, 5L), "exactly one survivor per cluster plus singletons")
+    // the greedy pairwise rule over-keeps here (2 has no smaller
+    // neighbor in the PAIR list, though it is transitively a dup of 1)
+    val greedy = Dedup.dropNearDups(docs, "doc_id", pairs)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(greedy === Set(1L, 2L, 4L, 5L),
+      "sanity: this is the exact shape where transitive clustering is required")
+  }
+
+  test("end-to-end: minhash near-dup clusters put every brute-force pair in one cluster") {
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val truth = Dedup.bruteForceJaccard(docs, "doc_id", "text", 0.8)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(truth.nonEmpty)
+    val cl = graft.queries.DedupPack.queries("q_dedup_cluster")(spark, SparkSuite.sf0001)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // transitivity: with recall<1 some truth pairs may be missed by
+    // LSH, but every pair the LSH DID find must share a label — and at
+    // sf0.001 the recall test already pins ≥0.9 of truth found
+    val found = truth.count { case (a, b) => cl(a) == cl(b) }
+    assert(found.toDouble / truth.size >= 0.9,
+      s"only $found/${truth.size} truth pairs share a cluster label")
+    // labels are cluster minima: a label is always ≤ its member ids
+    assert(cl.forall { case (id, c) => c <= id })
+  }
+}
