@@ -281,4 +281,28 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
   }
+
+  /** Symmetric per-vector int8 quantization: scale = max |v_i|,
+    * q_i = round(v_i · 127 / scale) ∈ [-127, 127] as tinyint, so the
+    * vector store shrinks 4× (float32 → int8 + one double scale per
+    * row) — the standard memory lever for ANN at corpus scale, where
+    * the working set is what decides whether the index fits executor
+    * memory. Reconstruction v̂_i = q_i · scale / 127 has elementwise
+    * error ≤ scale/254; SimilaritySpec pins the top-k recall of the
+    * dequantized search against the float baseline. All arithmetic is
+    * in double (float inputs widened first) so results are
+    * bit-reproducible against the DuckDB oracle. Zero vectors get
+    * scale=1e-30 (all-zero qvec) rather than a division blow-up. */
+  def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol), col(vecCol),
+        greatest(
+          expr(s"array_max(transform($vecCol, x -> abs(cast(x as double))))"),
+          lit(1e-30)).as("scale"))
+      .select(col(idCol), col("scale"),
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 127D / scale) as tinyint))")
+          .as("qvec"))
+
+  /** Inverse of [[quantizeInt8]]: array<double> reconstruction. */
+  def dequantize(qvecCol: String, scaleCol: String): Column =
+    expr(s"transform($qvecCol, q -> cast(q as double) * $scaleCol / 127D)")
 }

@@ -53,6 +53,29 @@ object TextAnalysis {
           + least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3, 6))
   }
 
+  /** Distribution-derived quality filter: keep docs whose
+    * quality_score is at or above the `q`-th quantile of the corpus —
+    * the "top quartile by quality" selection step of a training-data
+    * pipeline, where the threshold comes from the data, not a config.
+    *
+    * Shape, not a window: the quantile is ONE aggregated scalar,
+    * broadcast back over the scan (1-row cross join — the same
+    * pattern as percentage-of-total), so the filter itself stays
+    * map-side. A `percent_rank() OVER (ORDER BY ...)` formulation
+    * would funnel the corpus through a single-partition sort — the
+    * classic global-window scale killer. `percentile` is exact (for
+    * DuckDB-oracle parity); at corpus scale swap in
+    * `approx_percentile(quality_score, q, accuracy)` — a mergeable
+    * sketch with the identical plan shape. */
+  def qualityFilter(df: DataFrame, textCol: String,
+                    q: Double = 0.75): DataFrame = {
+    val scored = withQuality(df, textCol)
+    val thr = scored.agg(expr(s"percentile(quality_score, ${q}D)").as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .filter(col("quality_score") >= col("thr"))
+      .drop("thr")
+  }
+
   /** N-gram/stopword-heuristic language ID: per-language tiny stopword
     * lists; argmax of hit counts, 'und' when nothing hits. (A toy
     * n-gram model — the operator shape, schema and scale behavior are

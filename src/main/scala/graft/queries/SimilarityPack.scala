@@ -47,6 +47,17 @@ object SimilarityPack extends QueryPack {
     "q_embed_neardup" -> ((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.40)),
+
+    // int8 quantization, element-wise under the hash oracle: the
+    // (vec_id, pos, q, scale) explosion pins every quantized byte
+    // against DuckDB's replay of the same double arithmetic
+    "q_embed_quantize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode, round}
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+          posexplode(col("qvec")))
+        .select(col("vec_id"), col("pos"), col("col").as("q"), col("scale"))
+    }),
   )
 
   /** The LSH probe IS SQL-expressible because the planes are seeded
@@ -111,6 +122,20 @@ object SimilarityPack extends QueryPack {
       // q_embed_neardup: rows-only (banded pair-join LSH is not
       // SQL-expressible); recall vs the exact baseline is asserted in
       // SimilaritySpec.
+      // zipped unnests align (pos, q) element-wise; both sides round
+      // half-away-from-zero on the identical double product
+      "q_embed_quantize" ->
+        """SELECT vec_id,
+          |  unnest(range(len(embedding))) AS pos,
+          |  unnest(list_transform(embedding,
+          |    x -> CAST(round(CAST(x AS DOUBLE) * 127 / s) AS TINYINT))) AS q,
+          |  round(s, 6) AS scale
+          |FROM (
+          |  SELECT vec_id, embedding,
+          |    greatest(list_max(list_transform(embedding,
+          |      x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+          |  FROM embeddings)
+          |""".stripMargin,
     )
   }
 }

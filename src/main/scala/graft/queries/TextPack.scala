@@ -34,6 +34,13 @@ object TextPack extends QueryPack {
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d), "doc_id", "text", k = 3)),
 
+    // corpus-relative quality gate: keep the top quartile by
+    // quality_score, threshold computed from the distribution itself
+    // (broadcast scalar, not a global window)
+    "q_quality_filter" -> ((s, d) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, d), "text", q = 0.75)
+        .select("doc_id", "quality_score")),
+
     // scrubbing transform: redact digit runs (the PII-scrub shape —
     // swap the pattern for emails/SSNs/etc. in a real pipeline)
     "q_scrub" -> ((s, d) =>
@@ -94,6 +101,27 @@ object TextPack extends QueryPack {
          |    len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_hits
          |  FROM documents
          |)""".stripMargin,
+
+    // same score subquery as q_quality; quantile_cont matches Spark's
+    // exact `percentile` interpolation on the identical score doubles
+    "q_quality_filter" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |    round(least(n_tokens / 20.0, 1.0) * 0.4
+         |      + (1.0 - least(round(punct / greatest(n_chars2, 1), 6) * 10.0, 1.0)) * 0.3
+         |      + least(round(stop_hits / greatest(n_tokens, 1), 6) * 10.0, 1.0) * 0.3, 6)
+         |      AS quality_score
+         |  FROM (
+         |    SELECT doc_id,
+         |      len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |      length(text) AS n_chars2,
+         |      length(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g')) AS punct,
+         |      len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_hits
+         |    FROM documents
+         |  )
+         |), thr AS (SELECT quantile_cont(quality_score, 0.75) AS t FROM scored)
+         |SELECT doc_id, quality_score FROM scored, thr
+         |WHERE quality_score >= t""".stripMargin,
 
     "q_lang_id" ->
       """SELECT doc_id, CASE

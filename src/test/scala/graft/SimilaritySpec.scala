@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.functions.{col, expr, max}
 import graft.operators.Similarity
 import graft.queries.SimilarityPack
 
@@ -114,6 +114,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.subsetOf(truth), "exact verify must keep precision at 1.0")
     val recall = got.intersect(truth).size.toDouble / truth.size
     assert(recall >= 0.8, s"LSH recall $recall at 10× rows (truth=${truth.size})")
+  }
+
+  test("int8 quantization: bounded reconstruction error and high top-k recall") {
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val q = Similarity.quantizeInt8(emb, "vec_id", "embedding")
+    // elementwise |v - v̂| ≤ scale/254 (half a quantization step)
+    val worst = q.join(emb, "vec_id")
+      .select(expr(
+        """array_max(zip_with(embedding,
+          |  transform(qvec, qq -> cast(qq as double) * scale / 127D),
+          |  (v, vhat) -> abs(cast(v as double) - vhat))) / (scale / 254D)"""
+          .stripMargin).as("relErr"))
+      .agg(max("relErr")).head().getDouble(0)
+    assert(worst <= 1.0 + 1e-9, s"reconstruction error $worst half-steps")
+    // search over dequantized vectors recalls the float top-k
+    val qv = graft.queries.SimilarityPack.queryVec
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize("qvec", "scale").as("embedding"))
+    val viaInt8 = Similarity.bruteForceTopK(deq, "vec_id", "embedding", qv, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = exact.intersect(viaInt8).size.toDouble / exact.size
+    assert(recall >= 0.9, s"int8 top-k recall $recall")
   }
 
   test("dot/cosine column helpers agree with manual computation") {
