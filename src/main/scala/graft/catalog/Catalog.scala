@@ -106,6 +106,31 @@ final class Catalog(spark: SparkSession, root: String,
         .mode(SaveMode.Overwrite).save(dir)
     }
 
+  /** `put` with output files sized for the NEXT reader: repartitions
+    * to ceil(estimatedBytes / targetFileBytes) before writing, so a
+    * heavily-filtered result doesn't land as thousands of KB-sized
+    * files (the small-files problem — at 100 TB pipeline scale,
+    * footer/open overhead and driver listing time are governed by
+    * file COUNT, while a too-big file caps read parallelism; ~128 MB
+    * is the standard parquet sweet spot). The size estimate is
+    * Catalyst's plan statistic (`optimizedPlan.stats.sizeInBytes` —
+    * filter selectivity applied to the scan estimate), so no extra
+    * pass over the data is needed; `repartition` (round-robin) rather
+    * than `coalesce` because chain-merging partitions produces uneven
+    * files, and the write was going to shuffle-or-scan anyway. */
+  def putCompacted(name: String, df: DataFrame,
+                   targetFileBytes: Long = 128L << 20,
+                   format: String = "parquet"): CatalogEntry = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
+      .max(1).min(1 << 20).toInt
+    writeVersioned(name, format) { dir =>
+      df.repartition(nFiles).write.format(format)
+        .mode(SaveMode.Overwrite).save(dir)
+    }
+  }
+
   /** `put` of an opaque binary file (the reference stores arbitrary
     * `files/file-*.bin` blobs byte-identically, fileserver.py:142-190,
     * exercised by test_commands:3-12 — parquet re-encoding is not a

@@ -115,6 +115,26 @@ class CatalogSpec extends AnyFunSuite {
       plan.contains("isnotnull(part"), s"expected partition pruning in:\n$plan")
   }
 
+  test("putCompacted sizes the file count to the data, not the shuffle width") {
+    val (cat, _) = freshCatalog()
+    // 60000-row lineitem scan arrives pre-split; a naive put would
+    // write one file per task
+    val docs = Tables.lineitem(spark, SparkSuite.sf0001)
+      .repartition(16)
+    def partFiles(name: String): Int =
+      new java.io.File(cat.filetable(name).path).listFiles()
+        .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    // huge target → everything compacts into ONE file
+    cat.putCompacted("li_one", docs, targetFileBytes = 1L << 40)
+    assert(partFiles("li_one") === 1)
+    // tiny target → file count scales with the size estimate
+    cat.putCompacted("li_many", docs, targetFileBytes = 64L << 10)
+    assert(partFiles("li_many") > 1)
+    // contents survive either layout
+    assert(cat.get("li_one").count() === docs.count())
+    assert(cat.get("li_many").count() === docs.count())
+  }
+
   test("putBlob/getBlob round-trips arbitrary bytes byte-identically") {
     val (cat, _) = freshCatalog()
     // non-UTF8 bytes incl. every value 0..255 and a zero run — parquet
