@@ -294,15 +294,39 @@ object Similarity {
     * bit-reproducible against the DuckDB oracle. Zero vectors get
     * scale=1e-30 (all-zero qvec) rather than a division blow-up. */
   def quantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
-    emb.select(col(idCol), col(vecCol),
-        greatest(
-          expr(s"array_max(transform($vecCol, x -> abs(cast(x as double))))"),
-          lit(1e-30)).as("scale"))
-      .select(col(idCol), col("scale"),
-        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 127D / scale) as tinyint))")
-          .as("qvec"))
+    emb
+      .withColumn("scale", greatest(
+        expr(s"array_max(transform($vecCol, x -> abs(cast(x as double))))"),
+        lit(1e-30)))
+      .withColumn("qvec",
+        expr(s"transform($vecCol, x -> cast(round(cast(x as double) * 127D / scale) as tinyint))"))
+      .drop(vecCol)
 
   /** Inverse of [[quantizeInt8]]: array<double> reconstruction. */
   def dequantize(qvecCol: String, scaleCol: String): Column =
     expr(s"transform($qvecCol, q -> cast(q as double) * $scaleCol / 127D)")
+
+  /** Multi-probe top-k over the FULL production ANN layout:
+    * [[withLshBucket]] + [[quantizeInt8]] written
+    * `putPartitioned(..., "bucket")` — so `stored` carries (idCol,
+    * scale, qvec, bucket), the probe filter prunes whole partitions
+    * at planning time, and the scanned bytes are int8, 4× less than
+    * float32. Scoring uses linearity — dot(q·scale/127, v) =
+    * dot(q, v)·scale/127 — so the native `graft_dot` runs on the
+    * cast int8 array directly and the dequantization collapses to
+    * one multiply per ROW, not per element. */
+  def lshTopKQuantized(stored: DataFrame, idCol: String,
+                       query: Seq[Double], k: Int, numBits: Int = 4,
+                       probeFlips: Int = 2, seed: Long = 7L): DataFrame = {
+    graft.functions.DotProduct.register(stored.sparkSession)
+    val probes = probeBuckets(query, numBits, seed, probeFlips)
+    stored
+      .filter(col("bucket").isin(probes: _*))
+      .select(col(idCol),
+        (expr(s"graft_dot(cast(qvec as array<double>), ${vecLiteral(query)})")
+          * col("scale") / lit(127d)).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("sim"), 4).as("sim"))
+  }
 }

@@ -48,6 +48,22 @@ object SimilarityPack extends QueryPack {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.40)),
 
+    // the full production layout end-to-end: bucket + int8-quantize,
+    // write partitioned by bucket, probe the re-read store — pruned
+    // scan over 4×-smaller vectors, one rescale multiply per row
+    "q_ann_quantized" -> ((s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-annqstore").toString
+      val cat = new graft.catalog.Catalog(s, dir)
+      cat.putPartitioned("ann_q_store",
+        Similarity.quantizeInt8(
+          Similarity.withLshBucket(Tables.embeddings(s, d), "embedding",
+            dim = 64, numBits = 4, seed = 7L),
+          "vec_id", "embedding"),
+        "bucket")
+      Similarity.lshTopKQuantized(cat.get("ann_q_store"), "vec_id",
+        queryVec, k = 10, numBits = 4, probeFlips = 2, seed = 7L)
+    }),
+
     // int8 quantization, element-wise under the hash oracle: the
     // (vec_id, pos, q, scale) explosion pins every quantized byte
     // against DuckDB's replay of the same double arithmetic
@@ -64,25 +80,47 @@ object SimilarityPack extends QueryPack {
     * literals: replay bit h = sign(v·plane_h) per row, assemble the
     * bucket id, and filter to the same driver-side probe set — then
     * exact top-k over the pruned rows. */
-  private def lshOracle(lit: String): String = {
-    val planes = Similarity.hyperplanes(64, 4, 7L)
-    val probes = Similarity.probeBuckets(queryVec, 4, 7L, 2)
-      .mkString(", ")
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
+  /** The seeded-plane bucket id and probe set, replayed as SQL text
+    * (shared by the plain, storage-routed, and quantized variants). */
+  private def bucketSql: String =
+    Similarity.hyperplanes(64, 4, 7L).zipWithIndex.map { case (p, i) =>
       val pl = p.map(_.toString).mkString("[", ", ", "]")
       s"""(CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]),
          |                            CAST($pl AS DOUBLE[])) >= 0
          |      THEN ${1L << i} ELSE 0 END)""".stripMargin
     }.mkString(" + ")
+
+  private def probesSql: String =
+    Similarity.probeBuckets(queryVec, 4, 7L, 2).mkString(", ")
+
+  private def lshOracle(lit: String): String =
     s"""SELECT vec_id, round(sim, 4) AS sim FROM (
        |  SELECT vec_id,
        |    list_dot_product(CAST(embedding AS DOUBLE[]),
        |                     CAST($lit AS DOUBLE[])) AS sim
        |  FROM embeddings
-       |  WHERE ($bucket) IN ($probes)
+       |  WHERE ($bucketSql) IN ($probesSql)
        |  ORDER BY sim DESC, vec_id LIMIT 10
        |)""".stripMargin
-  }
+
+  /** Same probe set, but the score is the dequantized-int8 dot —
+    * replaying quantize (round→tinyint), the per-row rescale, and the
+    * bucket pruning exactly as the stored layout computes them. */
+  private def lshQuantizedOracle(lit: String): String =
+    s"""SELECT vec_id, round(sim, 4) AS sim FROM (
+       |  SELECT vec_id,
+       |    list_dot_product(
+       |      list_transform(embedding,
+       |        x -> CAST(CAST(round(CAST(x AS DOUBLE) * 127 / s) AS TINYINT) AS DOUBLE)),
+       |      CAST($lit AS DOUBLE[])) * s / 127 AS sim
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      greatest(list_max(list_transform(embedding,
+       |        x -> abs(CAST(x AS DOUBLE)))), 1e-30) AS s
+       |    FROM embeddings)
+       |  WHERE ($bucketSql) IN ($probesSql)
+       |  ORDER BY sim DESC, vec_id LIMIT 10
+       |)""".stripMargin
 
   override def oracleSql: Map[String, String] = {
     val lit = queryVec.map(_.toString).mkString("[", ", ", "]")
@@ -115,6 +153,7 @@ object SimilarityPack extends QueryPack {
            |  ORDER BY sim DESC, vec_id LIMIT 10
            |)""".stripMargin,
       "q_ann_lsh" -> lshOracle(lit),
+      "q_ann_quantized" -> lshQuantizedOracle(lit),
       // the storage-routed variant must produce the identical result —
       // same oracle, so any divergence introduced by the partitioned
       // write/re-read (schema drift, bucket typing) hash-fails

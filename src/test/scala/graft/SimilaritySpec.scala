@@ -140,6 +140,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.9, s"int8 top-k recall $recall")
   }
 
+  test("quantized bucketed probe matches the float probe's neighbors") {
+    val q = graft.queries.SimilarityPack.queries("q_ann_quantized")(
+      spark, SparkSuite.sf0001)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val fl = Similarity.lshTopK(emb, "vec_id", "embedding",
+      graft.queries.SimilarityPack.queryVec, k = 10, numBits = 4,
+      probeFlips = 2, seed = 7L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // int8 scoring reorders only near-ties; the probe set is identical
+    val overlap = q.intersect(fl).size.toDouble / fl.size
+    assert(overlap >= 0.8, s"quantized probe overlap $overlap")
+  }
+
   test("dot/cosine column helpers agree with manual computation") {
     val spark2 = spark
     import spark2.implicits._
