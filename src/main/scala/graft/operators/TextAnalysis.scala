@@ -53,6 +53,50 @@ object TextAnalysis {
           + least(col("stopword_ratio") * 10.0, lit(1.0)) * 0.3, 6))
   }
 
+  /** Distinct word-`n`-gram STRINGS of `textCol` (not hashed) —
+    * mirrors [[Dedup.shingleHashes]] gram boundaries exactly
+    * (including the single short gram for <n-token docs) so the two
+    * universes are interchangeable. Tokens are let-bound: `split`
+    * runs once per row. */
+  private[graft] def stringShingles(textCol: String, n: Int): Column =
+    expr(graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+      s"""array_distinct(transform(
+         |  sequence(0, greatest(size(toks) - $n, 0)),
+         |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
+
+  /** Train→eval n-gram contamination — the train/test-overlap check
+    * (decontamination) an LLM pipeline runs before trusting an eval
+    * split: for each eval doc, the fraction of its distinct word
+    * n-grams that appear ANYWHERE in the train corpus. Returns
+    * (idCol, n_grams, hits, contamination).
+    *
+    * Scale shape: the train side collapses to its DISTINCT gram set
+    * first (one aggregation — at corpus scale this is the gram
+    * vocabulary, far smaller than the corpus), then the eval (doc,
+    * gram) pairs join it on the gram key. With `hashed = true` (the
+    * default) grams are 8-byte xxhash64-mod-P longs ([[Dedup
+    * .shingleHashes]], native codegen) — the join shuffles longs,
+    * never text. `hashed = false` joins the raw gram strings — the
+    * DuckDB-replayable oracle path; ContaminationSpec pins that both
+    * paths produce identical counts. */
+  def contamination(eval: DataFrame, train: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3,
+                    hashed: Boolean = true): DataFrame = {
+    if (hashed) graft.functions.GramHashes.register(eval.sparkSession)
+    val gram: Column =
+      if (hashed) Dedup.shingleHashes(textCol, n)
+      else stringShingles(textCol, n)
+    val ev = eval.select(col(idCol), explode(gram).as("g"))
+    val evCounts = ev.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val trainGrams = train.select(explode(gram).as("g")).distinct()
+    val hits = ev.join(trainGrams, "g")
+      .groupBy(idCol).agg(count(lit(1)).as("hits"))
+    evCounts.join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("hits"))
+      .withColumn("contamination",
+        round(col("hits") / col("n_grams"), 6))
+  }
+
   /** Distribution-derived quality filter: keep docs whose
     * quality_score is at or above the `q`-th quantile of the corpus —
     * the "top quartile by quality" selection step of a training-data

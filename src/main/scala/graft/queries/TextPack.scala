@@ -56,6 +56,19 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
              max("doc_id").as("max_id"))),
 
+    // train→eval decontamination check: odd doc_ids stand in for the
+    // eval split, even for train. String-gram variant so DuckDB can
+    // replay the gram universe exactly (the hashed scale path joins
+    // 8-byte longs instead and differs only by mod-P collisions —
+    // ContaminationSpec pins the two paths equal at test scale)
+    "q_contamination" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.contamination(
+        docs.filter(col("doc_id") % 2 === 1),
+        docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", "text", n = 3, hashed = false)
+    }),
+
     // corpus-wide top bigrams (two shuffles: bigram count, then top-k).
     // Tokens are let-bound so split(text) runs once per row, not once
     // per bigram; <2-token docs yield an empty array (explode drops
@@ -159,6 +172,35 @@ object TextPack extends QueryPack {
          |  FROM documents
          |) GROUP BY split""".stripMargin
     },
+
+    // grams replayed with the identical boundaries (full windows plus
+    // the single short gram for <3-token docs); integer `/` is float
+    // division in DuckDB, matching Spark column division
+    "q_contamination" ->
+      """WITH evd AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 1
+        |), trd AS (
+        |  SELECT string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), ev AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS g
+        |  FROM evd
+        |), tr AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(0, greatest(len(toks) - 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i + 1, i + 3), ' ')))) AS g
+        |  FROM trd
+        |), cnt AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM ev GROUP BY doc_id
+        |), hit AS (
+        |  SELECT doc_id, count(*) AS hits FROM ev JOIN tr USING (g) GROUP BY doc_id
+        |)
+        |SELECT cnt.doc_id, n_grams, coalesce(hits, 0) AS hits,
+        |  round(coalesce(hits, 0) / n_grams, 6) AS contamination
+        |FROM cnt LEFT JOIN hit USING (doc_id)""".stripMargin,
 
     "q_top_bigrams" ->
       """SELECT bigram, count(*) AS cnt FROM (
