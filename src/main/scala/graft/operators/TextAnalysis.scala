@@ -97,6 +97,32 @@ object TextAnalysis {
         round(col("hits") / col("n_grams"), 6))
   }
 
+  /** Sequence packing — the concat-then-chunk assignment a
+    * pretraining pipeline runs to turn variable-length docs into
+    * fixed `ctxTokens` training windows: docs are concatenated in a
+    * deterministic order and each is assigned the window containing
+    * its first token. Returns (idCol, shard, bin, tok_start).
+    *
+    * Packing is inherently sequential, so the corpus is first split
+    * into `shards` independent streams (deterministic `id % shards`)
+    * and each shard packs alone — one shuffle, every shard a separate
+    * window partition, parallelism = `shards` (size it to the
+    * cluster; the driver never sees a global order). A doc whose
+    * tokens cross a boundary spills into the next bin exactly as the
+    * concatenated token stream does. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    ctxTokens: Int = 2048, shards: Int = 32): DataFrame = {
+    require(ctxTokens > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    df.select(col(idCol), tokenCount(textCol).as("n_tokens"))
+      .withColumn("shard", pmod(col(idCol), lit(shards)))
+      .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin", floor(col("tok_start") / ctxTokens))
+      .select(col(idCol), col("shard"), col("bin"), col("tok_start"))
+  }
+
   /** Distribution-derived quality filter: keep docs whose
     * quality_score is at or above the `q`-th quantile of the corpus —
     * the "top quartile by quality" selection step of a training-data

@@ -56,6 +56,12 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
              max("doc_id").as("max_id"))),
 
+    // sequence packing: every doc assigned its (shard, bin, offset)
+    // in the concatenated fixed-window token stream
+    "q_pack" -> ((s, d) =>
+      TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
+        ctxTokens = 2048, shards = 8)),
+
     // train→eval decontamination check: odd doc_ids stand in for the
     // eval split, even for train. String-gram variant so DuckDB can
     // replay the gram universe exactly (the hashed scale path joins
@@ -172,6 +178,17 @@ object TextPack extends QueryPack {
          |  FROM documents
          |) GROUP BY split""".stripMargin
     },
+
+    "q_pack" ->
+      """SELECT doc_id, shard, CAST(floor(tok_start / 2048.0) AS BIGINT) AS bin,
+        |  tok_start
+        |FROM (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+        |  FROM (
+        |    SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
+        |    FROM documents))""".stripMargin,
 
     // grams replayed with the identical boundaries (full windows plus
     // the single short gram for <3-token docs); integer `/` is float

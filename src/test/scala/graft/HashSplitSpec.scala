@@ -24,6 +24,23 @@ class HashSplitSpec extends AnyFunSuite {
     assert(math.abs(counts("test") / n - 0.1) < 0.08, s"test=${counts("test")}")
   }
 
+  test("packSequences: contiguous token stream per shard, bins sized to the budget") {
+    val ctx = 64
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text",
+      ctxTokens = ctx, shards = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("bin"), r.getAs[Long]("tok_start")))
+    assert(out.length === docs.count())
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // first doc of each shard starts at 0; offsets strictly ordered
+      assert(sorted.head._4 === 0L)
+      assert(sorted.map(_._4) === sorted.map(_._4).sorted)
+      // bin is exactly the window containing the doc's first token
+      sorted.foreach { case (_, _, bin, start) => assert(bin === start / ctx) }
+    }
+  }
+
   test("assignment is stable across runs and independent of partitioning") {
     def assignment(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
       TextAnalysis.hashSplit(df, "doc_id").select("doc_id", "split")
