@@ -97,6 +97,23 @@ object TextAnalysis {
         round(col("hits") / col("n_grams"), 6))
   }
 
+  /** Intra-document repetition score — the boilerplate/spam signal
+    * quality filters pair with [[withQuality]]: the fraction of a
+    * doc's word `n`-gram OCCURRENCES that are repeats of an earlier
+    * gram in the same doc (0 = no repetition, →1 = the doc is one
+    * phrase looping). Pure map-side column expression: total windows
+    * minus distinct windows over total, no shuffle, no explode. */
+  def repetitionScore(textCol: String, n: Int = 3): Column = {
+    val total = s"greatest(size(split($textCol, ' ')) - ${n - 1}, 1)"
+    // distinct grams via the same let-bound window transform the
+    // other gram consumers use (split runs once per row)
+    val distinctGrams = graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+      s"""size(array_distinct(transform(
+         |  sequence(0, greatest(size(toks) - $n, 0)),
+         |  i -> concat_ws(' ', slice(toks, i + 1, $n)))))""".stripMargin)
+    expr(s"round(($total - $distinctGrams) / cast($total as double), 6)")
+  }
+
   /** Sequence packing — the concat-then-chunk assignment a
     * pretraining pipeline runs to turn variable-length docs into
     * fixed `ctxTokens` training windows: docs are concatenated in a

@@ -56,6 +56,12 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
              max("doc_id").as("max_id"))),
 
+    // intra-doc repetition (boilerplate/spam signal): fraction of
+    // 3-gram occurrences that repeat an earlier gram in the same doc
+    "q_repetition" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.repetitionScore("text", n = 3).as("repetition"))),
+
     // sequence packing: every doc assigned its (shard, bin, offset)
     // in the concatenated fixed-window token stream
     "q_pack" -> ((s, d) =>
@@ -178,6 +184,18 @@ object TextPack extends QueryPack {
          |  FROM documents
          |) GROUP BY split""".stripMargin
     },
+
+    "q_repetition" ->
+      """SELECT doc_id,
+        |  round((total - dist) / CAST(total AS DOUBLE), 6) AS repetition
+        |FROM (
+        |  SELECT doc_id,
+        |    greatest(len(string_split(text, ' ')) - 2, 1) AS total,
+        |    len(list_distinct(list_transform(
+        |      range(0, greatest(len(string_split(text, ' ')) - 3, 0) + 1),
+        |      i -> array_to_string(
+        |        list_slice(string_split(text, ' '), i + 1, i + 3), ' ')))) AS dist
+        |  FROM documents)""".stripMargin,
 
     "q_pack" ->
       """SELECT doc_id, shard, CAST(floor(tok_start / 2048.0) AS BIGINT) AS bin,
