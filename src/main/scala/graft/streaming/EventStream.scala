@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   * and Spark rejects the query at analysis). */
 case class WatermarkedEvent(user_id: Long, ts_ms: Long, ts: java.sql.Timestamp)
 
+/** Banded simhash row for streaming near-dup state (`ts` carries the
+  * watermark into the grouped input, same as [[WatermarkedEvent]]). */
+case class BandedSig(band: Int, chunk: Long, doc_id: Long, fp: Long,
+                     ts_ms: Long, ts: java.sql.Timestamp)
+
+/** One doc retained in a band bucket's dedup state. */
+case class BandEntry(doc_id: Long, fp: Long, ts_ms: Long)
+case class BandState(docs: List[BandEntry])
+
+/** `doc_id` duplicates earlier-arrived `dup_of` (per band; aggregate
+  * min(dup_of) by doc_id downstream for the per-doc verdict). */
+case class NearDupHit(doc_id: Long, dup_of: Long)
+
 object EventStream {
 
   /** Shared aggregation: hourly tumbling window per event_type. */
@@ -99,6 +112,81 @@ object EventStream {
                 state.getCurrentWatermarkMs() + 1))
               merged.init.iterator
             }
+          }
+      }.toDF()
+  }
+
+  /** Streaming NEAR-dup detection — the incremental [[graft.operators
+    * .Dedup.simhashNearDups]]: each arriving doc is flagged when a doc
+    * with simhash hamming ≤ `maxHamming` arrived earlier (within
+    * `horizonMs` of event time). Same pigeonhole banding as batch —
+    * the 64-bit fingerprint splits into four 16-bit chunks, and any
+    * pair within hamming ≤ 3 agrees on ≥ 1 chunk — so state is keyed
+    * by (band, chunk): a lookup touches only the docs sharing a
+    * 16-bit chunk, never the corpus, and per-bucket state is tiny for
+    * the same reason batch buckets are. State is pruned to the
+    * event-time horizon on every invocation and idle buckets are
+    * reaped by EventTimeTimeout, so state is bounded regardless of
+    * stream length. Matches are evaluated when the LATER doc (by
+    * event time, id tie-break) arrives — docs arriving out of order
+    * beyond that are the stream's inherent trade. Emits per-band
+    * [[NearDupHit]]s; aggregate `min(dup_of)` per doc downstream.
+    * EventStreamSpec pins stream == batch on an in-order feed. */
+  def nearDupStream(spark: SparkSession, dir: String, idCol: String,
+                    textCol: String, tsCol: String, maxHamming: Int = 3,
+                    delay: String = "10 minutes",
+                    horizonMs: Long = 24L * 3600 * 1000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    graft.functions.SimHash64.register(spark)
+    val schema = spark.read.parquet(dir).schema
+    val banded = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark(tsCol, delay)
+      .select(col(idCol).as("doc_id"),
+        graft.operators.Dedup.simhash(textCol).as("fp"),
+        unix_millis(col(tsCol)).as("ts_ms"), col(tsCol).as("ts"))
+      .select(col("doc_id"), col("fp"), col("ts_ms"), col("ts"),
+        explode(expr(
+          """transform(sequence(0, 3), j -> named_struct(
+            |  'band', cast(j as int),
+            |  'chunk', pmod(shiftright(fp, cast(j * 16 as int)), 65536)))"""
+            .stripMargin)).as("bs"))
+      .select(col("bs.band").as("band"), col("bs.chunk").as("chunk"),
+        col("doc_id"), col("fp"), col("ts_ms"), col("ts"))
+      .as[BandedSig]
+    banded.groupByKey(b => (b.band, b.chunk))
+      .flatMapGroupsWithState[BandState, NearDupHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[BandedSig], state: GroupState[BandState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val retained = state.getOption.map(_.docs).getOrElse(Nil)
+            .filter(_.ts_ms >= wm - horizonMs)
+          if (state.hasTimedOut) {
+            if (retained.isEmpty) state.remove()
+            else {
+              state.update(BandState(retained))
+              state.setTimeoutTimestamp(
+                math.max(retained.map(_.ts_ms).max + horizonMs, wm + 1))
+            }
+            Iterator.empty
+          } else {
+            val arrivals = it.toSeq.sortBy(b => (b.ts_ms, b.doc_id))
+            val hits = List.newBuilder[NearDupHit]
+            var seen = retained
+            arrivals.foreach { b =>
+              val earlier = seen.filter(e =>
+                (e.ts_ms < b.ts_ms ||
+                  (e.ts_ms == b.ts_ms && e.doc_id < b.doc_id)) &&
+                java.lang.Long.bitCount(e.fp ^ b.fp) <= maxHamming)
+              if (earlier.nonEmpty)
+                hits += NearDupHit(b.doc_id, earlier.map(_.doc_id).min)
+              seen = BandEntry(b.doc_id, b.fp, b.ts_ms) :: seen
+            }
+            val kept = seen.filter(_.ts_ms >= wm - horizonMs)
+            state.update(BandState(kept))
+            state.setTimeoutTimestamp(math.max(
+              kept.map(_.ts_ms).foldLeft(wm)(math.max) + horizonMs, wm + 1))
+            hits.result().iterator
           }
       }.toDF()
   }

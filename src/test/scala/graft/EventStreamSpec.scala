@@ -22,6 +22,37 @@ class EventStreamSpec extends AnyFunSuite {
     assert(spark.table("graft_sdedup").count() === batch)
   }
 
+  test("streaming simhash near-dup equals batch pairs, including across batches") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sneardup").toString
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+      .select(col("doc_id"), col("text"),
+        expr("timestamp_seconds(1700000000 + doc_id)").as("ts"))
+    // feed in two event-time-ordered batches so state genuinely
+    // crosses a batch boundary
+    docs.filter(col("doc_id") < 250).write.mode("overwrite").parquet(dir)
+    val q = EventStream.nearDupStream(spark, dir, "doc_id", "text", "ts",
+        maxHamming = 3, delay = "1 second")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sneardup").start()
+    try {
+      q.processAllAvailable()
+      docs.filter(col("doc_id") >= 250).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_sneardup")
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    // batch truth: for every doc_b its smallest matched earlier doc_a
+    // (ts order == id order here)
+    val batch = graft.operators.Dedup
+      .simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .groupBy(_._2).map { case (b, ps) => b -> ps.map(_._1).min }
+    assert(batch.nonEmpty, "test data must contain simhash near-dups")
+    assert(streamed === batch)
+  }
+
   test("streaming hourly aggregation equals the batch formulation") {
     // stage events as micro-precision parquet (streaming source can't
     // read the nanos-typed original)
