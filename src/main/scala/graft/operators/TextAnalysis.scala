@@ -255,6 +255,35 @@ object TextAnalysis {
     splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
       .map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
 
+  /** Deterministic per-source downsampling — the data-MIXING step of
+    * corpus assembly (keep 100% of the curated source, 10% of the
+    * crawl, …): each row survives iff the md5 prefix of its id falls
+    * under its source's keep-rate threshold. Same engine-replayable
+    * mechanism as [[hashSplit]] — membership is a pure function of
+    * (id, source), stable across runs/partitionings/engines, map-side
+    * CASE, no shuffle, no sampler state; re-running with a raised
+    * rate strictly grows the kept set (nested samples, the property
+    * mixing ablations rely on). Sources absent from `rates` keep
+    * `defaultRate`. */
+  def sourceMix(df: DataFrame, idCol: String, sourceCol: String,
+                rates: Map[String, Double],
+                defaultRate: Double = 1.0): DataFrame = {
+    require((rates.values ++ Seq(defaultRate)).forall(r => r >= 0 && r <= 1),
+      "rates must be in [0,1]")
+    // "g" sorts above every hex digit: rate 1.0 keeps everything
+    // (f"%08x" of 2^32 would be 9 chars and lexicographically LOSE
+    // to 8-char hashes)
+    def thr(r: Double): String =
+      if (r >= 1.0) "g" else f"${math.floor(r * 4294967296.0).toLong}%08x"
+    val hex = s"substring(md5(cast(cast($idCol as string) as binary)), 1, 8)"
+    val threshold =
+      if (rates.isEmpty) s"'${thr(defaultRate)}'"
+      else rates.toSeq.sortBy(_._1).map { case (s, r) =>
+        s"WHEN $sourceCol = '$s' THEN '${thr(r)}'"
+      }.mkString("CASE ", " ", s" ELSE '${thr(defaultRate)}' END")
+    df.filter(expr(s"$hex < ($threshold)"))
+  }
+
   /** Deterministic train/val/test assignment keyed on a hash of the
     * id — the reproducible-split primitive of a training-data
     * pipeline: stable across runs, machines, partitionings and

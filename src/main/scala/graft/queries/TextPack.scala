@@ -56,6 +56,13 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
              max("doc_id").as("max_id"))),
 
+    // data mixing: deterministic per-source keep rates (25% of src0,
+    // 50% of src1, all of everything else)
+    "q_mix" -> ((s, d) =>
+      TextAnalysis.sourceMix(Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 0.25, "src1" -> 0.5))
+        .select("doc_id", "source")),
+
     // intra-doc repetition (boilerplate/spam signal): fraction of
     // 3-gram occurrences that repeat an earlier gram in the same doc
     "q_repetition" -> ((s, d) =>
@@ -184,6 +191,15 @@ object TextPack extends QueryPack {
          |  FROM documents
          |) GROUP BY split""".stripMargin
     },
+
+    // thresholds are floor(rate·2^32) as 8 hex chars, same mechanism
+    // the q_hash_split oracle replays; 'g' sorts above all hex = keep
+    "q_mix" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+        |  CASE WHEN source = 'src0' THEN '40000000'
+        |       WHEN source = 'src1' THEN '80000000'
+        |       ELSE 'g' END""".stripMargin,
 
     "q_repetition" ->
       """SELECT doc_id,

@@ -24,6 +24,28 @@ class HashSplitSpec extends AnyFunSuite {
     assert(math.abs(counts("test") / n - 0.1) < 0.08, s"test=${counts("test")}")
   }
 
+  test("sourceMix: deterministic, rate-monotone (nested samples), boundary rates exact") {
+    val n = docs.count()
+    def kept(rate: Double): Set[Long] =
+      TextAnalysis.sourceMix(docs, "doc_id", "source",
+        Map.empty, defaultRate = rate)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(1.0).size === n, "rate 1.0 keeps everything")
+    assert(kept(0.0).isEmpty, "rate 0.0 keeps nothing")
+    val half = kept(0.5)
+    assert(kept(0.25).subsetOf(half), "raising the rate only adds rows")
+    assert(half.subsetOf(kept(0.75)))
+    // approximately the asked fraction, and stable across calls
+    assert(math.abs(half.size.toDouble / n - 0.5) < 0.08)
+    assert(half === kept(0.5))
+    // per-source rates apply independently of other sources
+    val mixed = TextAnalysis.sourceMix(docs, "doc_id", "source",
+      Map("src0" -> 0.0), defaultRate = 1.0)
+    assert(mixed.filter(org.apache.spark.sql.functions.col("source") === "src0").count() === 0)
+    assert(mixed.count() === docs.filter(
+      org.apache.spark.sql.functions.col("source") =!= "src0").count())
+  }
+
   test("packSequences: contiguous token stream per shard, bins sized to the budget") {
     val ctx = 64
     val out = TextAnalysis.packSequences(docs, "doc_id", "text",
