@@ -255,6 +255,35 @@ object TextAnalysis {
     splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
       .map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
 
+  /** Per-source cap — keep at most `cap` docs per source (the guard
+    * against one domain dominating the corpus): deterministic
+    * row_number within source, ordered by `orderCol`. One shuffle on
+    * source; the window partitions are per-source so no global sort
+    * exists — a skewed giant source is the one case to watch, and the
+    * cap itself is what bounds the damage (only `cap` rows survive
+    * per partition). */
+  def sourceCap(df: DataFrame, sourceCol: String, orderCol: String,
+                cap: Int): DataFrame = {
+    require(cap > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sourceCol).orderBy(col(orderCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** Corpus datasheet: per-source row counts and content stats — the
+    * reporting pass run after every assembly step. Single partial-agg
+    * shuffle. */
+  def sourceStats(df: DataFrame, idCol: String, sourceCol: String,
+                  textCol: String): DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(tokenCount(textCol)).as("total_tokens"),
+        round(avg(tokenCount(textCol)), 4).as("avg_tokens"),
+        round(avg(length(col(textCol))), 4).as("avg_chars"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
   /** Deterministic per-source downsampling — the data-MIXING step of
     * corpus assembly (keep 100% of the curated source, 10% of the
     * crawl, …): each row survives iff the md5 prefix of its id falls

@@ -56,6 +56,17 @@ object TextPack extends QueryPack {
         .agg(count(lit(1)).as("cnt"), min("doc_id").as("min_id"),
              max("doc_id").as("max_id"))),
 
+    // domain-domination guard: at most 12 docs per source,
+    // deterministic id order
+    "q_source_cap" -> ((s, d) =>
+      TextAnalysis.sourceCap(Tables.documents(s, d), "source", "doc_id",
+        cap = 12).select("doc_id", "source")),
+
+    // corpus datasheet: per-source counts and content stats
+    "q_source_stats" -> ((s, d) =>
+      TextAnalysis.sourceStats(Tables.documents(s, d), "doc_id", "source",
+        "text")),
+
     // data mixing: deterministic per-source keep rates (25% of src0,
     // 50% of src1, all of everything else)
     "q_mix" -> ((s, d) =>
@@ -191,6 +202,20 @@ object TextPack extends QueryPack {
          |  FROM documents
          |) GROUP BY split""".stripMargin
     },
+
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 12""".stripMargin,
+
+    "q_source_stats" ->
+      """SELECT source, count(*) AS docs,
+        |  sum(len(string_split_regex(text, '\s+'))) AS total_tokens,
+        |  round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
+        |  round(avg(length(text)), 4) AS avg_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY source""".stripMargin,
 
     // thresholds are floor(rate·2^32) as 8 hex chars, same mechanism
     // the q_hash_split oracle replays; 'g' sorts above all hex = keep
