@@ -360,9 +360,15 @@ object Dedup {
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
-    * equal), bucket-join on chunks, verify hamming ≤ `maxHamming`. */
+    * equal), bucket-join on chunks, verify hamming ≤ `maxHamming`.
+    * `maxHamming` must be ≤ 3: with 4 chunks the pigeonhole guarantee
+    * stops there — a pair at hamming 4 can differ in every chunk and
+    * never collide, silently losing pairs. (A wider radius needs more
+    * chunks: maxHamming+1 bands guarantee a collision in general.) */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
     graft.functions.SimHash64.register(docs.sparkSession)
     val withFp = spread(docs)
       .select(col(idCol).as("id"), tokenHashes(textCol).as("th"))

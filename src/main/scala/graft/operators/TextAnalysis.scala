@@ -304,13 +304,17 @@ object TextAnalysis {
     // to 8-char hashes)
     def thr(r: Double): String =
       if (r >= 1.0) "g" else f"${math.floor(r * 4294967296.0).toLong}%08x"
-    val hex = s"substring(md5(cast(cast($idCol as string) as binary)), 1, 8)"
-    val threshold =
-      if (rates.isEmpty) s"'${thr(defaultRate)}'"
-      else rates.toSeq.sortBy(_._1).map { case (s, r) =>
-        s"WHEN $sourceCol = '$s' THEN '${thr(r)}'"
-      }.mkString("CASE ", " ", s" ELSE '${thr(defaultRate)}' END")
-    df.filter(expr(s"$hex < ($threshold)"))
+    val hex = substring(md5(col(idCol).cast("string").cast("binary")), 1, 8)
+    // typed when-chain, not string-assembled SQL: source names are
+    // DATA (arbitrary user strings) and must never reach the parser
+    val threshold = rates.toSeq.sortBy(_._1)
+      .foldLeft(Option.empty[Column]) { case (acc, (s, r)) =>
+        val cond = col(sourceCol) === lit(s)
+        Some(acc.fold(when(cond, lit(thr(r))))(_.when(cond, lit(thr(r)))))
+      }
+      .map(_.otherwise(lit(thr(defaultRate))))
+      .getOrElse(lit(thr(defaultRate)))
+    df.filter(hex < threshold)
   }
 
   /** Deterministic train/val/test assignment keyed on a hash of the

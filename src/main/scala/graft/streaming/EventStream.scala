@@ -131,13 +131,29 @@ object EventStream {
     * event time, id tie-break) arrives — docs arriving out of order
     * beyond that are the stream's inherent trade. Emits per-band
     * [[NearDupHit]]s; aggregate `min(dup_of)` per doc downstream.
-    * EventStreamSpec pins stream == batch on an in-order feed. */
+    * EventStreamSpec pins stream == batch on an in-order feed.
+    *
+    * `maxBucket` mirrors the batch operator's skew guard: a (band,
+    * chunk) bucket whose retained state has reached the cap stops
+    * matching and stops growing — arrivals into a full bucket are
+    * dropped from that band, exactly as batch drops oversized buckets
+    * before pairing. (Such docs can still match through their other
+    * three bands.) Without the cap a hot chunk — boilerplate or empty
+    * texts sharing a fingerprint — would grow state unboundedly within
+    * the horizon and do O(bucket²) work per micro-batch.
+    * `maxHamming` must be ≤ 3: the 4×16-bit pigeonhole only guarantees
+    * a chunk collision for pairs within hamming 3; a larger radius
+    * would silently lose pairs that differ in every chunk. */
   def nearDupStream(spark: SparkSession, dir: String, idCol: String,
                     textCol: String, tsCol: String, maxHamming: Int = 3,
                     delay: String = "10 minutes",
-                    horizonMs: Long = 24L * 3600 * 1000): DataFrame = {
+                    horizonMs: Long = 24L * 3600 * 1000,
+                    maxBucket: Int = 64): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
+    require(maxBucket > 0, s"maxBucket=$maxBucket must be positive")
     graft.functions.SimHash64.register(spark)
     val schema = spark.read.parquet(dir).schema
     val banded = spark.readStream.schema(schema).parquet(dir)
@@ -173,14 +189,19 @@ object EventStream {
             val arrivals = it.toSeq.sortBy(b => (b.ts_ms, b.doc_id))
             val hits = List.newBuilder[NearDupHit]
             var seen = retained
+            var bucketSize = retained.size
             arrivals.foreach { b =>
-              val earlier = seen.filter(e =>
-                (e.ts_ms < b.ts_ms ||
-                  (e.ts_ms == b.ts_ms && e.doc_id < b.doc_id)) &&
-                java.lang.Long.bitCount(e.fp ^ b.fp) <= maxHamming)
-              if (earlier.nonEmpty)
-                hits += NearDupHit(b.doc_id, earlier.map(_.doc_id).min)
-              seen = BandEntry(b.doc_id, b.fp, b.ts_ms) :: seen
+              if (bucketSize < maxBucket) {
+                val earlier = seen.filter(e =>
+                  (e.ts_ms < b.ts_ms ||
+                    (e.ts_ms == b.ts_ms && e.doc_id < b.doc_id)) &&
+                  java.lang.Long.bitCount(e.fp ^ b.fp) <= maxHamming)
+                if (earlier.nonEmpty)
+                  hits += NearDupHit(b.doc_id, earlier.map(_.doc_id).min)
+                seen = BandEntry(b.doc_id, b.fp, b.ts_ms) :: seen
+                bucketSize += 1
+              }
+              // else: bucket at cap — drop from this band (batch parity)
             }
             val kept = seen.filter(_.ts_ms >= wm - horizonMs)
             state.update(BandState(kept))
