@@ -117,13 +117,30 @@ final class Catalog(spark: SparkSession, root: String,
     * filter selectivity applied to the scan estimate), so no extra
     * pass over the data is needed; `repartition` (round-robin) rather
     * than `coalesce` because chain-merging partitions produces uneven
-    * files, and the write was going to shuffle-or-scan anyway. */
+    * files, and the write was going to shuffle-or-scan anyway.
+    *
+    * The plan statistic is an UNCOMPRESSED in-memory estimate, while
+    * parquet/orc write compressed + encoded bytes — dividing the raw
+    * estimate by `targetFileBytes` would land files several× smaller
+    * than asked. `compressionRatio` (on-disk bytes ÷ in-memory bytes)
+    * corrects for that; the 0.35 default is a conservative middle for
+    * snappy parquet on mixed text/numeric tables (dictionary+RLE on
+    * numerics compress far better, incompressible blobs worse). Pass
+    * a measured ratio for a known table — e.g. a prior version's
+    * on-disk size ÷ its plan estimate — or 1.0 to recover the old
+    * uncorrected behavior. Ratios above 1 are legal: for frames built
+    * in memory (range/localRelation) the plan estimate can UNDERSHOOT
+    * the written bytes, and a measured ratio then exceeds 1. */
   def putCompacted(name: String, df: DataFrame,
                    targetFileBytes: Long = 128L << 20,
-                   format: String = "parquet"): CatalogEntry = {
+                   format: String = "parquet",
+                   compressionRatio: Double = 0.35): CatalogEntry = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(compressionRatio > 0,
+      s"compressionRatio=$compressionRatio must be positive")
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nFiles = ((est + targetFileBytes - 1) / targetFileBytes)
+    val estOnDisk = (BigDecimal(est) * compressionRatio).toBigInt
+    val nFiles = ((estOnDisk + targetFileBytes - 1) / targetFileBytes)
       .max(1).min(1 << 20).toInt
     writeVersioned(name, format) { dir =>
       df.repartition(nFiles).write.format(format)

@@ -274,13 +274,15 @@ object TextAnalysis {
 
   /** Corpus datasheet: per-source row counts and content stats — the
     * reporting pass run after every assembly step. Single partial-agg
-    * shuffle. */
+    * shuffle; `n_tokens` is projected once so the sum and avg share
+    * the tokenization work instead of splitting the text twice. */
   def sourceStats(df: DataFrame, idCol: String, sourceCol: String,
                   textCol: String): DataFrame =
-    df.groupBy(col(sourceCol))
+    df.withColumn("__graft_n_tokens", tokenCount(textCol))
+      .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("docs"),
-        sum(tokenCount(textCol)).as("total_tokens"),
-        round(avg(tokenCount(textCol)), 4).as("avg_tokens"),
+        sum(col("__graft_n_tokens")).as("total_tokens"),
+        round(avg(col("__graft_n_tokens")), 4).as("avg_tokens"),
         round(avg(length(col(textCol))), 4).as("avg_chars"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 

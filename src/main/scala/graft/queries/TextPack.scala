@@ -211,7 +211,7 @@ object TextPack extends QueryPack {
 
     "q_source_stats" ->
       """SELECT source, count(*) AS docs,
-        |  sum(len(string_split_regex(text, '\s+'))) AS total_tokens,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT) AS total_tokens,
         |  round(avg(len(string_split_regex(text, '\s+'))), 4) AS avg_tokens,
         |  round(avg(length(text)), 4) AS avg_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -243,8 +243,8 @@ object TextPack extends QueryPack {
         |  tok_start
         |FROM (
         |  SELECT doc_id, doc_id % 8 AS shard,
-        |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS tok_start
+        |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
         |  FROM (
         |    SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
         |    FROM documents))""".stripMargin,

@@ -133,14 +133,26 @@ object EventStream {
     * [[NearDupHit]]s; aggregate `min(dup_of)` per doc downstream.
     * EventStreamSpec pins stream == batch on an in-order feed.
     *
-    * `maxBucket` mirrors the batch operator's skew guard: a (band,
-    * chunk) bucket whose retained state has reached the cap stops
-    * matching and stops growing — arrivals into a full bucket are
-    * dropped from that band, exactly as batch drops oversized buckets
-    * before pairing. (Such docs can still match through their other
-    * three bands.) Without the cap a hot chunk — boilerplate or empty
-    * texts sharing a fingerprint — would grow state unboundedly within
-    * the horizon and do O(bucket²) work per micro-batch.
+    * `maxBucket` plays the same skew-guard ROLE as the batch
+    * operator's bucket cap, but the semantics necessarily diverge —
+    * batch sees the whole corpus before pairing, so it drops an
+    * oversized (band, chunk) bucket ENTIRELY (zero pairs from it,
+    * [[graft.operators.Dedup.simhashNearDups]]); an append-mode
+    * stream cannot retract hits it already emitted, so a bucket
+    * pairs its first `maxBucket` arrivals normally and only then
+    * stops: later arrivals are dropped from that band (they can
+    * still match through their other three bands). On a hot chunk
+    * that exceeds the cap the stream therefore emits hits batch
+    * suppresses. Bucket size is also counted differently: batch
+    * counts corpus-wide, the stream counts state retained within
+    * `horizonMs` — so a bucket that fills, then ages past the
+    * horizon, accepts (and matches) again. Dropped arrivals are
+    * counted in the named accumulator
+    * `graft.nearDupStream.droppedArrivals` (visible in the Spark UI
+    * per micro-batch), never silent. Without the cap a hot chunk —
+    * boilerplate or empty texts sharing a fingerprint — would grow
+    * state unboundedly within the horizon and do O(bucket²) work
+    * per micro-batch.
     * `maxHamming` must be ≤ 3: the 4×16-bit pigeonhole only guarantees
     * a chunk collision for pairs within hamming 3; a larger radius
     * would silently lose pairs that differ in every chunk. */
@@ -155,6 +167,8 @@ object EventStream {
       s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
     require(maxBucket > 0, s"maxBucket=$maxBucket must be positive")
     graft.functions.SimHash64.register(spark)
+    val droppedArrivals =
+      spark.sparkContext.longAccumulator("graft.nearDupStream.droppedArrivals")
     val schema = spark.read.parquet(dir).schema
     val banded = spark.readStream.schema(schema).parquet(dir)
       .withWatermark(tsCol, delay)
@@ -200,8 +214,12 @@ object EventStream {
                   hits += NearDupHit(b.doc_id, earlier.map(_.doc_id).min)
                 seen = BandEntry(b.doc_id, b.fp, b.ts_ms) :: seen
                 bucketSize += 1
+              } else {
+                // bucket at cap — drop the arrival from this band.
+                // NOT batch parity (batch would suppress the whole
+                // bucket; see the method doc) — counted, not silent.
+                droppedArrivals.add(1)
               }
-              // else: bucket at cap — drop from this band (batch parity)
             }
             val kept = seen.filter(_.ts_ms >= wm - horizonMs)
             state.update(BandState(kept))

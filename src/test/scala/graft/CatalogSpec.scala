@@ -128,11 +128,47 @@ class CatalogSpec extends AnyFunSuite {
     cat.putCompacted("li_one", docs, targetFileBytes = 1L << 40)
     assert(partFiles("li_one") === 1)
     // tiny target → file count scales with the size estimate
-    cat.putCompacted("li_many", docs, targetFileBytes = 64L << 10)
+    // (ratio 1.0 pins the raw-estimate scaling independent of the
+    // compression correction, which the next test covers)
+    cat.putCompacted("li_many", docs, targetFileBytes = 64L << 10,
+      compressionRatio = 1.0)
     assert(partFiles("li_many") > 1)
     // contents survive either layout
     assert(cat.get("li_one").count() === docs.count())
     assert(cat.get("li_many").count() === docs.count())
+  }
+
+  test("putCompacted compressionRatio lands on-disk file sizes near the target") {
+    import org.apache.spark.sql.functions._
+    val (cat, _) = freshCatalog()
+    // md5 hex is effectively incompressible, so the measured ratio is
+    // stable; 200k rows ≈ a few MB on disk
+    val df = spark.range(200000L).select(col("id"),
+      md5(col("id").cast("string")).as("h"))
+    def onDiskBytes(name: String): Long =
+      new java.io.File(cat.filetable(name).path).listFiles()
+        .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+        .map(_.length()).sum
+    def nFiles(name: String): Int =
+      new java.io.File(cat.filetable(name).path).listFiles()
+        .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    // calibrate: one file, measure the table's true on-disk/in-memory
+    // ratio — exactly the "prior version's size ÷ plan estimate"
+    // workflow the docstring recommends
+    cat.putCompacted("cal", df, targetFileBytes = 1L << 40)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    val measured = onDiskBytes("cal").toDouble / est
+    // for in-memory-built frames the plan estimate can undershoot, so
+    // the measured ratio may exceed 1 — only positivity is guaranteed
+    assert(measured > 0, s"ratio must be positive (ratio=$measured)")
+    // with the measured ratio, mean file size must land within 2× of
+    // the target (the uncorrected estimate would miss by 1/ratio)
+    val target = onDiskBytes("cal") / 4
+    cat.putCompacted("sized", df, targetFileBytes = target,
+      compressionRatio = measured)
+    val mean = onDiskBytes("sized").toDouble / nFiles("sized")
+    assert(mean >= target / 2.0 && mean <= target * 2.0,
+      s"mean file size $mean vs target $target (nFiles=${nFiles("sized")})")
   }
 
   test("putBlob/getBlob round-trips arbitrary bytes byte-identically") {

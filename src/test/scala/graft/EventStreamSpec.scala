@@ -53,6 +53,46 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("nearDupStream overflow bucket: caps matching, then reopens after horizon aging") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sneardup-cap").toString
+    val t0 = 1700000000L
+    import spark.implicits._
+    def write(ids: Seq[Long], off: Long => Long, mode: String): Unit =
+      ids.map(i => (i, off(i))).toDF("doc_id", "tsoff")
+        .withColumn("text", lit("the quick brown fox jumps over the lazy dog"))
+        .withColumn("ts", expr(s"timestamp_seconds($t0 + tsoff)"))
+        .drop("tsoff")
+        .write.mode(mode).parquet(dir)
+    // batch 1: five identical docs, cap is 4 — doc 4 must be dropped
+    write(Seq(0L, 1L, 2L, 3L, 4L), i => i, "overwrite")
+    val q = EventStream.nearDupStream(spark, dir, "doc_id", "text", "ts",
+        maxHamming = 3, delay = "1 second", horizonMs = 10000L, maxBucket = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sneardup_cap").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: bucket still full (state within horizon) — dropped too
+      write(Seq(10L, 11L), _ => 100L, "append")
+      q.processAllAvailable()
+      // batch 3: watermark now ~t0+99s, batch-1 state aged out (>10s
+      // horizon) and batch-2 docs were never admitted — bucket reopens
+      // empty, doc 20 is admitted with no earlier match
+      write(Seq(20L), _ => 102L, "append")
+      q.processAllAvailable()
+      // batch 4: doc 21 matches the re-admitted doc 20
+      write(Seq(21L), _ => 103L, "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_sneardup_cap")
+      .groupBy("doc_id").agg(min("dup_of").as("dup_of"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("dup_of")).toMap
+    // first maxBucket arrivals pair normally; overflow (4, 10, 11) is
+    // dropped — the documented divergence from batch, which would have
+    // suppressed the whole bucket; post-aging the bucket matches again
+    assert(streamed === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 21L -> 20L))
+  }
+
   test("streaming hourly aggregation equals the batch formulation") {
     // stage events as micro-precision parquet (streaming source can't
     // read the nanos-typed original)
