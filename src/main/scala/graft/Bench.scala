@@ -40,8 +40,25 @@ object Bench {
     }.sorted
     val canaryMedian = canaryRuns(canaryRuns.size / 2)
 
+    // Memory canary: the round-6 bench silently produced 10× garbage
+    // on a degraded host. Heap ceiling + GC pressure over the suite
+    // travel with the JSON so a starved/thrashing run is
+    // self-diagnosing instead of masquerading as a code regression.
+    import scala.jdk.CollectionConverters._
+    def gcTotals(): (Long, Long) = {
+      val beans = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionCount.max(0L)).sum,
+        beans.map(_.getCollectionTime.max(0L)).sum)
+    }
+    val (gcCount0, gcMs0) = gcTotals()
+    val suiteT0 = System.nanoTime()
+
     var errors = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // benchQueries = the Verify queries with production-shape
+    // overrides for entries whose oracle scaffolding (element-wise
+    // pins) would otherwise dominate the timing
+    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -60,8 +77,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val (gcCount1, gcMs1) = gcTotals()
+    val suiteSec = (System.nanoTime() - suiteT0) / 1e9
+    val rt = Runtime.getRuntime
+    // gc_frac = share of suite wall time spent in stop-the-world GC —
+    // the allocation-pressure proxy; > ~0.1 means timings are
+    // memory-bound, not code-bound
+    val mem = s"""{"heap_max_bytes":${rt.maxMemory()},"heap_used_bytes":${rt.totalMemory() - rt.freeMemory()},"gc_count":${gcCount1 - gcCount0},"gc_ms":${gcMs1 - gcMs0},"gc_frac":${(gcMs1 - gcMs0) / 1000.0 / math.max(suiteSec, 1e-9)}}"""
     val canary = s"""{"query":"q_project","median_sec":$canaryMedian,"runs":${canaryRuns.size},"healthy_ref_sec_sf01":0.15}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -20,4 +20,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracleSql: Map[String, String]
+
+  /** Bench-only replacements, keyed by an existing `queries` name: the
+    * PRODUCTION shape of an operator, for queries whose Verify form
+    * carries oracle scaffolding (element-wise verification explodes)
+    * that would dominate the timing. Verify keeps running the full
+    * pinned form; Bench times the override. Every key must also exist
+    * in `queries` (asserted in SparkEntrySpec). */
+  def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map.empty
 }

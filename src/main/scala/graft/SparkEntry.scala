@@ -41,4 +41,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     packs.flatMap(_.oracleSql).toMap
+
+  /** What Bench times: `queries` with any production-shape
+    * [[QueryPack.benchOverrides]] applied. Verify always runs the
+    * un-overridden form (the correctness pin). */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    queries ++ packs.flatMap(_.benchOverrides)
 }

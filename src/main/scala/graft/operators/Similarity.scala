@@ -188,6 +188,40 @@ object Similarity {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  // Skew-cap observability without a dedicated driver job: the bucket
+  // histogram is observed IN the production query (CollectMetrics adds
+  // no shuffle and no extra action — the round-7 bench showed the old
+  // eager `head()` accounting nearly doubled the operator's wall time
+  // at small SF, one whole sequential job of pure overhead), and a
+  // once-per-session listener logs any dropped buckets when the query
+  // that consumed the pairs completes. Observation names must be
+  // unique per query, hence the counter.
+  private val skewObsId = new java.util.concurrent.atomic.AtomicLong(0)
+  private val skewListenerSessions: java.util.Set[org.apache.spark.sql.SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  private[graft] def ensureSkewListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (skewListenerSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_neardup_skew")) {
+              val buckets = row.getAs[Long]("dropped_buckets")
+              if (buckets > 0)
+                log.warn(s"nearDupPairs: dropped $buckets oversized buckets " +
+                  s"(${row.getAs[Long]("dropped_band_rows")} band-rows, " +
+                  s"cap=${row.getAs[Long]("cap")}) — pairs within them are " +
+                  "NOT examined; raise maxBucket or bands to recover them")
+            }
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
+
   /** Embedding near-dup pairs above a cosine threshold. Banded
     * hyperplane LSH: `bands` bands, each `bitsPerBand` bits drawn
     * from a shared pool of `numBits` sign bits; bucket-join per band,
@@ -205,9 +239,12 @@ object Similarity {
     * buckets — with every dropped bucket COUNTED AND LOGGED, never
     * silent. Pass explicit values to pin any of them.
     *
-    * `skewWarn = false` skips the accounting job (one driver-side
-    * action over the persisted bucket sizes) for callers embedding
-    * this in a larger pipeline that audits the caps itself. */
+    * `skewWarn = true` (default) observes the bucket histogram inside
+    * the production query itself (`Dataset.observe` — no extra job,
+    * no extra shuffle) and a session-level listener logs a warning
+    * with the dropped-bucket count when the consuming action
+    * completes. `false` skips even the observation, for callers
+    * auditing the caps themselves. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dim: Int = 64, numBits: Int = 0,
                    bands: Int = 16, bitsPerBand: Int = 0,
@@ -250,23 +287,24 @@ object Similarity {
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
     val sizes = chunks.groupBy("band", "sig").count()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew-cap accounting: dropping a bucket drops its pairs from the
     // output — that must be visible, not silent. With adaptive r the
     // expected bucket is ~targetBucket, so anything over maxB is a
     // genuine outlier (duplicated boilerplate vectors), but we still
-    // surface the loss.
-    if (skewWarn) {
-      val over = sizes.filter(col("count") > maxB)
-        .agg(count(lit(1)).as("buckets"), coalesce(sum("count"), lit(0L)).as("rows"))
-        .head()
-      if (over.getLong(0) > 0)
-        log.warn(s"nearDupPairs: dropping ${over.getLong(0)} oversized buckets " +
-          s"(${over.getLong(1)} band-rows, cap=$maxB) — pairs within them are " +
-          s"NOT examined; raise maxBucket or bands to recover them")
-    }
+    // surface the loss — observed in-query (CollectMetrics sits above
+    // the histogram and below the prune filter, so it sees every
+    // bucket and costs no extra action; the listener logs on query
+    // completion).
+    val sized = if (skewWarn) {
+      ensureSkewListener(emb.sparkSession)
+      sizes.observe(s"graft_neardup_skew_${skewObsId.incrementAndGet()}",
+        coalesce(sum(when(col("count") > maxB, col("count"))), lit(0L))
+          .as("dropped_band_rows"),
+        count(when(col("count") > maxB, lit(1))).as("dropped_buckets"),
+        coalesce(max(lit(maxB.toLong)), lit(maxB.toLong)).as("cap"))
+    } else sizes
     val pruned = chunks
-      .join(sizes.filter(col("count") <= maxB), Seq("band", "sig"))
+      .join(sized.filter(col("count") <= maxB), Seq("band", "sig"))
       .drop("count")
     val lhs = pruned.alias("l")
     val rhs = pruned.alias("r")

@@ -76,6 +76,21 @@ object SimilarityPack extends QueryPack {
     }),
   )
 
+  /** q_embed_quantize's Verify form explodes every vector element-wise
+    * (~rows×64 output) so DuckDB can pin each byte — right for the
+    * correctness gate, wrong to TIME: the bench would forever carry
+    * ~13 s of test scaffolding (round-7 verdict item 3). The bench
+    * times the production shape instead: quantize + one digest row per
+    * vector, which still evaluates the full quantization arithmetic
+    * for every element. */
+  override def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quantize" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "vec_id", "embedding")
+        .select(col("vec_id"), xxhash64(col("qvec"), col("scale")).as("digest"))
+    }),
+  )
+
   /** The LSH probe IS SQL-expressible because the planes are seeded
     * literals: replay bit h = sign(v·plane_h) per row, assemble the
     * bucket id, and filter to the same driver-side probe set — then

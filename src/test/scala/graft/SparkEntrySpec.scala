@@ -18,6 +18,17 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("every bench override replaces an existing query and returns rows") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.packs.flatMap(_.benchOverrides.keys).toSet.diff(qs)
+    assert(orphans.isEmpty, s"bench overrides without queries: $orphans")
+    // the production shape must still exercise the operator end-to-end
+    SparkEntry.packs.flatMap(_.benchOverrides).foreach { case (name, fn) =>
+      assert(fn(spark, SparkSuite.sf0001).count() > 0,
+        s"bench override $name returned zero rows")
+    }
+  }
+
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
