@@ -33,10 +33,13 @@ import org.apache.spark.storage.StorageLevel
   *    dominates). The checkpoint materializes the two-long frame and
   *    truncates the plan — the standard Spark iterative-algorithm
   *    discipline (GraphX Pregel checkpoints the same way).
-  *  - Convergence is a driver-side emptiness check per round on the
-  *    already-materialized checkpoint — inherent to any fixpoint
-  *    loop (Pregel counts active vertices identically); it reads
-  *    cached state, never rescans the input.
+  *  - Convergence costs no extra job: the count of still-lowering
+  *    nodes is observed (`Dataset.observe`) inside the SAME pass that
+  *    materializes the round's checkpoint, so each round is exactly
+  *    one action. (Pregel pays a separate active-vertex count per
+  *    superstep; CollectMetrics rides the checkpoint scan for free —
+  *    at 100 TB that saves one full pass over the (id, comp) state
+  *    per round.)
   */
 object Components {
 
@@ -65,13 +68,17 @@ object Components {
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("mid"))
       // pointer jump: follow my label to ITS label (labels only ever
       // decrease, so the jump target is ≤ mid when present)
+      val obs = new org.apache.spark.sql.Observation()
       val next = lowered
         .join(labels.select(col("id").as("mid"), col("comp").as("jump")),
           Seq("mid"), "left")
         .select(col("id"), col("old"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("comp"))
+        .observe(obs, count(when(col("comp") < col("old"), 1)).as("lowered"))
         .localCheckpoint()
-      converged = next.filter(col("comp") < col("old")).isEmpty
+      // the eager checkpoint IS the round's one action; the metric is
+      // collected during it, so this get() does not launch a job
+      converged = obs.get("lowered").asInstanceOf[Long] == 0L
       labels = next.select("id", "comp")
       iter += 1
     }
