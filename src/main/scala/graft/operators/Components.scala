@@ -49,13 +49,23 @@ object Components {
     * bounds the rounds (≈ log2 diameter needed; 25 covers any graph
     * that fits storage); the fixpoint normally exits far earlier. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    // `edges` is typically the OUTPUT of an LSH near-dup pipeline —
+    // symmetrizing by unioning two selects of it would execute that
+    // whole upstream pipeline twice (band self-join + verify joins,
+    // the expensive part). Persist the single orientation first: the
+    // union's second branch reads the cache, so upstream runs once.
+    val e1 = edges.select(col("src"), col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = e1
+      .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    // sym is materialized by the checkpoint above; the raw orientation
+    // is no longer needed
+    e1.unpersist()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
