@@ -100,15 +100,19 @@ object Similarity {
     * `array(...)` — every bit is an independent codegen'd tight loop,
     * where the previous `transform(planes, p -> aggregate(...))` shape
     * evaluated interpreted lambdas per element per plane per row.
+    * Each plane rides in as ONE `typedLit` Literal node — the earlier
+    * SQL-text formulation parsed dim×numBits literal nodes (2048 at
+    * the near-dup pool size), and that parse/analysis cost was a
+    * visible share of the operator's wall time at small scale.
     * Callers must have registered [[graft.functions.DotProduct]] on
     * the session (every DataFrame-taking operator here does). */
   def hyperplaneBits(vecCol: String, dim: Int, numBits: Int,
                      seed: Long = 7L): Column = {
     val bits = hyperplanes(dim, numBits, seed).map { p =>
-      val pl = p.map(x => s"${x}D").mkString("array(", ", ", ")")
-      s"CASE WHEN graft_dot($vecCol, $pl) >= 0D THEN 1 ELSE 0 END"
-    }.mkString("array(", ", ", ")")
-    expr(bits)
+      when(call_function("graft_dot", col(vecCol), typedLit(p)) >= 0d, 1)
+        .otherwise(0)
+    }
+    array(bits: _*)
   }
 
   /** The multi-probe bucket set for a query vector: its own signature
