@@ -150,14 +150,22 @@ object TextAnalysis {
     * pattern as percentage-of-total), so the filter itself stays
     * map-side. A `percent_rank() OVER (ORDER BY ...)` formulation
     * would funnel the corpus through a single-partition sort — the
-    * classic global-window scale killer. `percentile` is exact (for
-    * DuckDB-oracle parity); at corpus scale swap in
-    * `approx_percentile(quality_score, q, accuracy)` — a mergeable
-    * sketch with the identical plan shape. */
+    * classic global-window scale killer.
+    *
+    * `approxAccuracy = 0` (default) uses exact `percentile` (full
+    * per-group value collection — fine to ~millions of rows, and what
+    * the DuckDB oracle replays); at corpus scale pass an accuracy
+    * (e.g. 10000) to swap in `approx_percentile` — a mergeable
+    * constant-memory sketch with the identical plan shape, off by at
+    * most 1/accuracy in rank. */
   def qualityFilter(df: DataFrame, textCol: String,
-                    q: Double = 0.75): DataFrame = {
+                    q: Double = 0.75, approxAccuracy: Int = 0): DataFrame = {
     val scored = withQuality(df, textCol)
-    val thr = scored.agg(expr(s"percentile(quality_score, ${q}D)").as("thr"))
+    val thrAgg =
+      if (approxAccuracy > 0)
+        expr(s"approx_percentile(quality_score, ${q}D, $approxAccuracy)")
+      else expr(s"percentile(quality_score, ${q}D)")
+    val thr = scored.agg(thrAgg.as("thr"))
     scored.crossJoin(broadcast(thr))
       .filter(col("quality_score") >= col("thr"))
       .drop("thr")
