@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Physical-plan pins for the properties the 100 TB path depends on:
+  * filters and projections reaching the parquet scan, the bounded hot
+  * side of skew-split joins actually broadcasting, and the LSH pair
+  * pipeline never degenerating into a cartesian product. These are the
+  * invariants a refactor could silently lose while every value-level
+  * test stays green. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down into the parquet scan") {
+    val df = Tables.lineitem(spark, SparkSuite.sf0001)
+      .filter(col("l_returnflag") === "A")
+      .select("l_orderkey", "l_quantity")
+    val p = plan(df)
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(l_returnflag,A)"),
+      s"filter not pushed to scan:\n$p")
+    // column pruning: the scan must not read columns the query never uses
+    assert(!p.contains("l_extendedprice") && !p.contains("l_shipdate"),
+      s"scan reads unprojected columns:\n$p")
+  }
+
+  test("tfidf frequency-split: the bounded hot-term side broadcasts") {
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(TextAnalysis.tfidfTop(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-term join is not a broadcast join:\n$p")
+  }
+
+  test("IVF probe list broadcasts; scan side never shuffles on cluster") {
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val q = Similarity.seededUnitVector(64, 11L)
+    val p = plan(Similarity.ivfTopK(emb, "vec_id", "embedding", "label", q, 10))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probed-centroid join is not broadcast:\n$p")
+  }
+
+  test("embedding near-dup plan has no cartesian product") {
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val p = plan(Similarity.nearDupPairs(emb, "vec_id", "embedding", 0.40))
+    assert(!p.contains("CartesianProduct"),
+      s"LSH pair pipeline degenerated to a cartesian product:\n$p")
+    spark.catalog.clearCache()
+  }
+}
