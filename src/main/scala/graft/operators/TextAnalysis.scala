@@ -249,6 +249,38 @@ object TextAnalysis {
               col("rn"))
   }
 
+  /** Line-level boilerplate removal — the C4/CCNet repetition pass:
+    * split each doc on the literal `sep`, count every distinct
+    * segment's document frequency corpus-wide, drop segments that
+    * appear in more than `maxDocFreq` distinct docs (nav bars, cookie
+    * banners, license headers), and reassemble the survivors in their
+    * original order ('' when nothing survives — caller decides whether
+    * to drop empties). Two shuffles: the segment document-frequency
+    * aggregate and the per-doc reassembly. The boilerplate list
+    * (df > cap) is by construction a tiny fraction of the segment
+    * vocabulary — high-df segments are bounded by corpus_docs /
+    * maxDocFreq × distinct-ness — so AQE takes the segs ⋈ boiler anti
+    * join broadcast; the reassembly carries (pos, seg) only, never the
+    * full text. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       sep: String = "\n", maxDocFreq: Long = 2): DataFrame = {
+    require(maxDocFreq > 0, "maxDocFreq must be positive")
+    val segs = docs.select(col(idCol),
+      posexplode(split(col(textCol),
+        java.util.regex.Pattern.quote(sep))).as(Seq("pos", "seg")))
+    val boiler = segs.groupBy("seg")
+      .agg(countDistinct(col(idCol)).as("d"))
+      .filter(col("d") > maxDocFreq)
+      .select("seg")
+    val kept = segs.join(boiler, Seq("seg"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
+          x => x.getField("seg")), sep).as(textCol))
+    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Rolling-hash content fingerprint (see [[graft.functions.RollingHash]]). */
   def withFingerprint(spark: SparkSession, df: DataFrame,
                       textCol: String): DataFrame = {

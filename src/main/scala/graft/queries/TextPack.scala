@@ -80,6 +80,16 @@ object TextPack extends QueryPack {
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.repetitionScore("text", n = 3).as("repetition"))),
 
+    // cross-doc boilerplate removal (C4/CCNet line-dedup shape): the
+    // synthetic corpus has no newlines, so the driver query segments
+    // on spaces — segments in >300 of the docs are "boilerplate" and
+    // get stripped, survivors reassemble in original order (the '\n'
+    // production default is pinned with planted lines in
+    // BoilerplateSpec)
+    "q_boilerplate" -> ((s, d) =>
+      TextAnalysis.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        sep = " ", maxDocFreq = 300L)),
+
     // sequence packing: every doc assigned its (shard, bin, offset)
     // in the concatenated fixed-window token stream
     "q_pack" -> ((s, d) =>
@@ -225,6 +235,26 @@ object TextPack extends QueryPack {
         |  CASE WHEN source = 'src0' THEN '40000000'
         |       WHEN source = 'src1' THEN '80000000'
         |       ELSE 'g' END""".stripMargin,
+
+    // boilerplate removal replayed literally: same split, same
+    // distinct-doc frequency threshold, same order-preserving
+    // reassembly; LEFT JOIN + coalesce keeps fully-scrubbed docs as ''
+    "q_boilerplate" ->
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS seg,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents
+        |), boiler AS (
+        |  SELECT seg FROM segs GROUP BY seg
+        |  HAVING count(DISTINCT doc_id) > 300
+        |), kept AS (
+        |  SELECT doc_id, seg, pos FROM segs
+        |  WHERE seg NOT IN (SELECT seg FROM boiler)
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(string_agg(k.seg, ' ' ORDER BY k.pos), '') AS text
+        |FROM documents d LEFT JOIN kept k USING (doc_id)
+        |GROUP BY d.doc_id""".stripMargin,
 
     "q_repetition" ->
       """SELECT doc_id,
