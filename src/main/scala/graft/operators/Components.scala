@@ -87,8 +87,21 @@ object Components {
         .observe(obs, count(when(col("comp") < col("old"), 1)).as("lowered"))
         .localCheckpoint()
       // the eager checkpoint IS the round's one action; the metric is
-      // collected during it, so this get() does not launch a job
-      converged = obs.get("lowered").asInstanceOf[Long] == 0L
+      // collected during it, so reading it launches no job. obs.get
+      // blocks until the listener delivers — bound the wait and fall
+      // back to an explicit (cheap, cache-backed) count so a future
+      // change in checkpoint/listener behavior degrades to the old
+      // two-action round instead of hanging the fixpoint loop.
+      import scala.concurrent.{Await, Future, TimeoutException}
+      import scala.concurrent.duration._
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val loweredCount =
+        try Await.result(Future(obs.get("lowered")), 120.seconds)
+          .asInstanceOf[Long]
+        catch { case _: TimeoutException =>
+          next.filter(col("comp") < col("old")).count()
+        }
+      converged = loweredCount == 0L
       labels = next.select("id", "comp")
       iter += 1
     }
