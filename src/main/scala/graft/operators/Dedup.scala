@@ -257,7 +257,15 @@ object Dedup {
     val r = k / bands
     val newSigs = signatures(newDocs, idCol, shingler, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val corpusBand = bandRows(corpusSigs, bands, r)
+    // The corpus signature frame is consumed four times (band table ×2,
+    // estimate join, verify join). In production it is a stored table
+    // (cheap rescans); when handed an UNCACHED computed frame, persist
+    // it here or every consumer re-runs the whole signature pass.
+    val corpus =
+      if (corpusSigs.storageLevel == StorageLevel.NONE)
+        corpusSigs.persist(StorageLevel.MEMORY_AND_DISK)
+      else corpusSigs
+    val corpusBand = bandRows(corpus, bands, r)
     val sizes = corpusBand.groupBy("band", "sig").count()
     val prunedCorpus = corpusBand
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
@@ -267,7 +275,7 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccardAB(pairs, newSigs, corpusSigs, threshold)
+    verifyJaccardAB(pairs, newSigs, corpus, threshold)
   }
 
   /** Apply near-dup `pairs` (doc_a < doc_b) as a dedup filter: drop
