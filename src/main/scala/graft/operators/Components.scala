@@ -52,10 +52,13 @@ object Components {
     // `edges` is typically the OUTPUT of an LSH near-dup pipeline —
     // symmetrizing by unioning two selects of it would execute that
     // whole upstream pipeline twice (band self-join + verify joins,
-    // the expensive part). Persist the single orientation first: the
-    // union's second branch reads the cache, so upstream runs once.
+    // the expensive part). Persist the single orientation and
+    // MATERIALIZE it (count) before the union: a lazy persist would
+    // let the union's two branches race to fill the same cache
+    // partitions inside one stage, re-running upstream anyway.
     val e1 = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    e1.count()
     val sym = e1
       .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -68,6 +71,10 @@ object Components {
     e1.unpersist()
     var converged = false
     var iter = 0
+    // once a single observe read times out, stop spawning waits (each
+    // abandoned Future would pin a thread blocked in obs.get forever)
+    // and use the explicit count for the remaining rounds
+    var observeBroken = false
     while (!converged && iter < maxIter) {
       // neighbor-min: smallest label among my neighbors
       val nbrMin = sym
@@ -79,28 +86,36 @@ object Components {
       // pointer jump: follow my label to ITS label (labels only ever
       // decrease, so the jump target is ≤ mid when present)
       val obs = new org.apache.spark.sql.Observation()
-      val next = lowered
+      val jumped = lowered
         .join(labels.select(col("id").as("mid"), col("comp").as("jump")),
           Seq("mid"), "left")
         .select(col("id"), col("old"),
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("comp"))
-        .observe(obs, count(when(col("comp") < col("old"), 1)).as("lowered"))
-        .localCheckpoint()
+      val next =
+        (if (observeBroken) jumped
+         else jumped.observe(obs,
+           count(when(col("comp") < col("old"), 1)).as("lowered")))
+          .localCheckpoint()
       // the eager checkpoint IS the round's one action; the metric is
       // collected during it, so reading it launches no job. obs.get
-      // blocks until the listener delivers — bound the wait and fall
-      // back to an explicit (cheap, cache-backed) count so a future
-      // change in checkpoint/listener behavior degrades to the old
-      // two-action round instead of hanging the fixpoint loop.
-      import scala.concurrent.{Await, Future, TimeoutException}
+      // blocks until the listener delivers — bound the wait (inside
+      // blocking{} so the global pool compensates rather than starves)
+      // and fall back to an explicit cache-backed count, permanently,
+      // if delivery ever breaks: the loop degrades to the old
+      // two-action round instead of hanging or leaking a thread per
+      // round.
+      import scala.concurrent.{Await, Future, TimeoutException, blocking}
       import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
       val loweredCount =
-        try Await.result(Future(obs.get("lowered")), 120.seconds)
-          .asInstanceOf[Long]
-        catch { case _: TimeoutException =>
-          next.filter(col("comp") < col("old")).count()
-        }
+        if (observeBroken) next.filter(col("comp") < col("old")).count()
+        else
+          try Await.result(Future(blocking(obs.get("lowered"))), 120.seconds)
+            .asInstanceOf[Long]
+          catch { case _: TimeoutException =>
+            observeBroken = true
+            next.filter(col("comp") < col("old")).count()
+          }
       converged = loweredCount == 0L
       labels = next.select("id", "comp")
       iter += 1

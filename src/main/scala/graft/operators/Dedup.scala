@@ -252,17 +252,22 @@ object Dedup {
   def incrementalNearDups(newDocs: DataFrame, corpusSigs: DataFrame,
                           idCol: String, shingler: Column,
                           threshold: Double, k: Int, bands: Int,
-                          seed: Long = 42L, maxBucket: Int = 64): DataFrame = {
+                          seed: Long = 42L, maxBucket: Int = 64,
+                          cacheCorpus: Boolean = true): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val newSigs = signatures(newDocs, idCol, shingler, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // The corpus signature frame is consumed four times (band table ×2,
-    // estimate join, verify join). In production it is a stored table
-    // (cheap rescans); when handed an UNCACHED computed frame, persist
-    // it here or every consumer re-runs the whole signature pass.
+    // estimate join, verify join); a COMPUTED-but-uncached frame would
+    // re-run its whole signature pass per consumer, so by default an
+    // uncached frame is persisted here. Callers whose corpus is a
+    // STORED signature table (the production shape — parquet rescans
+    // are cheap and the corpus may dwarf executor storage) should pass
+    // `cacheCorpus = false` to keep per-batch memory proportional to
+    // the batch. Already-persisted frames are always left alone.
     val corpus =
-      if (corpusSigs.storageLevel == StorageLevel.NONE)
+      if (cacheCorpus && corpusSigs.storageLevel == StorageLevel.NONE)
         corpusSigs.persist(StorageLevel.MEMORY_AND_DISK)
       else corpusSigs
     val corpusBand = bandRows(corpus, bands, r)

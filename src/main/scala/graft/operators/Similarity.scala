@@ -201,9 +201,13 @@ object Similarity {
   // that consumed the pairs completes. Observation names must be
   // unique per query, hence the counter.
   private val skewObsId = new java.util.concurrent.atomic.AtomicLong(0)
+  // weak keys: a stopped-and-dropped SparkSession must be collectable —
+  // a strong object-level set would pin every session (and its
+  // SessionState) for the JVM lifetime in long-lived multi-session
+  // drivers. synchronized because WeakHashMap is not thread-safe.
   private val skewListenerSessions: java.util.Set[org.apache.spark.sql.SparkSession] =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private[graft] def ensureSkewListener(spark: org.apache.spark.sql.SparkSession): Unit =
     if (skewListenerSessions.add(spark))
@@ -290,7 +294,13 @@ object Similarity {
     val chunks = withBits
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
+    // persisted: the pruned frame below feeds BOTH sides of the pair
+    // self-join, so without the cache the histogram shuffle would rely
+    // on ReuseExchange collapsing two identical subtrees — guaranteed
+    // by the cache instead (it fills inside the main query; no extra
+    // action is involved, unlike the old eager accounting job)
     val sizes = chunks.groupBy("band", "sig").count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Skew-cap accounting: dropping a bucket drops its pairs from the
     // output — that must be visible, not silent. With adaptive r the
     // expected bucket is ~targetBucket, so anything over maxB is a

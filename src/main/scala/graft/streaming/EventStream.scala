@@ -149,7 +149,10 @@ object EventStream {
     * horizon, accepts (and matches) again. Dropped arrivals are
     * counted in the named accumulator
     * `graft.nearDupStream.droppedArrivals` (visible in the Spark UI
-    * per micro-batch), never silent. Without the cap a hot chunk —
+    * per micro-batch), never silent — as a transformation-scope
+    * accumulator it can OVERCOUNT under task retries / stage reruns
+    * (Spark's standard caveat), so treat it as an upper-bound
+    * observability signal, not an exact loss ledger. Without the cap a hot chunk —
     * boilerplate or empty texts sharing a fingerprint — would grow
     * state unboundedly within the horizon and do O(bucket²) work
     * per micro-batch.
