@@ -57,26 +57,44 @@ object Bench {
     var errors = List.empty[String]
     // benchQueries = the Verify queries with production-shape
     // overrides for entries whose oracle scaffolding (element-wise
-    // pins) would otherwise dominate the timing
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case e: Throwable =>
-          errors ::= name
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+    // pins) would otherwise dominate the timing.
+    //
+    // Per-query MEDIAN over `benchRuns` runs, all runs reported: a
+    // single run cannot distinguish JIT/GC/suite-order drift from a
+    // code regression (round-8 saw 3× swings on untouched code). The
+    // canary already medians; this extends the pattern to every query.
+    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val results: Seq[(String, Seq[Double])] =
+      SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val runs = scala.collection.mutable.ListBuffer.empty[Double]
+        var failed = false
+        var i = 0
+        while (i < benchRuns && !failed) {
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); runs += (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            failed = true
+            errors ::= name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          // LSH queries persist their signature frames; drop them so
+          // one run's cache can't crowd out the next (and repeat runs
+          // re-pay the persist instead of timing a cache read)
+          spark.catalog.clearCache()
+          i += 1
         }
-      // LSH queries persist their signature frames; drop them so one
-      // query's cache can't crowd out the next (and timings stay
-      // independent)
-      spark.catalog.clearCache()
-      name -> elapsed
+        name -> (if (failed) Seq(-1.0) else runs.toList)
+      }
+    val medians = results.map { case (k, rs) =>
+      k -> (if (rs.head < 0) -1.0 else rs.sorted.apply(rs.size / 2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = medians.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val runsJson = results.map { case (k, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = medians.collect { case (_, v) if v >= 0 => v }.sum
     val (gcCount1, gcMs1) = gcTotals()
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9
     val rt = Runtime.getRuntime
@@ -85,7 +103,7 @@ object Bench {
     // memory-bound, not code-bound
     val mem = s"""{"heap_max_bytes":${rt.maxMemory()},"heap_used_bytes":${rt.totalMemory() - rt.freeMemory()},"gc_count":${gcCount1 - gcCount0},"gc_ms":${gcMs1 - gcMs0},"gc_frac":${(gcMs1 - gcMs0) / 1000.0 / math.max(suiteSec, 1e-9)}}"""
     val canary = s"""{"query":"q_project","median_sec":$canaryMedian,"runs":${canaryRuns.size},"healthy_ref_sec_sf01":0.15}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

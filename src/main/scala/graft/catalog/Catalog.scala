@@ -142,6 +142,12 @@ final class Catalog(spark: SparkSession, root: String,
     val estOnDisk = (BigDecimal(est) * compressionRatio).toBigInt
     val nFiles = ((estOnDisk + targetFileBytes - 1) / targetFileBytes)
       .max(1).min(1 << 20).toInt
+    // the sizing is estimate×ratio — surface it so a miscalibrated
+    // ratio (files landing several× off targetFileBytes) is visible
+    // in the log instead of silently mis-sized on disk
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"putCompacted($name): plan estimate $est B × ratio $compressionRatio " +
+        s"= $estOnDisk B on disk → $nFiles file(s) of target $targetFileBytes B")
     writeVersioned(name, format) { dir =>
       df.repartition(nFiles).write.format(format)
         .mode(SaveMode.Overwrite).save(dir)

@@ -41,14 +41,64 @@ import org.apache.spark.storage.StorageLevel
   *    at 100 TB that saves one full pass over the (id, comp) state
   *    per round.)
   */
+/** Result of a bounded-round components run: the labels plus whether
+  * the fixpoint actually converged within `maxIter` — a truncated run
+  * has correct-but-possibly-unmerged labels (two nodes of one
+  * component may still carry different comps), and a caller deduping
+  * on them would under-merge silently without this signal. */
+case class ComponentsResult(labels: DataFrame, converged: Boolean,
+                            iterations: Int)
+
 object Components {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // Convergence-metric plumbing: `Observation.get` is the only public
+  // reader and it BLOCKS (its non-blocking siblings are private[sql]),
+  // so a bounded wait on it can only be built by parking a thread —
+  // which leaks that thread forever if delivery never comes. Instead
+  // the metric is observed under a unique name and delivered into this
+  // map by a once-per-session QueryExecutionListener (the same pattern
+  // as Similarity's skew listener); the loop POLLS the map with a
+  // deadline, so nothing ever parks. Entries are removed as read; a
+  // metric that arrives after its deadline leaves at most one stale
+  // long per timed-out call (observeBroken stops further observes).
+  private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0)
+  private val ccMetrics =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private val ccListenerSessions: java.util.Set[org.apache.spark.sql.SparkSession] =
+    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
+
+  private def ensureCcListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (ccListenerSessions.add(spark))
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_cc_lowered_"))
+              ccMetrics.put(name, row.getAs[Long]("lowered"))
+          }
+        override def onFailure(funcName: String,
+                               qe: org.apache.spark.sql.execution.QueryExecution,
+                               exception: Exception): Unit = ()
+      })
 
   /** (id, comp) for every node in `edges`: comp = min node id in the
     * node's connected component. Input columns `src`, `dst`
     * (undirected; both orientations derived internally). `maxIter`
     * bounds the rounds (≈ log2 diameter needed; 25 covers any graph
-    * that fits storage); the fixpoint normally exits far earlier. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    * that fits storage); the fixpoint normally exits far earlier.
+    * Exiting AT `maxIter` with nodes still lowering is surfaced via
+    * log.warn here — callers that must act on it programmatically use
+    * [[connectedComponentsWithStats]]. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithStats(edges, maxIter).labels
+
+  /** [[connectedComponents]] plus the convergence signal. */
+  def connectedComponentsWithStats(edges: DataFrame,
+                                   maxIter: Int = 25): ComponentsResult = {
     // `edges` is typically the OUTPUT of an LSH near-dup pipeline —
     // symmetrizing by unioning two selects of it would execute that
     // whole upstream pipeline twice (band self-join + verify joins,
@@ -69,11 +119,12 @@ object Components {
     // sym is materialized by the checkpoint above; the raw orientation
     // is no longer needed
     e1.unpersist()
+    ensureCcListener(edges.sparkSession)
     var converged = false
     var iter = 0
-    // once a single observe read times out, stop spawning waits (each
-    // abandoned Future would pin a thread blocked in obs.get forever)
-    // and use the explicit count for the remaining rounds
+    // once a single metric misses its deadline, stop observing (the
+    // delivery path is evidently broken in this session) and use the
+    // explicit count for the remaining rounds
     var observeBroken = false
     while (!converged && iter < maxIter) {
       // neighbor-min: smallest label among my neighbors
@@ -85,7 +136,7 @@ object Components {
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("mid"))
       // pointer jump: follow my label to ITS label (labels only ever
       // decrease, so the jump target is ≤ mid when present)
-      val obs = new org.apache.spark.sql.Observation()
+      val obsName = s"graft_cc_lowered_${ccObsId.incrementAndGet()}"
       val jumped = lowered
         .join(labels.select(col("id").as("mid"), col("comp").as("jump")),
           Seq("mid"), "left")
@@ -93,35 +144,41 @@ object Components {
           least(col("mid"), coalesce(col("jump"), col("mid"))).as("comp"))
       val next =
         (if (observeBroken) jumped
-         else jumped.observe(obs,
+         else jumped.observe(obsName,
            count(when(col("comp") < col("old"), 1)).as("lowered")))
           .localCheckpoint()
       // the eager checkpoint IS the round's one action; the metric is
-      // collected during it, so reading it launches no job. obs.get
-      // blocks until the listener delivers — bound the wait (inside
-      // blocking{} so the global pool compensates rather than starves)
-      // and fall back to an explicit cache-backed count, permanently,
-      // if delivery ever breaks: the loop degrades to the old
-      // two-action round instead of hanging or leaking a thread per
-      // round.
-      import scala.concurrent.{Await, Future, TimeoutException, blocking}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
+      // collected during it, so reading it launches no job — the poll
+      // below only waits out the listener-bus delivery (normally
+      // milliseconds). On deadline, fall back to an explicit
+      // cache-backed count, permanently: the loop degrades to the old
+      // two-action round instead of hanging or leaking anything.
+      def pollMetric(): Option[Long] = {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        var m = ccMetrics.remove(obsName)
+        while (m == null && System.nanoTime() < deadline) {
+          Thread.sleep(10)
+          m = ccMetrics.remove(obsName)
+        }
+        Option(m).map(_.longValue())
+      }
       val loweredCount =
         if (observeBroken) next.filter(col("comp") < col("old")).count()
-        else
-          try Await.result(Future(blocking(obs.get("lowered"))), 120.seconds)
-            .asInstanceOf[Long]
-          catch { case _: TimeoutException =>
-            observeBroken = true
-            next.filter(col("comp") < col("old")).count()
-          }
+        else pollMetric().getOrElse {
+          observeBroken = true
+          ccMetrics.remove(obsName)
+          next.filter(col("comp") < col("old")).count()
+        }
       converged = loweredCount == 0L
       labels = next.select("id", "comp")
       iter += 1
     }
     sym.unpersist()
-    labels
+    if (!converged)
+      log.warn(s"connectedComponents: exited at maxIter=$maxIter with nodes " +
+        "still lowering — labels are NOT a fixpoint (components may be " +
+        "under-merged); raise maxIter")
+    ComponentsResult(labels, converged, iter)
   }
 
   /** (idCol, cluster_id) for EVERY doc: cluster_id = min doc id of

@@ -261,15 +261,23 @@ object Dedup {
     // The corpus signature frame is consumed four times (band table ×2,
     // estimate join, verify join); a COMPUTED-but-uncached frame would
     // re-run its whole signature pass per consumer, so by default an
-    // uncached frame is persisted here. Callers whose corpus is a
+    // uncached frame is persisted here — and MATERIALIZED (count)
+    // before the fan-out, so the consumers below can't race to fill
+    // the same cache partitions inside one stage and re-run the
+    // upstream anyway (the lazy-persist hazard Components documents).
+    // The cache is left pinned for the CALLER to unpersist: a
+    // per-batch incremental driver reuses it across batches, so this
+    // function cannot know when it dies. Callers whose corpus is a
     // STORED signature table (the production shape — parquet rescans
     // are cheap and the corpus may dwarf executor storage) should pass
     // `cacheCorpus = false` to keep per-batch memory proportional to
     // the batch. Already-persisted frames are always left alone.
     val corpus =
-      if (cacheCorpus && corpusSigs.storageLevel == StorageLevel.NONE)
-        corpusSigs.persist(StorageLevel.MEMORY_AND_DISK)
-      else corpusSigs
+      if (cacheCorpus && corpusSigs.storageLevel == StorageLevel.NONE) {
+        val c = corpusSigs.persist(StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        c
+      } else corpusSigs
     val corpusBand = bandRows(corpus, bands, r)
     val sizes = corpusBand.groupBy("band", "sig").count()
     val prunedCorpus = corpusBand

@@ -9,8 +9,13 @@ case class MediaMeta(format: String, width: Int, height: Int)
 /** One media row: opaque bytes + typed metadata. */
 case class MediaBlob(id: Long, data: Array[Byte], meta: MediaMeta)
 
-/** Deterministic features extracted from one blob. */
-case class MediaFeatures(id: Long, n_bytes: Long, checksum: Long,
+/** Deterministic features extracted from one blob. For decoded images
+  * (`format` png/jpeg) width/height are the REAL pixel dimensions and
+  * `head_histogram` is a 16-bucket luminance histogram over every
+  * pixel; for non-media bytes (`format` bin) dimensions are 0 and the
+  * histogram is over the first 256 raw bytes ([[Multimodal.decodeStub]]). */
+case class MediaFeatures(id: Long, n_bytes: Long, format: String,
+                         width: Int, height: Int, checksum: Long,
                          head_histogram: Array[Int])
 
 /** One sampled frame of a blob (video frame-sample shape). */
@@ -20,13 +25,18 @@ case class MediaFrame(id: Long, frame_idx: Long, frame: Array[Byte])
   * `binary` columns with a typed metadata struct; decode /
   * feature-extract runs batch-wise over partitions.
   *
-  * The actual media decode is STUBBED — codec libraries are not in
-  * this environment — behind [[decodeStub]], a deterministic fake
-  * with the same shape a real decoder would have (bytes in, features
-  * out). Everything around it is real and scale-true: the schema, the
-  * binaryFile source, the mapPartitions batch boundary (one fused
-  * narrow stage, no shuffle, no driver involvement), and the typed
-  * Dataset output.
+  * IMAGE decode is REAL: [[decode]] sniffs the magic bytes and routes
+  * PNG/JPEG blobs through the JDK's `javax.imageio` (no external
+  * codec deps), extracting actual pixel dimensions, a 16-bucket
+  * luminance histogram over every pixel, and a pixel-stream checksum.
+  * Non-media bytes (and images ImageIO cannot parse) fall back to
+  * [[decodeStub]], the deterministic byte-level stand-in — so a mixed
+  * corpus never errors mid-partition. Audio/video codecs are NOT in
+  * the JDK; those formats take the stub path, with the same
+  * bytes-in/features-out contract a real codec would slot into.
+  * The plumbing is scale-true throughout: the schema, the binaryFile
+  * source, the mapPartitions batch boundary (one fused narrow stage,
+  * no shuffle, no driver involvement), and the typed Dataset output.
   */
 object Multimodal {
 
@@ -45,10 +55,11 @@ object Multimodal {
              (length(col(textCol)) % 1024).cast("int").as("width"),
              lit(1).as("height")).as("meta"))
 
-  /** ??? in spirit: the real decoder (JPEG/PNG/audio frames) is not
-    * available here. This deterministic fake has the decoder's
-    * contract — Array[Byte] => features — so swapping in a real codec
-    * changes only this function. */
+  /** Byte-level fallback features for NON-media blobs (and bytes a
+    * codec rejects): checksum over the raw stream, 16-bucket histogram
+    * of the first 256 bytes, no dimensions. Same contract as the real
+    * decoder — Array[Byte] => features — so the dispatch in [[decode]]
+    * is the only place that tells them apart. */
   def decodeStub(id: Long, data: Array[Byte]): MediaFeatures = {
     var checksum = 0L
     val hist = new Array[Int](16)
@@ -58,8 +69,67 @@ object Multimodal {
       if (i < 256) hist((data(i) & 0xff) % 16) += 1
       i += 1
     }
-    MediaFeatures(id, data.length.toLong, checksum, hist)
+    MediaFeatures(id, data.length.toLong, "bin", 0, 0, checksum, hist)
   }
+
+  /** Magic-byte sniff: "png" / "jpeg" / "bin". Container formats are
+    * identified by their signature bytes, never by path extension —
+    * at corpus scale extensions lie. */
+  def sniffFormat(data: Array[Byte]): String =
+    if (data.length >= 8 && (data(0) & 0xff) == 0x89 && data(1) == 'P' &&
+        data(2) == 'N' && data(3) == 'G') "png"
+    else if (data.length >= 3 && (data(0) & 0xff) == 0xff &&
+        (data(1) & 0xff) == 0xd8 && (data(2) & 0xff) == 0xff) "jpeg"
+    else "bin"
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG — public,
+    * dependency-free codecs): actual pixel width/height, a 16-bucket
+    * histogram of 8-bit luminance (ITU-R BT.601 integer weights,
+    * bucket = lum >> 4), and a checksum folded over the luminance
+    * stream in row-major order. Pixels are fetched with one bulk
+    * `getRGB` per row — not per pixel — so the ColorModel conversion
+    * is amortized; a fancier path would read the Raster directly, but
+    * per-row bulk is within 2× of it and handles every color model.
+    * Returns None when ImageIO cannot parse the bytes (truncated or
+    * lying magic) — the caller falls back to [[decodeStub]]. */
+  def decodeImage(id: Long, data: Array[Byte],
+                  format: String): Option[MediaFeatures] = {
+    val img =
+      try Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(data)))
+      catch { case _: java.io.IOException => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val hist = new Array[Int](16)
+      var checksum = 0L
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        im.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = row(x)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          checksum = checksum * 31 + lum
+          hist(lum >> 4) += 1
+          x += 1
+        }
+        y += 1
+      }
+      MediaFeatures(id, data.length.toLong, format, w, h, checksum, hist)
+    }
+  }
+
+  /** The per-blob decode dispatch: sniff, decode media formats for
+    * real, fall back to byte-level features for everything else. */
+  def decode(id: Long, data: Array[Byte]): MediaFeatures =
+    sniffFormat(data) match {
+      case f @ ("png" | "jpeg") =>
+        decodeImage(id, data, f).getOrElse(decodeStub(id, data))
+      case _ => decodeStub(id, data)
+    }
 
   /** Feature extraction over blob partitions: the batch boundary a
     * real pipeline gives its decoder (amortizes codec init per
@@ -69,8 +139,11 @@ object Multimodal {
     import spark.implicits._
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition "codec init" would happen here
-        it.map { case (id, data) => decodeStub(id, data) }
+        // per-partition codec init: ImageIO's disk-backed stream cache
+        // is pure overhead for in-memory byte arrays — disable once
+        // per task, not per row
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, data) => decode(id, data) }
       }
   }
 

@@ -248,11 +248,12 @@ object Similarity {
     * silent. Pass explicit values to pin any of them.
     *
     * `skewWarn = true` (default) observes the bucket histogram inside
-    * the production query itself (`Dataset.observe` — no extra job,
-    * no extra shuffle) and a session-level listener logs a warning
-    * with the dropped-bucket count when the consuming action
-    * completes. `false` skips even the observation, for callers
-    * auditing the caps themselves. */
+    * the production query itself (`Dataset.observe` on a zero-row
+    * union branch — no extra job, no extra shuffle; see the in-code
+    * note on why the branch placement matters under AQE) and a
+    * session-level listener logs a warning with the dropped-bucket
+    * count when the consuming action completes. `false` skips even
+    * the observation, for callers auditing the caps themselves. */
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dim: Int = 64, numBits: Int = 0,
                    bands: Int = 16, bitsPerBand: Int = 0,
@@ -301,29 +302,14 @@ object Similarity {
     // action is involved, unlike the old eager accounting job)
     val sizes = chunks.groupBy("band", "sig").count()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Skew-cap accounting: dropping a bucket drops its pairs from the
-    // output — that must be visible, not silent. With adaptive r the
-    // expected bucket is ~targetBucket, so anything over maxB is a
-    // genuine outlier (duplicated boilerplate vectors), but we still
-    // surface the loss — observed in-query (CollectMetrics sits above
-    // the histogram and below the prune filter, so it sees every
-    // bucket and costs no extra action; the listener logs on query
-    // completion).
-    val sized = if (skewWarn) {
-      ensureSkewListener(emb.sparkSession)
-      sizes.observe(s"graft_neardup_skew_${skewObsId.incrementAndGet()}",
-        coalesce(sum(when(col("count") > maxB, col("count"))), lit(0L))
-          .as("dropped_band_rows"),
-        count(when(col("count") > maxB, lit(1))).as("dropped_buckets"),
-        coalesce(max(lit(maxB.toLong)), lit(maxB.toLong)).as("cap"))
-    } else sizes
     val pruned = chunks
-      .join(sized.filter(col("count") <= maxB), Seq("band", "sig"))
+      .join(sizes.filter(col("count") <= maxB), Seq("band", "sig"))
       .drop("count")
     val lhs = pruned.alias("l")
     val rhs = pruned.alias("r")
     val vecs = base.select(col("id"), col("v"))
-    lhs.join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+    val result = lhs
+      .join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -332,6 +318,34 @@ object Similarity {
       .withColumn("cos", expr("graft_dot(va, vb)"))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    // Skew-cap accounting: dropping a bucket drops its pairs from the
+    // output — that must be visible, not silent. The metric CANNOT
+    // ride the prune path: when every bucket is over cap the candidate
+    // join is empty, AQE's empty-relation propagation replaces that
+    // whole branch (CollectMetrics included) with an EmptyRelation,
+    // and the warning vanishes in exactly the worst-skew case (found
+    // by the SimilaritySpec metric pin). Instead the observation sits
+    // on a zero-row branch UNIONED onto the result: the filter below
+    // never passes (histogram counts are ≥ 1, but that is opaque to
+    // the optimizer, so it cannot be constant-folded away), there is
+    // no exchange between the cached-histogram scan and the union, so
+    // the branch lives in the final stage where AQE never propagates
+    // emptiness — the metric fires on every consuming action, once
+    // (the node appears exactly once in the plan). Cost: one extra
+    // scan of the CACHED bucket histogram + a partial agg, no shuffle.
+    if (skewWarn) {
+      ensureSkewListener(emb.sparkSession)
+      val observed = sizes.observe(
+        s"graft_neardup_skew_${skewObsId.incrementAndGet()}",
+        coalesce(sum(when(col("count") > maxB, col("count"))), lit(0L))
+          .as("dropped_band_rows"),
+        count(when(col("count") > maxB, lit(1))).as("dropped_buckets"),
+        coalesce(max(lit(maxB.toLong)), lit(maxB.toLong)).as("cap"))
+      val metricBranch = observed.filter(col("count") < 0)
+        .select(result.schema.fields.toIndexedSeq.map(f =>
+          lit(null).cast(f.dataType).as(f.name)): _*)
+      result.unionByName(metricBranch)
+    } else result
   }
 
   /** Symmetric per-vector int8 quantization: scale = max |v_i|,

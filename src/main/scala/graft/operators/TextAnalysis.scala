@@ -260,8 +260,15 @@ object TextAnalysis {
     * (df > cap) is by construction a tiny fraction of the segment
     * vocabulary — high-df segments are bounded by corpus_docs /
     * maxDocFreq × distinct-ness — so AQE takes the segs ⋈ boiler anti
-    * join broadcast; the reassembly carries (pos, seg) only, never the
-    * full text. */
+    * join broadcast (pinned in PlanShapeSpec); the reassembly carries
+    * (pos, seg) only, never the full text.
+    *
+    * Contract: `idCol` must be DISTINCT per row — the reassembly
+    * groups on it, so duplicate ids would have their segments merged
+    * into one interleaved doc. Output schema = `docs` with `textCol`
+    * rewritten in place; every other column rides the final id-keyed
+    * join untouched (the doc payload never enters the segment
+    * explode/aggregate — only the scrubbed text joins back). */
   def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
                        sep: String = "\n", maxDocFreq: Long = 2): DataFrame = {
     require(maxDocFreq > 0, "maxDocFreq must be positive")
@@ -276,9 +283,13 @@ object TextAnalysis {
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("pos"), col("seg")))),
-          x => x.getField("seg")), sep).as(textCol))
-    docs.select(col(idCol)).join(rebuilt, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col(textCol), lit("")).as(textCol))
+          x => x.getField("seg")), sep).as("__graft_scrubbed"))
+    // the original text is dropped BEFORE the join-back so it never
+    // rides the shuffle just to be overwritten
+    docs.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__graft_scrubbed"), lit("")))
+      .drop("__graft_scrubbed")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
   /** Rolling-hash content fingerprint (see [[graft.functions.RollingHash]]). */

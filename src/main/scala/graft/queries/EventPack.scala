@@ -23,11 +23,13 @@ object EventPack extends QueryPack {
         .select(col("id"), octet_length(col("data")).cast("long").as("n_bytes"),
                 col("meta.format").as("format"), col("meta.width").as("width"))),
 
-    // stubbed decode + feature extraction over blob partitions
+    // decode dispatch + feature extraction over blob partitions: text
+    // blobs take the byte-level path (format 'bin'); real PNG/JPEG
+    // pixel decode is pinned in MultimodalSpec against generated images
     "q_multimodal_features" -> ((s, d) => {
       val blobs = Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
       Multimodal.extractFeatures(blobs).toDF()
-        .select(col("id"), col("n_bytes"), col("checksum"))
+        .select(col("id"), col("n_bytes"), col("format"), col("checksum"))
     }),
 
     // stubbed resize: byte-subsample to w*h with updated meta; the
@@ -82,8 +84,9 @@ object EventPack extends QueryPack {
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  'txt' AS format, CAST(length(text) % 1024 AS INT) AS width
         |FROM documents""".stripMargin,
-    // q_multimodal_features: rows-only — the stub decoder's checksum
-    // is a JVM-side computation; pinned in MultimodalSpec.
+    // q_multimodal_features: rows-only — the decoder's checksum is a
+    // JVM-side computation (real ImageIO pixels for png/jpeg, byte
+    // fold for bin); both paths are pinned in MultimodalSpec.
 
     "q_multimodal_resize" ->
       """SELECT doc_id AS id,

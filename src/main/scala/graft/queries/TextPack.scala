@@ -88,7 +88,10 @@ object TextPack extends QueryPack {
     // BoilerplateSpec)
     "q_boilerplate" -> ((s, d) =>
       TextAnalysis.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
-        sep = " ", maxDocFreq = 300L)),
+        sep = " ", maxDocFreq = 300L)
+        // the operator preserves every doc column; the oracle replays
+        // just the scrub, so project to the (id, text) pair it checks
+        .select("doc_id", "text")),
 
     // sequence packing: every doc assigned its (shard, bin, offset)
     // in the concatenated fixed-window token stream

@@ -34,6 +34,23 @@ class BoilerplateSpec extends AnyFunSuite {
       4L -> "delta one\ndelta two"))
   }
 
+  test("non-text columns ride through untouched, schema order preserved") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "dup\nkeep a", "web", 0.5),
+      (1L, "dup\nkeep b", "books", 0.9),
+      (2L, "dup\nkeep c", "web", 0.1),
+    ).toDF("doc_id", "text", "source", "score")
+    val out = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+      sep = "\n", maxDocFreq = 2)
+    assert(out.columns.toSeq === Seq("doc_id", "text", "source", "score"))
+    val rows = out.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[String]("text"), r.getAs[String]("source"), r.getAs[Double]("score"))).toMap
+    assert(rows(0L) === (("keep a", "web", 0.5)))
+    assert(rows(1L) === (("keep b", "books", 0.9)))
+    assert(rows(2L) === (("keep c", "web", 0.1)))
+  }
+
   test("threshold is by distinct docs, not occurrences") {
     import spark.implicits._
     // "spam" appears 4 times but only in 2 docs: at maxDocFreq=2 it

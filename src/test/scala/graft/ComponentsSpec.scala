@@ -50,6 +50,23 @@ class ComponentsSpec extends AnyFunSuite {
     assert(got.values.toSet === Set(1L), "every node must carry the chain minimum")
   }
 
+  test("truncated fixpoint is surfaced: maxIter=1 on a long chain reports converged=false") {
+    val s = spark
+    import s.implicits._
+    // a 64-link chain needs ~log2(64) rounds; one round cannot finish
+    val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val r = Components.connectedComponentsWithStats(edges, maxIter = 1)
+    assert(!r.converged, "one round on a 64-chain must not claim convergence")
+    assert(r.iterations === 1)
+    // labels are still valid partial state (monotone lowering): ≤ own id
+    r.labels.collect().foreach(row =>
+      assert(row.getAs[Long]("comp") <= row.getAs[Long]("id")))
+    // and the same graph WITH enough rounds converges, with the flag set
+    val full = Components.connectedComponentsWithStats(edges)
+    assert(full.converged && full.iterations > 1)
+    assert(full.labels.select("comp").distinct().count() === 1L)
+  }
+
   test("clusters labels singletons with their own id; canonicalDocs keeps one doc per cluster") {
     val s = spark
     import s.implicits._

@@ -64,6 +64,89 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.map(_.frame.length).toSeq === Seq(0, 0, 0, 2))
   }
 
+  // --- real image decode (javax.imageio — JDK-only, public API) ---
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("PNG decode touches real pixels: exact dims, histogram, checksum") {
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // left half black (lum 0 → bucket 0), right half white (lum 255 → 15)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0x000000 else 0xffffff)
+    val bytes = pngBytes(img)
+    assert(Multimodal.sniffFormat(bytes) === "png")
+    val f = Multimodal.decode(7L, bytes)
+    assert(f.format === "png")
+    assert(f.width === 4 && f.height === 2)
+    assert(f.n_bytes === bytes.length.toLong)
+    assert(f.head_histogram(0) === 4 && f.head_histogram(15) === 4)
+    assert(f.head_histogram.sum === 8) // every pixel counted exactly once
+    // checksum folds the row-major luminance stream: 0,0,255,255 ×2
+    val lums = Seq(0, 0, 255, 255, 0, 0, 255, 255)
+    assert(f.checksum === lums.foldLeft(0L)((a, b) => a * 31 + b))
+  }
+
+  test("PNG decode: BT.601 luminance buckets for pure R/G/B pixels") {
+    val img = new java.awt.image.BufferedImage(
+      3, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // lum 255*299/1000 = 76  → bucket 4
+    img.setRGB(1, 0, 0x00ff00) // lum 255*587/1000 = 149 → bucket 9
+    img.setRGB(2, 0, 0x0000ff) // lum 255*114/1000 = 29  → bucket 1
+    val f = Multimodal.decode(1L, pngBytes(img))
+    assert(f.head_histogram(4) === 1)
+    assert(f.head_histogram(9) === 1)
+    assert(f.head_histogram(1) === 1)
+    assert(f.head_histogram.sum === 3)
+  }
+
+  test("JPEG decode: real dims, full pixel coverage, deterministic") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.sniffFormat(bytes) === "jpeg")
+    val f = Multimodal.decode(2L, bytes)
+    assert(f.format === "jpeg")
+    assert(f.width === 8 && f.height === 8)
+    assert(f.head_histogram.sum === 64)
+    // lossy, but a solid mid-gray block decodes to ~lum 128 (bucket 8 ±1)
+    assert(f.head_histogram.slice(7, 10).sum === 64,
+      s"luminance drifted: ${f.head_histogram.toSeq}")
+    val again = Multimodal.decode(2L, bytes)
+    assert(f.checksum === again.checksum &&
+      f.head_histogram.toSeq === again.head_histogram.toSeq)
+  }
+
+  test("decode dispatch: truncated/lying magic falls back to the stub") {
+    // PNG signature followed by garbage: sniffs png, ImageIO rejects it
+    val lying = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6)
+    val f = Multimodal.decode(3L, lying)
+    assert(f.format === "bin" && f.width === 0 && f.height === 0)
+    assert(f.checksum === Multimodal.decodeStub(3L, lying).checksum)
+  }
+
+  test("extractFeatures routes a mixed media/text corpus per-row") {
+    val img = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 2) img.setRGB(x, y, 0xffffff)
+    val png = pngBytes(img)
+    val txt = "just text".getBytes("UTF-8")
+    val rows = spark.createDataFrame(Seq((1L, png), (2L, txt)))
+      .toDF("id", "data")
+    val fs = Multimodal.extractFeatures(rows).collect().sortBy(_.id)
+    assert(fs(0).format === "png" && fs(0).width === 2 && fs(0).height === 2)
+    assert(fs(0).head_histogram(15) === 4)
+    assert(fs(1).format === "bin" && fs(1).width === 0)
+    assert(fs(1).n_bytes === txt.length.toLong)
+  }
+
   test("feature extraction is deterministic and matches the stub contract") {
     val blobs = Multimodal.asBlobTable(
       Tables.documents(spark, SparkSuite.sf0001), "doc_id", "text")

@@ -51,4 +51,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"LSH pair pipeline degenerated to a cartesian product:\n$p")
     spark.catalog.clearCache()
   }
+
+  test("stripBoilerplate anti-join broadcasts the bounded boilerplate list") {
+    // the 100 TB argument rests on the df>cap list being tiny ⇒ the
+    // segs ⋈ boiler LeftAnti must be a BROADCAST hash join, never a
+    // shuffled anti-join on the full segment table. The build side is
+    // a filtered aggregate whose static size estimate is unknown, so
+    // the broadcast decision is AQE's — execute first, then pin the
+    // FINAL adaptive plan.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val df = TextAnalysis.stripBoilerplate(docs, "doc_id", "text",
+      sep = " ", maxDocFreq = 300L)
+    df.collect()
+    val p = plan(df)
+    assert(p.contains("isFinalPlan=true"), s"plan not finalized:\n$p")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"boilerplate anti-join is not a broadcast LeftAnti:\n$p")
+  }
 }

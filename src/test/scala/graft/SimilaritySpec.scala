@@ -37,6 +37,49 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b")))
   }
 
+  test("skew-cap metric is exact: one over-cap bucket per band, counted once") {
+    val s = spark
+    import s.implicits._
+    // 50 IDENTICAL vectors: every band has exactly one bucket of size
+    // 50 > maxBucket=10, so the accounting must read dropped_buckets=4
+    // (bands), dropped_band_rows=200 (4×50) — and must fire/count ONCE
+    // even though the observed histogram feeds both sides of the pair
+    // self-join.
+    val v = Array.tabulate(64)(i => math.sin(i + 1.0)).toSeq
+    val df = (1L to 50L).map(id => (id, v)).toDF("vec_id", "embedding")
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             d: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("graft_neardup_skew") &&
+              row.getAs[Long]("cap") == 10L) seen.add(row)
+        }
+      override def onFailure(f: String,
+                             qe: org.apache.spark.sql.execution.QueryExecution,
+                             e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9,
+        bands = 4, bitsPerBand = 8, maxBucket = 10).collect()
+      assert(out.isEmpty, "every candidate bucket is over cap — no pairs may surface")
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "skew metric was never delivered to the listener")
+      Thread.sleep(500) // let any double-fire land before pinning the count
+      import scala.jdk.CollectionConverters._
+      val rows = seen.asScala.toList
+      assert(rows.size === 1, s"skew metric fired ${rows.size} times: $rows")
+      assert(rows.head.getAs[Long]("dropped_buckets") === 4L,
+        s"dropped_buckets: ${rows.head}")
+      assert(rows.head.getAs[Long]("dropped_band_rows") === 200L,
+        s"dropped_band_rows: ${rows.head}")
+    } finally spark.listenerManager.unregister(listener)
+    spark.catalog.clearCache()
+  }
+
   test("LSH-bucketed top-k prunes the scan and recalls most of the exact top-k") {
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
       SimilarityPack.queryVec, 10).collect().map(_.getAs[Long]("vec_id")).toSet
