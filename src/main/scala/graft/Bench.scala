@@ -63,7 +63,11 @@ object Bench {
     // single run cannot distinguish JIT/GC/suite-order drift from a
     // code regression (round-8 saw 3× swings on untouched code). The
     // canary already medians; this extends the pattern to every query.
-    val benchRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // guarded parse: a missing/garbage/non-positive env value must not
+    // crash the bench after suite setup (the driver parses the one
+    // JSON line; dying without it reads as a silent round failure)
+    val benchRuns = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
     val results: Seq[(String, Seq[Double])] =
       SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val runs = scala.collection.mutable.ListBuffer.empty[Double]

@@ -58,32 +58,19 @@ object Components {
   // so a bounded wait on it can only be built by parking a thread —
   // which leaks that thread forever if delivery never comes. Instead
   // the metric is observed under a unique name and delivered into this
-  // map by a once-per-session QueryExecutionListener (the same pattern
-  // as Similarity's skew listener); the loop POLLS the map with a
-  // deadline, so nothing ever parks. Entries are removed as read; a
-  // metric that arrives after its deadline leaves at most one stale
-  // long per timed-out call (observeBroken stops further observes).
+  // map by a once-per-session listener ([[MetricListener]]); the loop
+  // POLLS the map with a deadline, so nothing ever parks. Entries are
+  // removed as read; a metric that arrives after its deadline leaves
+  // at most one stale long per timed-out call (observeBroken stops
+  // further observes).
   private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0)
   private val ccMetrics =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private val ccListenerSessions: java.util.Set[org.apache.spark.sql.SparkSession] =
-    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private def ensureCcListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (ccListenerSessions.add(spark))
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_cc_lowered_"))
-              ccMetrics.put(name, row.getAs[Long]("lowered"))
-          }
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = ()
-      })
+    MetricListener.ensure(spark, "graft_cc_lowered_") { (name, row) =>
+      ccMetrics.put(name, row.getAs[Long]("lowered"))
+    }
 
   /** (id, comp) for every node in `edges`: comp = min node id in the
     * node's connected component. Input columns `src`, `dst`

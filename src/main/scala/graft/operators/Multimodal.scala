@@ -90,37 +90,59 @@ object Multimodal {
     * `getRGB` per row — not per pixel — so the ColorModel conversion
     * is amortized; a fancier path would read the Raster directly, but
     * per-row bulk is within 2× of it and handles every color model.
-    * Returns None when ImageIO cannot parse the bytes (truncated or
-    * lying magic) — the caller falls back to [[decodeStub]]. */
-  def decodeImage(id: Long, data: Array[Byte],
-                  format: String): Option[MediaFeatures] = {
-    val img =
-      try Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(data)))
-      catch { case _: java.io.IOException => None }
-    img.map { im =>
-      val w = im.getWidth
-      val h = im.getHeight
-      val hist = new Array[Int](16)
-      var checksum = 0L
-      val row = new Array[Int](w)
-      var y = 0
-      while (y < h) {
-        im.getRGB(0, y, w, 1, row, 0, w)
-        var x = 0
-        while (x < w) {
-          val rgb = row(x)
-          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
-            (rgb & 0xff) * 114) / 1000
-          checksum = checksum * 31 + lum
-          hist(lum >> 4) += 1
-          x += 1
+    *
+    * Hardened for hostile corpora: dimensions are read from the
+    * HEADER before any pixel allocation — a decompression bomb (a
+    * few-KB file declaring 50k×50k pixels) is refused at `maxPixels`
+    * (default 2^26 ≈ 67 Mpx, a ~256 MB ARGB buffer) instead of
+    * OOMing the executor — and ANY non-fatal decoder throw (the JDK
+    * codecs raise CMMException / IllegalArgumentException / AIOOBE on
+    * fuzzed input, not just IOException) yields None, so the caller
+    * falls back to [[decodeStub]] and a single bad blob can never
+    * fail the task. */
+  def decodeImage(id: Long, data: Array[Byte], format: String,
+                  maxPixels: Long = 1L << 26): Option[MediaFeatures] =
+    try {
+      val stream = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, true, true)
+            // header-only dims: a bomb announces its size in a few KB;
+            // refuse before allocating w*h pixels
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else {
+              val im = reader.read(0)
+              val hist = new Array[Int](16)
+              var checksum = 0L
+              val row = new Array[Int](w)
+              var y = 0
+              while (y < h) {
+                im.getRGB(0, y, w, 1, row, 0, w)
+                var x = 0
+                while (x < w) {
+                  val rgb = row(x)
+                  val lum = (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  checksum = checksum * 31 + lum
+                  hist(lum >> 4) += 1
+                  x += 1
+                }
+                y += 1
+              }
+              Some(MediaFeatures(id, data.length.toLong, format, w, h,
+                checksum, hist))
+            }
+          } finally reader.dispose()
         }
-        y += 1
-      }
-      MediaFeatures(id, data.length.toLong, format, w, h, checksum, hist)
-    }
-  }
+      } finally if (stream != null) stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The per-blob decode dispatch: sniff, decode media formats for
     * real, fall back to byte-level features for everything else. */

@@ -197,38 +197,20 @@ object Similarity {
   // no shuffle and no extra action — the round-7 bench showed the old
   // eager `head()` accounting nearly doubled the operator's wall time
   // at small SF, one whole sequential job of pure overhead), and a
-  // once-per-session listener logs any dropped buckets when the query
-  // that consumed the pairs completes. Observation names must be
-  // unique per query, hence the counter.
+  // once-per-session listener ([[MetricListener]]) logs any dropped
+  // buckets when the query that consumed the pairs completes.
+  // Observation names must be unique per query, hence the counter.
   private val skewObsId = new java.util.concurrent.atomic.AtomicLong(0)
-  // weak keys: a stopped-and-dropped SparkSession must be collectable —
-  // a strong object-level set would pin every session (and its
-  // SessionState) for the JVM lifetime in long-lived multi-session
-  // drivers. synchronized because WeakHashMap is not thread-safe.
-  private val skewListenerSessions: java.util.Set[org.apache.spark.sql.SparkSession] =
-    java.util.Collections.synchronizedSet(java.util.Collections.newSetFromMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()))
 
   private[graft] def ensureSkewListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (skewListenerSessions.add(spark))
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_neardup_skew")) {
-              val buckets = row.getAs[Long]("dropped_buckets")
-              if (buckets > 0)
-                log.warn(s"nearDupPairs: dropped $buckets oversized buckets " +
-                  s"(${row.getAs[Long]("dropped_band_rows")} band-rows, " +
-                  s"cap=${row.getAs[Long]("cap")}) — pairs within them are " +
-                  "NOT examined; raise maxBucket or bands to recover them")
-            }
-          }
-        override def onFailure(funcName: String,
-                               qe: org.apache.spark.sql.execution.QueryExecution,
-                               exception: Exception): Unit = ()
-      })
+    MetricListener.ensure(spark, "graft_neardup_skew") { (_, row) =>
+      val buckets = row.getAs[Long]("dropped_buckets")
+      if (buckets > 0)
+        log.warn(s"nearDupPairs: dropped $buckets oversized buckets " +
+          s"(${row.getAs[Long]("dropped_band_rows")} band-rows, " +
+          s"cap=${row.getAs[Long]("cap")}) — pairs within them are " +
+          "NOT examined; raise maxBucket or bands to recover them")
+    }
 
   /** Embedding near-dup pairs above a cosine threshold. Banded
     * hyperplane LSH: `bands` bands, each `bitsPerBand` bits drawn

@@ -124,6 +124,18 @@ class MultimodalSpec extends AnyFunSuite {
       f.head_histogram.toSeq === again.head_histogram.toSeq)
   }
 
+  test("decodeImage refuses over-cap pixel counts from the header alone") {
+    // a decompression bomb declares huge dims in a tiny header; the
+    // guard must reject on header dims BEFORE any pixel allocation.
+    // 4×2 = 8 px: cap at 7 → refused, cap at 8 → decoded.
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bytes = pngBytes(img)
+    assert(Multimodal.decodeImage(1L, bytes, "png", maxPixels = 7L).isEmpty)
+    val ok = Multimodal.decodeImage(1L, bytes, "png", maxPixels = 8L)
+    assert(ok.nonEmpty && ok.get.width === 4 && ok.get.height === 2)
+  }
+
   test("decode dispatch: truncated/lying magic falls back to the stub") {
     // PNG signature followed by garbage: sniffs png, ImageIO rejects it
     val lying = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5, 6)
