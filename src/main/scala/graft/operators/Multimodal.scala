@@ -21,6 +21,10 @@ case class MediaFeatures(id: Long, n_bytes: Long, format: String,
 /** One sampled frame of a blob (video frame-sample shape). */
 case class MediaFrame(id: Long, frame_idx: Long, frame: Array[Byte])
 
+/** Real audio-container metadata parsed from one blob's header. */
+case class AudioMeta(id: Long, channels: Int, sample_rate_hz: Int,
+                     frames: Long, duration_ms: Double)
+
 /** Multimodal (image/audio/video) column plumbing: blobs are opaque
   * `binary` columns with a typed metadata struct; decode /
   * feature-extract runs batch-wise over partitions.
@@ -72,14 +76,17 @@ object Multimodal {
     MediaFeatures(id, data.length.toLong, "bin", 0, 0, checksum, hist)
   }
 
-  /** Magic-byte sniff: "png" / "jpeg" / "bin". Container formats are
-    * identified by their signature bytes, never by path extension —
-    * at corpus scale extensions lie. */
+  /** Magic-byte sniff: "png" / "jpeg" / "wav" / "bin". Container
+    * formats are identified by their signature bytes, never by path
+    * extension — at corpus scale extensions lie. */
   def sniffFormat(data: Array[Byte]): String =
     if (data.length >= 8 && (data(0) & 0xff) == 0x89 && data(1) == 'P' &&
         data(2) == 'N' && data(3) == 'G') "png"
     else if (data.length >= 3 && (data(0) & 0xff) == 0xff &&
         (data(1) & 0xff) == 0xd8 && (data(2) & 0xff) == 0xff) "jpeg"
+    else if (data.length >= 12 && data(0) == 'R' && data(1) == 'I' &&
+        data(2) == 'F' && data(3) == 'F' && data(8) == 'W' &&
+        data(9) == 'A' && data(10) == 'V' && data(11) == 'E') "wav"
     else "bin"
 
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG — public,
@@ -145,13 +152,92 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The per-blob decode dispatch: sniff, decode media formats for
-    * real, fall back to byte-level features for everything else. */
+    * real, fall back to byte-level features for everything else.
+    * WAV blobs keep the sniffed format label but take the byte-level
+    * feature path — their REAL decode surface is [[audioMeta]], whose
+    * output (channels / rate / frames / duration) has audio semantics
+    * that don't fit the pixel-shaped [[MediaFeatures]]. */
   def decode(id: Long, data: Array[Byte]): MediaFeatures =
     sniffFormat(data) match {
       case f @ ("png" | "jpeg") =>
         decodeImage(id, data, f).getOrElse(decodeStub(id, data))
+      case "wav" => decodeStub(id, data).copy(format = "wav")
       case _ => decodeStub(id, data)
     }
+
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV —
+    * public, dependency-free): channels, sample rate, frame count and
+    * duration parsed from the actual RIFF/fmt header by the platform
+    * AudioSystem, not by trusting our own arithmetic. Returns None for
+    * bytes the audio stack rejects (caller decides whether to drop or
+    * route to byte-level features); any non-fatal parser throw is
+    * contained the same way as [[decodeImage]]'s. */
+  def decodeAudioMeta(id: Long, data: Array[Byte]): Option[AudioMeta] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        val durMs =
+          if (f.getFrameRate > 0 && frames >= 0)
+            frames * 1000.0 / f.getFrameRate
+          else -1.0
+        Some(AudioMeta(id, f.getChannels, f.getSampleRate.toInt, frames, durMs))
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Audio metadata table over blob partitions: one row per blob the
+    * audio stack can parse (non-audio rows are dropped — this is the
+    * audio-modality projection of a mixed corpus, not a per-row
+    * feature map). Same narrow mapPartitions boundary as
+    * [[extractFeatures]]: no shuffle, codec init amortized per task. */
+  def audioMeta(blobs: DataFrame): Dataset[AudioMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, data) =>
+        if (sniffFormat(data) == "wav") decodeAudioMeta(id, data) else None
+      })
+  }
+
+  /** Wrap a text table as REAL WAV blobs (PCM 16-bit mono @ 8 kHz:
+    * the text's UTF-8 bytes, truncated to an even length, become the
+    * sample payload inside a correct RIFF container). Deterministic
+    * stand-in for an audio corpus — like [[asBlobTable]], but the
+    * container is genuine: [[audioMeta]] parses it with the platform
+    * decoder, and the frame count is pure arithmetic on the text
+    * length (len/2), so the end-to-end decode is DuckDB-checkable. */
+  def asWavBlobTable(df: DataFrame, idCol: String, textCol: String,
+                     sampleRateHz: Int = 8000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, wavBytes(text.getBytes("UTF-8"), sampleRateHz))
+      })
+      .toDF("id", "data")
+  }
+
+  /** A correct minimal RIFF/WAVE container (PCM s16le mono) around
+    * `pcm` (truncated to an even byte count — 2 bytes per frame). */
+  private[graft] def wavBytes(pcm: Array[Byte], sampleRateHz: Int): Array[Byte] = {
+    val dataLen = pcm.length & ~1
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1)                     // PCM
+      .putShort(1)                     // mono
+      .putInt(sampleRateHz)
+      .putInt(sampleRateHz * 2)        // byte rate = rate × blockAlign
+      .putShort(2)                     // blockAlign = channels × 16/8
+      .putShort(16)                    // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      .put(pcm, 0, dataLen)
+    out.array()
+  }
 
   /** Feature extraction over blob partitions: the batch boundary a
     * real pipeline gives its decoder (amortizes codec init per

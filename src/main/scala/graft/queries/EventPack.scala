@@ -53,6 +53,18 @@ object EventPack extends QueryPack {
                 octet_length(col("frame")).cast("long").as("frame_len"))
     }),
 
+    // REAL audio decode end-to-end: each doc's bytes are wrapped in a
+    // genuine RIFF/WAVE container (PCM s16le mono @8kHz), then parsed
+    // back by the JDK AudioSystem — channels/rate from the header,
+    // frames = even(len)/2, duration = frames/8 ms, all replayable as
+    // arithmetic on octet_length(text) in the oracle
+    "q_multimodal_audio" -> ((s, d) => {
+      val wavs = Multimodal.asWavBlobTable(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.audioMeta(wavs).toDF()
+        .select(col("id"), col("channels"), col("sample_rate_hz"),
+          col("frames"), round(col("duration_ms"), 4).as("duration_ms"))
+    }),
+
     // gap-based sessionization (batch twin of the stateful stream op)
     "q_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d), "user_id", "ts")),
@@ -87,6 +99,15 @@ object EventPack extends QueryPack {
     // q_multimodal_features: rows-only — the decoder's checksum is a
     // JVM-side computation (real ImageIO pixels for png/jpeg, byte
     // fold for bin); both paths are pinned in MultimodalSpec.
+
+    // the container is built around even(octet_length(text)) PCM
+    // bytes at 2 bytes/frame, 8 kHz mono — what AudioSystem reads
+    // back is exactly this arithmetic
+    "q_multimodal_audio" ->
+      """SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate_hz,
+        |  CAST((octet_length(CAST(text AS BLOB)) // 2 * 2) / 2 AS BIGINT) AS frames,
+        |  round((octet_length(CAST(text AS BLOB)) // 2 * 2) / 2 / 8.0, 4) AS duration_ms
+        |FROM documents""".stripMargin,
 
     "q_multimodal_resize" ->
       """SELECT doc_id AS id,

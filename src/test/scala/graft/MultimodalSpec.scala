@@ -159,6 +159,68 @@ class MultimodalSpec extends AnyFunSuite {
     assert(fs(1).n_bytes === txt.length.toLong)
   }
 
+  // --- real audio decode (javax.sound.sampled — JDK-only, public API) ---
+
+  test("WAV decode parses a JDK-written file: channels, rate, frames") {
+    // synthesize 100 ms of 440 Hz sine @16 kHz mono and write a REAL
+    // wav via AudioSystem itself, then parse it back with audioMeta's
+    // decoder — both directions go through the platform audio stack
+    val rate = 16000f
+    val n = 1600
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s = (math.sin(2 * math.Pi * 440 * i / rate) * 12000).toShort
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.sniffFormat(bytes) === "wav")
+    val m = Multimodal.decodeAudioMeta(5L, bytes).get
+    assert(m.channels === 1)
+    assert(m.sample_rate_hz === 16000)
+    assert(m.frames === n.toLong)
+    assert(math.abs(m.duration_ms - 100.0) < 1e-9)
+    // decode() keeps the sniffed label on the byte-feature path
+    assert(Multimodal.decode(5L, bytes).format === "wav")
+  }
+
+  test("asWavBlobTable → audioMeta round trip: frames follow the byte arithmetic") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abcdef"), (2L, "abcdefg"), (3L, "")).toDF("doc_id", "text")
+    val metas = Multimodal.audioMeta(
+      Multimodal.asWavBlobTable(docs, "doc_id", "text"))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size === 3)
+    // frames = even(utf8 length) / 2 at 2 bytes per mono 16-bit frame
+    assert(metas(1L).frames === 3L)  // 6 bytes → 3 frames
+    assert(metas(2L).frames === 3L)  // 7 bytes → truncated to 6 → 3
+    assert(metas(3L).frames === 0L)
+    metas.values.foreach { m =>
+      assert(m.channels === 1 && m.sample_rate_hz === 8000)
+      assert(math.abs(m.duration_ms - m.frames / 8.0) < 1e-9)
+    }
+  }
+
+  test("audioMeta drops undecodable and non-audio rows instead of erroring") {
+    val s = spark
+    import s.implicits._
+    val lyingRiff = "RIFF1234WAVEgarbage".getBytes("ISO-8859-1")
+    assert(Multimodal.sniffFormat(lyingRiff) === "wav")
+    assert(Multimodal.decodeAudioMeta(9L, lyingRiff).isEmpty)
+    val good = Multimodal.wavBytes("hello!".getBytes("UTF-8"), 8000)
+    val rows = Seq((1L, good), (2L, lyingRiff), (3L, "plain text".getBytes("UTF-8")))
+      .toDF("id", "data")
+    val out = Multimodal.audioMeta(rows).collect()
+    assert(out.map(_.id).toSeq === Seq(1L))
+  }
+
   test("feature extraction is deterministic and matches the stub contract") {
     val blobs = Multimodal.asBlobTable(
       Tables.documents(spark, SparkSuite.sf0001), "doc_id", "text")
