@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew mitigation by key salting. AQE's skew-join handling covers
@@ -38,4 +38,36 @@ object Skew {
         pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as("cnt"))
+
+  /** Exact top-k per group without a per-group global sort. A plain
+    * `row_number().over(partitionBy(group))` sends EVERY row of a
+    * group to one task — with a low-cardinality group column (e.g. 3
+    * return flags) that is a whole-table sort in 3 tasks, the
+    * canonical window-skew killer at 100 TB. Phase 1 ranks within
+    * (group, salt) — saltFactor× the parallelism, each task sorting
+    * ~1/saltFactor of a group — and keeps k rows per salted bucket;
+    * the true global top-k all survive, because any row globally
+    * above one of them inside its bucket is also globally above it.
+    * Phase 2 re-ranks the ≤ k·saltFactor survivors per group — a
+    * trivially small window. Output rows and ranks equal the
+    * single-window form PROVIDED `orderCols` is a total order
+    * (include tiebreaker columns); ties at the cut make both forms
+    * nondeterministic. `rankCol` carries the final 1..k rank. */
+  def saltedTopK(df: DataFrame, groupCols: Seq[String],
+                 orderCols: Seq[Column], k: Int,
+                 saltFactor: Int = 64, rankCol: String = "rn"): DataFrame = {
+    require(k >= 1 && saltFactor >= 1)
+    val gcols = groupCols.map(col)
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols :+ col("__salt"): _*).orderBy(orderCols: _*)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(orderCols: _*)
+    df.withColumn("__salt",
+        pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+      .withColumn(rankCol, row_number().over(w1))
+      .filter(col(rankCol) <= k)
+      .drop("__salt")
+      .withColumn(rankCol, row_number().over(w2))
+      .filter(col(rankCol) <= k)
+  }
 }

@@ -44,17 +44,20 @@ object ShapePack extends QueryPack {
             .select(col("o_orderkey"), col("o_orderstatus")))
     }),
 
-    // ranking window: top-3 priciest lines per return flag
-    "q_window_rank" -> ((s, d) => {
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
-                 col("l_linenumber").asc)
-      Tables.lineitem(s, d)
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-                col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 3)
-    }),
+    // ranking window: top-3 priciest lines per return flag. Only 3
+    // distinct flags exist, so a plain partitionBy(flag) window is a
+    // whole-table sort in 3 tasks — the salted two-phase form keeps
+    // the same rows/ranks (total order via the tiebreakers) with
+    // saltFactor× the phase-1 parallelism.
+    "q_window_rank" -> ((s, d) =>
+      graft.operators.Skew.saltedTopK(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+                  col("l_extendedprice")),
+        groupCols = Seq("l_returnflag"),
+        orderCols = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+                        col("l_linenumber").asc),
+        k = 3)),
 
     // exact distinct-count aggregate
     "q_count_distinct" -> ((s, d) =>

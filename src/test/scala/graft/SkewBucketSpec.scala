@@ -32,6 +32,28 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(got === Map("hot" -> 5000L, "a" -> 2L, "b" -> 1L))
   }
 
+  test("saltedTopK equals the single-window top-k, rows and ranks") {
+    val li = Tables.lineitem(spark, SparkSuite.sf0001)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"))
+    val order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+                    col("l_linenumber").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(order: _*)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("l_returnflag"), r.getAs[Long]("l_orderkey"),
+       r.getAs[Int]("l_linenumber"), r.getAs[Int]("rn"))
+    val plain = li.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).collect().map(key).toSet
+    // across salt factors, including 1 (degenerate = plain window)
+    // and a factor far above the per-group row count
+    for (f <- Seq(1, 4, 64, 4096)) {
+      val salted = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 5,
+        saltFactor = f).collect().map(key).toSet
+      assert(salted === plain, s"saltFactor=$f diverged")
+    }
+  }
+
   test("bucketed tables join on the bucket key with no shuffle exchange") {
     val li = Tables.lineitem(spark, SparkSuite.sf0001)
       .select("l_orderkey", "l_quantity")
