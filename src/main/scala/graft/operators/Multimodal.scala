@@ -12,8 +12,11 @@ case class MediaBlob(id: Long, data: Array[Byte], meta: MediaMeta)
 /** Deterministic features extracted from one blob. For decoded images
   * (`format` png/jpeg) width/height are the REAL pixel dimensions and
   * `head_histogram` is a 16-bucket luminance histogram over every
-  * pixel; for non-media bytes (`format` bin) dimensions are 0 and the
-  * histogram is over the first 256 raw bytes ([[Multimodal.decodeStub]]). */
+  * pixel; for everything else dimensions are 0 and the histogram is
+  * over the first 256 raw bytes ([[Multimodal.decodeStub]]) — with
+  * `format` carrying the sniffed container label ("wav"/"aiff"/"au"
+  * for audio, whose real decode is [[Multimodal.audioMeta]]; "bin"
+  * for unrecognized bytes). */
 case class MediaFeatures(id: Long, n_bytes: Long, format: String,
                          width: Int, height: Int, checksum: Long,
                          head_histogram: Array[Int])
@@ -33,14 +36,19 @@ case class AudioMeta(id: Long, channels: Int, sample_rate_hz: Int,
   * PNG/JPEG blobs through the JDK's `javax.imageio` (no external
   * codec deps), extracting actual pixel dimensions, a 16-bucket
   * luminance histogram over every pixel, and a pixel-stream checksum.
-  * Non-media bytes (and images ImageIO cannot parse) fall back to
-  * [[decodeStub]], the deterministic byte-level stand-in — so a mixed
-  * corpus never errors mid-partition. Audio/video codecs are NOT in
-  * the JDK; those formats take the stub path, with the same
-  * bytes-in/features-out contract a real codec would slot into.
-  * The plumbing is scale-true throughout: the schema, the binaryFile
-  * source, the mapPartitions batch boundary (one fused narrow stage,
-  * no shuffle, no driver involvement), and the typed Dataset output.
+  * AUDIO decode is REAL too: [[audioMeta]] parses WAV/AIFF/AU headers
+  * with `javax.sound.sampled` (channels, sample rate, frames,
+  * duration). Non-media bytes — and media the platform stack rejects
+  * — fall back to [[decodeStub]], the deterministic byte-level
+  * stand-in, so a mixed corpus never errors mid-partition; stub rows
+  * still carry the SNIFFED format label (a wav blob produces format
+  * "wav" with byte-level features from [[decode]] — its pixel-shaped
+  * fields don't apply). VIDEO codecs are not in the JDK; those
+  * formats take the stub path, with the same bytes-in/features-out
+  * contract a real codec would slot into. The plumbing is scale-true
+  * throughout: the schema, the binaryFile source, the mapPartitions
+  * batch boundary (one fused narrow stage, no shuffle, no driver
+  * involvement), and the typed Dataset output.
   */
 object Multimodal {
 
@@ -76,9 +84,11 @@ object Multimodal {
     MediaFeatures(id, data.length.toLong, "bin", 0, 0, checksum, hist)
   }
 
-  /** Magic-byte sniff: "png" / "jpeg" / "wav" / "bin". Container
-    * formats are identified by their signature bytes, never by path
-    * extension — at corpus scale extensions lie. */
+  /** Magic-byte sniff: "png" / "jpeg" / "wav" / "aiff" / "au" /
+    * "bin". Container formats are identified by their signature
+    * bytes, never by path extension — at corpus scale extensions
+    * lie. The three audio magics cover every format the JDK
+    * AudioSystem ships a reader for. */
   def sniffFormat(data: Array[Byte]): String =
     if (data.length >= 8 && (data(0) & 0xff) == 0x89 && data(1) == 'P' &&
         data(2) == 'N' && data(3) == 'G') "png"
@@ -87,7 +97,16 @@ object Multimodal {
     else if (data.length >= 12 && data(0) == 'R' && data(1) == 'I' &&
         data(2) == 'F' && data(3) == 'F' && data(8) == 'W' &&
         data(9) == 'A' && data(10) == 'V' && data(11) == 'E') "wav"
+    else if (data.length >= 12 && data(0) == 'F' && data(1) == 'O' &&
+        data(2) == 'R' && data(3) == 'M' && data(8) == 'A' &&
+        data(9) == 'I' && data(10) == 'F') "aiff" // AIFF or AIFC
+    else if (data.length >= 4 && data(0) == '.' && data(1) == 's' &&
+        data(2) == 'n' && data(3) == 'd') "au"
     else "bin"
+
+  /** The formats [[audioMeta]] attempts — exactly the JDK
+    * AudioSystem's built-in readers. */
+  private val AudioFormats = Set("wav", "aiff", "au")
 
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG — public,
     * dependency-free codecs): actual pixel width/height, a 16-bucket
@@ -153,25 +172,26 @@ object Multimodal {
 
   /** The per-blob decode dispatch: sniff, decode media formats for
     * real, fall back to byte-level features for everything else.
-    * WAV blobs keep the sniffed format label but take the byte-level
-    * feature path — their REAL decode surface is [[audioMeta]], whose
-    * output (channels / rate / frames / duration) has audio semantics
-    * that don't fit the pixel-shaped [[MediaFeatures]]. */
+    * Audio blobs (wav/aiff/au) keep the sniffed format label but take
+    * the byte-level feature path — their REAL decode surface is
+    * [[audioMeta]], whose output (channels / rate / frames /
+    * duration) has audio semantics that don't fit the pixel-shaped
+    * [[MediaFeatures]]. */
   def decode(id: Long, data: Array[Byte]): MediaFeatures =
     sniffFormat(data) match {
       case f @ ("png" | "jpeg") =>
         decodeImage(id, data, f).getOrElse(decodeStub(id, data))
-      case "wav" => decodeStub(id, data).copy(format = "wav")
+      case f if AudioFormats(f) => decodeStub(id, data).copy(format = f)
       case _ => decodeStub(id, data)
     }
 
-  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV —
-    * public, dependency-free): channels, sample rate, frame count and
-    * duration parsed from the actual RIFF/fmt header by the platform
-    * AudioSystem, not by trusting our own arithmetic. Returns None for
-    * bytes the audio stack rejects (caller decides whether to drop or
-    * route to byte-level features); any non-fatal parser throw is
-    * contained the same way as [[decodeImage]]'s. */
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV /
+    * AIFF / AU — public, dependency-free): channels, sample rate,
+    * frame count and duration parsed from the actual container header
+    * by the platform AudioSystem, not by trusting our own arithmetic.
+    * Returns None for bytes the audio stack rejects (caller decides
+    * whether to drop or route to byte-level features); any non-fatal
+    * parser throw is contained the same way as [[decodeImage]]'s. */
   def decodeAudioMeta(id: Long, data: Array[Byte]): Option[AudioMeta] =
     try {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -188,16 +208,26 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Audio metadata table over blob partitions: one row per blob the
-    * audio stack can parse (non-audio rows are dropped — this is the
-    * audio-modality projection of a mixed corpus, not a per-row
-    * feature map). Same narrow mapPartitions boundary as
+    * audio stack can parse (wav/aiff/au by magic bytes; non-audio
+    * rows are skipped — this is the audio-modality projection of a
+    * mixed corpus, not a per-row feature map). Blobs that SNIFF as
+    * audio but fail the real parse are dropped AND counted in the
+    * named accumulator `graft.audioMeta.undecodable` — a drop is
+    * never silent (upper bound under task retries; report, don't
+    * gate). Same narrow mapPartitions boundary as
     * [[extractFeatures]]: no shuffle, codec init amortized per task. */
   def audioMeta(blobs: DataFrame): Dataset[AudioMeta] = {
     val spark = blobs.sparkSession
     import spark.implicits._
+    val undecodable =
+      spark.sparkContext.longAccumulator("graft.audioMeta.undecodable")
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, data) =>
-        if (sniffFormat(data) == "wav") decodeAudioMeta(id, data) else None
+        if (AudioFormats(sniffFormat(data))) {
+          val m = decodeAudioMeta(id, data)
+          if (m.isEmpty) undecodable.add(1L)
+          m
+        } else None
       })
   }
 

@@ -57,13 +57,25 @@ object Skew {
                  orderCols: Seq[Column], k: Int,
                  saltFactor: Int = 64, rankCol: String = "rn"): DataFrame = {
     require(k >= 1 && saltFactor >= 1)
+    require(!df.columns.contains("__salt"),
+      "saltedTopK: input already has a __salt column")
+    require(!df.columns.contains(rankCol),
+      s"saltedTopK: input already has a '$rankCol' column — pass a free rankCol")
     val gcols = groupCols.map(col)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols :+ col("__salt"): _*).orderBy(orderCols: _*)
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols: _*).orderBy(orderCols: _*)
+    // the salt is a DETERMINISTIC function of the full row (hash of
+    // every column), never monotonically_increasing_id(): a
+    // nondeterministic shuffle key re-salts rows on stage retry, and
+    // a true top-k row recomputed into a different bucket than the
+    // one already fetched is silently lost. Full-row duplicates
+    // sharing a bucket is harmless — they are interchangeable under
+    // the total order.
     df.withColumn("__salt",
-        pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)).cast("int"))
+        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
+          .cast("int"))
       .withColumn(rankCol, row_number().over(w1))
       .filter(col(rankCol) <= k)
       .drop("__salt")

@@ -100,13 +100,13 @@ object EventPack extends QueryPack {
     // JVM-side computation (real ImageIO pixels for png/jpeg, byte
     // fold for bin); both paths are pinned in MultimodalSpec.
 
-    // the container is built around even(octet_length(text)) PCM
-    // bytes at 2 bytes/frame, 8 kHz mono — what AudioSystem reads
-    // back is exactly this arithmetic
+    // the container truncates the payload to an even byte count at
+    // 2 bytes/frame, 8 kHz mono — so frames = octet_length // 2, and
+    // what AudioSystem reads back is exactly this arithmetic
     "q_multimodal_audio" ->
       """SELECT doc_id AS id, 1 AS channels, 8000 AS sample_rate_hz,
-        |  CAST((octet_length(CAST(text AS BLOB)) // 2 * 2) / 2 AS BIGINT) AS frames,
-        |  round((octet_length(CAST(text AS BLOB)) // 2 * 2) / 2 / 8.0, 4) AS duration_ms
+        |  CAST(octet_length(CAST(text AS BLOB)) // 2 AS BIGINT) AS frames,
+        |  round((octet_length(CAST(text AS BLOB)) // 2) / 8.0, 4) AS duration_ms
         |FROM documents""".stripMargin,
 
     "q_multimodal_resize" ->

@@ -208,6 +208,25 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("AIFF decode: the other JDK audio container parses too") {
+    val rate = 8000f
+    val n = 400
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 2, true, true)
+    val pcm = new Array[Byte](n * 4) // stereo 16-bit
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val bytes = bos.toByteArray
+    assert(Multimodal.sniffFormat(bytes) === "aiff")
+    val m = Multimodal.decodeAudioMeta(6L, bytes).get
+    assert(m.channels === 2)
+    assert(m.sample_rate_hz === 8000)
+    assert(m.frames === n.toLong)
+    assert(Multimodal.decode(6L, bytes).format === "aiff")
+  }
+
   test("audioMeta drops undecodable and non-audio rows instead of erroring") {
     val s = spark
     import s.implicits._
