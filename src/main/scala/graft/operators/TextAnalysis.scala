@@ -307,20 +307,21 @@ object TextAnalysis {
       .map(c => f"${math.floor(c * 4294967296.0).toLong}%08x")
 
   /** Per-source cap — keep at most `cap` docs per source (the guard
-    * against one domain dominating the corpus): deterministic
-    * row_number within source, ordered by `orderCol`. One shuffle on
-    * source; the window partitions are per-source so no global sort
-    * exists — a skewed giant source is the one case to watch, and the
-    * cap itself is what bounds the damage (only `cap` rows survive
-    * per partition). */
+    * against one domain dominating the corpus): the first `cap` rows
+    * per source under `orderCol`, which must be a TOTAL order within
+    * each source (e.g. a unique id) for the kept set to be
+    * deterministic. Runs through [[Skew.saltedTopK]]'s two-phase
+    * window rather than a plain partitionBy(source) ranking: a hot
+    * source (the case this operator exists for — one domain
+    * dominating the corpus) would otherwise funnel ALL its rows
+    * through a single task; salted, each task sorts ~1/32 of the
+    * source and phase 2 ranks only cap×32 survivors. */
   def sourceCap(df: DataFrame, sourceCol: String, orderCol: String,
                 cap: Int): DataFrame = {
     require(cap > 0)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(sourceCol).orderBy(col(orderCol))
-    df.withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= cap)
-      .drop("rn")
+    Skew.saltedTopK(df, Seq(sourceCol), Seq(col(orderCol)), cap,
+        saltFactor = 32, rankCol = "__graft_rn")
+      .drop("__graft_rn")
   }
 
   /** Corpus datasheet: per-source row counts and content stats — the
