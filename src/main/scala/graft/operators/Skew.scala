@@ -10,19 +10,48 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt in [0, saltFactor): a hash of
+    * `saltCols`, or of EVERY column of `df` when `saltCols` is empty.
+    *
+    * The basis MUST be a pure function of row content — never
+    * `monotonically_increasing_id()`, `rand()`, or anything
+    * position-dependent. The salt doubles as part of a shuffle key,
+    * and shuffle map output is recomputed on stage retry after
+    * executor loss: a nondeterministic salt re-salts the recomputed
+    * rows into different buckets than the ones downstream tasks have
+    * already consumed, silently dropping or duplicating rows.
+    * Invisible at local[32] (no retries); routine at 1000-executor
+    * scale. Content-hashing also makes the salt invariant to the
+    * input's partitioning — pinned in SkewBucketSpec.
+    *
+    * Prefer a narrow `saltCols` basis on wide rows: the full-row
+    * default hashes every column, so its cost grows with row width
+    * (for a document table that is the entire text, per row), and it
+    * throws on column types xxhash64 cannot hash (e.g. MapType). */
+  private[graft] def rowSalt(df: DataFrame, saltCols: Seq[Column],
+                             saltFactor: Int): Column = {
+    val basis = if (saltCols.nonEmpty) saltCols
+                else df.columns.map(col).toIndexedSeq
+    pmod(xxhash64(basis: _*), lit(saltFactor)).cast("int")
+  }
+
   /** Join `big` (skewed) with `small` on `key`, spreading each hot key
     * over `saltFactor` partitions: the big side gets a per-row salt,
     * the small side is replicated once per salt value. Result is
     * row-identical to the unsalted join; only the key distribution of
     * the exchange changes.
-    */
+    *
+    * The salt is a deterministic content hash ([[rowSalt]] — see its
+    * note on why `monotonically_increasing_id()` would drop rows on
+    * stage retry) of `saltCols`, defaulting to the big side's full
+    * row. A narrow basis should still VARY within a hot key's rows:
+    * columns constant per key leave the whole key in one bucket —
+    * correct, but no spread. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int, saltCols: Seq[Column] = Nil): DataFrame = {
     require(saltFactor >= 1)
     val salts = array((0 until saltFactor).map(lit): _*)
-    val bigS = big.withColumn("__salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor))
-        .cast("int"))
+    val bigS = big.withColumn("__salt", rowSalt(big, saltCols, saltFactor))
     val smallS = small.withColumn("__salt", explode(salts))
     bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
   }
@@ -32,10 +61,12 @@ object Skew {
     * aggregation already does this for simple counts; the explicit
     * form is for aggregates whose partial form is expensive (e.g.
     * collect-style) or when the first-phase output feeds further
-    * per-salt processing. */
-  def saltedGroupCount(df: DataFrame, key: String, saltFactor: Int): DataFrame =
-    df.withColumn("__salt",
-        pmod(xxhash64(col(key), monotonically_increasing_id()), lit(saltFactor)))
+    * per-salt processing. Salt determinism: see [[rowSalt]] — a
+    * nondeterministic salt could split a key's partial counts on
+    * stage retry. */
+  def saltedGroupCount(df: DataFrame, key: String, saltFactor: Int,
+                       saltCols: Seq[Column] = Nil): DataFrame =
+    df.withColumn("__salt", rowSalt(df, saltCols, saltFactor))
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as("cnt"))
 
@@ -47,15 +78,29 @@ object Skew {
     * (group, salt) — saltFactor× the parallelism, each task sorting
     * ~1/saltFactor of a group — and keeps k rows per salted bucket;
     * the true global top-k all survive, because any row globally
-    * above one of them inside its bucket is also globally above it.
-    * Phase 2 re-ranks the ≤ k·saltFactor survivors per group — a
-    * trivially small window. Output rows and ranks equal the
-    * single-window form PROVIDED `orderCols` is a total order
-    * (include tiebreaker columns); ties at the cut make both forms
-    * nondeterministic. `rankCol` carries the final 1..k rank. */
+    * above one of them inside its bucket is also globally above it
+    * (this holds for ANY deterministic bucketing, so `saltCols` never
+    * affects the result). Phase 2 re-ranks the ≤ k·saltFactor
+    * survivors per group — a trivially small window. Output rows and
+    * ranks equal the single-window form PROVIDED `orderCols` is a
+    * total order (include tiebreaker columns); ties at the cut make
+    * both forms nondeterministic. `rankCol` carries the final 1..k
+    * rank.
+    *
+    * The salt must be a deterministic content hash, never
+    * `monotonically_increasing_id()` — see [[rowSalt]] for the
+    * stage-retry hazard. Pass `saltCols` (the group columns plus the
+    * expressions under `orderCols` are the natural choice: the
+    * total-order requirement already makes them deterministic and
+    * well-distributed) to avoid the full-row default hashing wide
+    * payload columns — or any column type xxhash64 rejects. The
+    * basis cannot be derived from `orderCols` automatically because
+    * `.desc`/`.asc` sort wrappers are not unwrappable through the
+    * public Column API (Spark 4 hides the expression tree). */
   def saltedTopK(df: DataFrame, groupCols: Seq[String],
                  orderCols: Seq[Column], k: Int,
-                 saltFactor: Int = 64, rankCol: String = "rn"): DataFrame = {
+                 saltFactor: Int = 64, rankCol: String = "rn",
+                 saltCols: Seq[Column] = Nil): DataFrame = {
     require(k >= 1 && saltFactor >= 1)
     require(!df.columns.contains("__salt"),
       "saltedTopK: input already has a __salt column")
@@ -66,16 +111,7 @@ object Skew {
       .partitionBy(gcols :+ col("__salt"): _*).orderBy(orderCols: _*)
     val w2 = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols: _*).orderBy(orderCols: _*)
-    // the salt is a DETERMINISTIC function of the full row (hash of
-    // every column), never monotonically_increasing_id(): a
-    // nondeterministic shuffle key re-salts rows on stage retry, and
-    // a true top-k row recomputed into a different bucket than the
-    // one already fetched is silently lost. Full-row duplicates
-    // sharing a bucket is harmless — they are interchangeable under
-    // the total order.
-    df.withColumn("__salt",
-        pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltFactor))
-          .cast("int"))
+    df.withColumn("__salt", rowSalt(df, saltCols, saltFactor))
       .withColumn(rankCol, row_number().over(w1))
       .filter(col(rankCol) <= k)
       .drop("__salt")

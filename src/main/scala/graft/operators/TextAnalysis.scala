@@ -315,12 +315,17 @@ object TextAnalysis {
     * source (the case this operator exists for — one domain
     * dominating the corpus) would otherwise funnel ALL its rows
     * through a single task; salted, each task sorts ~1/32 of the
-    * source and phase 2 ranks only cap×32 survivors. */
+    * source and phase 2 ranks only cap×32 survivors. The salt hashes
+    * only (source, order) — not the row's payload columns — so the
+    * cost is independent of document width and any schema (maps
+    * included) is accepted; the total-order contract on `orderCol`
+    * makes that narrow basis deterministic and well-distributed. */
   def sourceCap(df: DataFrame, sourceCol: String, orderCol: String,
                 cap: Int): DataFrame = {
     require(cap > 0)
     Skew.saltedTopK(df, Seq(sourceCol), Seq(col(orderCol)), cap,
-        saltFactor = 32, rankCol = "__graft_rn")
+        saltFactor = 32, rankCol = "__graft_rn",
+        saltCols = Seq(col(sourceCol), col(orderCol)))
       .drop("__graft_rn")
   }
 

@@ -23,6 +23,28 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("rowSalt is a pure function of row content: invariant to partitioning") {
+    val spark2 = spark
+    import spark2.implicits._
+    // a nondeterministic salt (the old monotonically_increasing_id
+    // pattern) depends on row POSITION and changes when the same data
+    // is laid out differently — exactly what a stage retry does. The
+    // content hash must give every row the same salt regardless of
+    // partitioning.
+    val df = (1 to 1000).map(i => (i % 7, i)).toDF("k", "payload")
+    def saltOf(d: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      d.withColumn("__s", Skew.rowSalt(d, Nil, 16))
+        .select("payload", "__s").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(saltOf(df) === saltOf(df.repartition(13)))
+    // narrow basis: same invariance
+    def saltNarrow(d: org.apache.spark.sql.DataFrame): Map[Int, Int] =
+      d.withColumn("__s", Skew.rowSalt(d, Seq(col("payload")), 16))
+        .select("payload", "__s").collect()
+        .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(saltNarrow(df) === saltNarrow(df.repartition(5).sortWithinPartitions("payload")))
+  }
+
   test("saltedGroupCount equals plain groupBy count") {
     val spark2 = spark
     import spark2.implicits._
@@ -52,6 +74,25 @@ class SkewBucketSpec extends AnyFunSuite {
         saltFactor = f).collect().map(key).toSet
       assert(salted === plain, s"saltFactor=$f diverged")
     }
+    // narrow salt basis (group + order expressions) — same rows/ranks
+    val narrow = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 5,
+      saltFactor = 64,
+      saltCols = Seq(col("l_returnflag"), col("l_extendedprice"),
+                     col("l_orderkey"), col("l_linenumber")))
+      .collect().map(key).toSet
+    assert(narrow === plain, "narrow saltCols diverged")
+  }
+
+  test("sourceCap accepts schemas the full-row hash cannot (map column)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // xxhash64 rejects MapType; the narrow (source, order) salt basis
+    // must make sourceCap schema-agnostic again
+    val df = (1 to 100).map(i => (s"src${i % 3}", i.toLong, Map("a" -> i)))
+      .toDF("source", "doc_id", "attrs")
+    val capped = graft.operators.TextAnalysis.sourceCap(df, "source", "doc_id", 5)
+    assert(capped.count() === 15)
+    assert(capped.columns.toSeq === Seq("source", "doc_id", "attrs"))
   }
 
   test("bucketed tables join on the bucket key with no shuffle exchange") {
