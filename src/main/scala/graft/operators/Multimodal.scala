@@ -108,6 +108,63 @@ object Multimodal {
     * AudioSystem's built-in readers. */
   private val AudioFormats = Set("wav", "aiff", "au")
 
+  /** Null-safe bytes: a null media column is an empty blob, never a
+    * task failure — one null doc in a 100 TB corpus must not kill its
+    * stage. Empty bytes route to the stub/skip paths naturally (sniff
+    * "bin", zero frames, empty features). */
+  @inline private def safeBytes(d: Array[Byte]): Array[Byte] =
+    if (d == null) Array.emptyByteArray else d
+
+  /** Decode `data` into a BufferedImage with the decompression-bomb
+    * guard: dimensions come from the HEADER before any pixel
+    * allocation, so a few-KB file declaring 50k×50k pixels is refused
+    * at `maxPixels` instead of OOMing the executor. None when no
+    * reader claims the bytes, the dims are over cap, or the codec
+    * throws (the JDK codecs raise CMMException / AIOOBE /
+    * IllegalArgumentException on fuzzed input, not just IOException).
+    *
+    * The input stream is an explicit MemoryCacheImageInputStream: the
+    * bytes are already in memory, and constructing it directly avoids
+    * consulting — or being tempted to mutate — `ImageIO.setUseCache`,
+    * a process-global JVM flag that executor tasks must not touch. */
+  private[graft] def readImage(data: Array[Byte],
+                               maxPixels: Long): Option[java.awt.image.BufferedImage] =
+    try {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, true, true)
+            val w = reader.getWidth(0)
+            val h = reader.getHeight(0)
+            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+            else Some(reader.read(0))
+          } finally reader.dispose()
+        }
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** PNG-encode via an explicit writer over a
+    * MemoryCacheImageOutputStream — same reasoning as [[readImage]]:
+    * `ImageIO.write`'s implicit stream factory consults the global
+    * useCache flag; the explicit in-memory stream sidesteps it. */
+  private[graft] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writers = javax.imageio.ImageIO.getImageWritersByFormatName("png")
+    require(writers.hasNext, "JDK PNG writer missing")
+    val writer = writers.next()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.write(img)
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
   /** REAL image decode via the JDK's ImageIO (PNG/JPEG — public,
     * dependency-free codecs): actual pixel width/height, a 16-bucket
     * histogram of 8-bit luminance (ITU-R BT.601 integer weights,
@@ -117,57 +174,35 @@ object Multimodal {
     * is amortized; a fancier path would read the Raster directly, but
     * per-row bulk is within 2× of it and handles every color model.
     *
-    * Hardened for hostile corpora: dimensions are read from the
-    * HEADER before any pixel allocation — a decompression bomb (a
-    * few-KB file declaring 50k×50k pixels) is refused at `maxPixels`
-    * (default 2^26 ≈ 67 Mpx, a ~256 MB ARGB buffer) instead of
-    * OOMing the executor — and ANY non-fatal decoder throw (the JDK
-    * codecs raise CMMException / IllegalArgumentException / AIOOBE on
-    * fuzzed input, not just IOException) yields None, so the caller
-    * falls back to [[decodeStub]] and a single bad blob can never
-    * fail the task. */
+    * Hardened for hostile corpora via [[readImage]]: header-dims bomb
+    * guard (`maxPixels`, default 2^26 ≈ 67 Mpx, a ~256 MB ARGB
+    * buffer) and NonFatal containment, so the caller falls back to
+    * [[decodeStub]] and a single bad blob can never fail the task. */
   def decodeImage(id: Long, data: Array[Byte], format: String,
                   maxPixels: Long = 1L << 26): Option[MediaFeatures] =
     try {
-      val stream = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(data))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(stream)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(stream, true, true)
-            // header-only dims: a bomb announces its size in a few KB;
-            // refuse before allocating w*h pixels
-            val w = reader.getWidth(0)
-            val h = reader.getHeight(0)
-            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
-            else {
-              val im = reader.read(0)
-              val hist = new Array[Int](16)
-              var checksum = 0L
-              val row = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                im.getRGB(0, y, w, 1, row, 0, w)
-                var x = 0
-                while (x < w) {
-                  val rgb = row(x)
-                  val lum = (((rgb >> 16) & 0xff) * 299 +
-                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-                  checksum = checksum * 31 + lum
-                  hist(lum >> 4) += 1
-                  x += 1
-                }
-                y += 1
-              }
-              Some(MediaFeatures(id, data.length.toLong, format, w, h,
-                checksum, hist))
-            }
-          } finally reader.dispose()
+      readImage(data, maxPixels).map { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        val hist = new Array[Int](16)
+        var checksum = 0L
+        val row = new Array[Int](w)
+        var y = 0
+        while (y < h) {
+          im.getRGB(0, y, w, 1, row, 0, w)
+          var x = 0
+          while (x < w) {
+            val rgb = row(x)
+            val lum = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            checksum = checksum * 31 + lum
+            hist(lum >> 4) += 1
+            x += 1
+          }
+          y += 1
         }
-      } finally if (stream != null) stream.close()
+        MediaFeatures(id, data.length.toLong, format, w, h, checksum, hist)
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The per-blob decode dispatch: sniff, decode media formats for
@@ -177,13 +212,15 @@ object Multimodal {
     * [[audioMeta]], whose output (channels / rate / frames /
     * duration) has audio semantics that don't fit the pixel-shaped
     * [[MediaFeatures]]. */
-  def decode(id: Long, data: Array[Byte]): MediaFeatures =
+  def decode(id: Long, data0: Array[Byte]): MediaFeatures = {
+    val data = safeBytes(data0)
     sniffFormat(data) match {
       case f @ ("png" | "jpeg") =>
         decodeImage(id, data, f).getOrElse(decodeStub(id, data))
       case f if AudioFormats(f) => decodeStub(id, data).copy(format = f)
       case _ => decodeStub(id, data)
     }
+  }
 
   /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV /
     * AIFF / AU — public, dependency-free): channels, sample rate,
@@ -222,7 +259,8 @@ object Multimodal {
     val undecodable =
       spark.sparkContext.longAccumulator("graft.audioMeta.undecodable")
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, data) =>
+      .mapPartitions(_.flatMap { case (id, data0) =>
+        val data = safeBytes(data0) // null row = empty blob, skipped below
         if (AudioFormats(sniffFormat(data))) {
           val m = decodeAudioMeta(id, data)
           if (m.isEmpty) undecodable.add(1L)
@@ -244,7 +282,10 @@ object Multimodal {
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        (id, wavBytes(text.getBytes("UTF-8"), sampleRateHz))
+        // null text = empty payload (a zero-frame but VALID container),
+        // never an NPE mid-task
+        val pcm = (if (text == null) "" else text).getBytes("UTF-8")
+        (id, wavBytes(pcm, sampleRateHz))
       })
       .toDF("id", "data")
   }
@@ -269,6 +310,37 @@ object Multimodal {
     out.array()
   }
 
+  /** Wrap a text table as REAL PNG blobs: the text's UTF-8 bytes
+    * become grayscale pixels, row-major in a `width`-pixel-wide image
+    * (last row zero-padded; null/empty text yields a 1-row black
+    * image). Deterministic stand-in for an image corpus with GENUINE
+    * containers — [[decode]] and [[resizeImage]] take their real
+    * codec paths on it, so resize-then-redecode is checkable
+    * end-to-end (q_multimodal_resize_real). Same narrow mapPartitions
+    * boundary as [[asWavBlobTable]]. */
+  def asPngBlobTable(df: DataFrame, idCol: String, textCol: String,
+                     width: Int = 8): DataFrame = {
+    require(width >= 1, "asPngBlobTable needs a positive width")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = (if (text == null) "" else text).getBytes("UTF-8")
+        val h = math.max(1, (bytes.length + width - 1) / width)
+        val img = new java.awt.image.BufferedImage(
+          width, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val n = width * h
+        var i = 0
+        while (i < n) {
+          val v = if (i < bytes.length) bytes(i) & 0xff else 0
+          img.setRGB(i % width, i / width, (v << 16) | (v << 8) | v)
+          i += 1
+        }
+        (id, encodePng(img))
+      })
+      .toDF("id", "data")
+  }
+
   /** Feature extraction over blob partitions: the batch boundary a
     * real pipeline gives its decoder (amortizes codec init per
     * partition, not per row). */
@@ -276,20 +348,20 @@ object Multimodal {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        // per-partition codec init: ImageIO's disk-backed stream cache
-        // is pure overhead for in-memory byte arrays — disable once
-        // per task, not per row
-        javax.imageio.ImageIO.setUseCache(false)
-        it.map { case (id, data) => decode(id, data) }
-      }
+      // no per-task codec init needed: [[readImage]]/[[encodePng]]
+      // construct explicit in-memory ImageIO streams, so the
+      // process-global ImageIO.setUseCache flag is never consulted —
+      // and never mutated from executor tasks
+      .mapPartitions(_.map { case (id, data) => decode(id, safeBytes(data)) })
   }
 
-  /** Deterministic stand-in for a media resize: subsample the byte
+  /** Deterministic stand-in for a NON-media resize: subsample the byte
     * stream to at most `w*h` bytes with a fixed stride. The contract
     * (bytes + target dims in, bytes + updated meta out) and the
-    * per-partition batch boundary are the real thing; only the pixel
-    * math is fake (no codecs in this environment). */
+    * per-partition batch boundary are the real thing; the "pixel" math
+    * is a byte stub because there are no pixels to resample. Blobs the
+    * image codec CAN decode take [[resizeImage]]'s real path instead
+    * — see the dispatch in [[resized]]. */
   def resizeStub(data: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val target = math.max(1, w * h)
     if (data.length <= target) data
@@ -299,16 +371,57 @@ object Multimodal {
     }
   }
 
+  /** REAL pixel resize: decode (same bomb guard as [[decodeImage]]),
+    * scale to exactly `w`×`h` with `Graphics2D.drawImage` under
+    * bilinear interpolation — the JDK's dependency-free scaler — and
+    * re-encode as PNG (lossless, deterministic: MultimodalSpec pins
+    * output dims and exact pixels on generated images). None for
+    * bytes the codec rejects or over-cap dims; callers fall back to
+    * [[resizeStub]], so one bad blob never fails a task. */
+  def resizeImage(data: Array[Byte], w: Int, h: Int,
+                  maxPixels: Long = 1L << 26): Option[Array[Byte]] =
+    try {
+      readImage(data, maxPixels).map { src =>
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        encodePng(dst)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Resize every blob to `w`×`h`, rewriting the metadata struct.
-    * One narrow mapPartitions stage: no shuffle, no driver hop. */
+    * Decodable images (png/jpeg by magic bytes) are pixel-resized for
+    * real ([[resizeImage]]) and re-encoded as PNG — their meta.format
+    * says "png"; everything else (and bytes the codec rejects) takes
+    * the byte-stride stub with meta.format "resized", so the two
+    * paths are distinguishable downstream. One narrow mapPartitions
+    * stage: no shuffle, no driver hop; null data rows are treated as
+    * empty blobs, never a task failure. */
   def resized(blobs: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w >= 1 && h >= 1, "resized needs positive target dims")
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, d) => (id, resizeStub(d, w, h)) })
-      .toDF("id", "data")
-      .withColumn("meta", struct(lit("resized").as("format"),
+      .mapPartitions(_.map { case (id, d0) =>
+        val d = safeBytes(d0)
+        val real = sniffFormat(d) match {
+          case "png" | "jpeg" => resizeImage(d, w, h)
+          case _              => None
+        }
+        real match {
+          case Some(px) => (id, px, "png")
+          case None     => (id, resizeStub(d, w, h), "resized")
+        }
+      })
+      .toDF("id", "data", "__graft_fmt")
+      .withColumn("meta", struct(col("__graft_fmt").as("format"),
         lit(w).as("width"), lit(h).as("height")))
+      .drop("__graft_fmt")
   }
 
   /** Sample `n` evenly spaced frames per blob (the video frame-sample
@@ -323,7 +436,8 @@ object Multimodal {
     val spark = blobs.sparkSession
     import spark.implicits._
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
-      .flatMap { case (id, d) =>
+      .flatMap { case (id, d0) =>
+        val d = safeBytes(d0) // null blob = n empty frames, not an NPE
         val sz = d.length / n
         (0 until n).map { i =>
           val from = i * sz

@@ -32,15 +32,27 @@ object EventPack extends QueryPack {
         .select(col("id"), col("n_bytes"), col("format"), col("checksum"))
     }),
 
-    // stubbed resize: byte-subsample to w*h with updated meta; the
-    // OBSERVABLE contract (output size = min(len, w*h), new dims) is
-    // SQL-expressible, so it gets a full oracle even though the
-    // "pixel" math is a stub
+    // stub-path resize: text blobs sniff "bin", so they byte-subsample
+    // to w*h with updated meta; the OBSERVABLE contract (output size =
+    // min(len, w*h), new dims) is SQL-expressible, so it gets a full
+    // oracle even though the "pixel" math is a stub for non-media bytes
     "q_multimodal_resize" -> ((s, d) => {
       val blobs = Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
       Multimodal.resized(blobs, w = 64, h = 48)
         .select(col("id"), octet_length(col("data")).cast("long").as("n_bytes"),
                 col("meta.width").as("width"), col("meta.height").as("height"))
+    }),
+
+    // REAL resize end-to-end: each doc's bytes become grayscale pixels
+    // in a genuine PNG container, pixel-resized to 16×12 (Graphics2D
+    // bilinear), then the RESIZED bytes are re-decoded by the real
+    // codec — format/width/height in the output come from sniffing and
+    // parsing the resized PNG itself, so a silent fall-back to the
+    // byte stub would hash-mismatch ("bin", 0, 0)
+    "q_multimodal_resize_real" -> ((s, d) => {
+      val pngs = Multimodal.asPngBlobTable(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.extractFeatures(Multimodal.resized(pngs, w = 16, h = 12)).toDF()
+        .select(col("id"), col("format"), col("width"), col("height"))
     }),
 
     // video-shaped frame sampling: n evenly spaced byte-span frames
@@ -113,6 +125,13 @@ object EventPack extends QueryPack {
       """SELECT doc_id AS id,
         |  CAST(LEAST(octet_length(CAST(text AS BLOB)), 64 * 48) AS BIGINT) AS n_bytes,
         |  64 AS width, 48 AS height
+        |FROM documents""".stripMargin,
+
+    // the dims/format are re-read from the RESIZED bytes by the real
+    // decoder, so this pins the real-codec path end-to-end: any row
+    // falling back to the stub would surface as ('bin', 0, 0)
+    "q_multimodal_resize_real" ->
+      """SELECT doc_id AS id, 'png' AS format, 16 AS width, 12 AS height
         |FROM documents""".stripMargin,
 
     // frame i of n=4 spans [i*sz, (i+1)*sz), sz = len/4, last frame

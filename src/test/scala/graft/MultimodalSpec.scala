@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Multimodal
 
 class MultimodalSpec extends AnyFunSuite {
@@ -43,6 +44,112 @@ class MultimodalSpec extends AnyFunSuite {
       "doc_id", "text")
     val d = Multimodal.resized(one, 2, 2).head().getAs[Array[Byte]]("data")
     assert(new String(d, "UTF-8") === "aeim") // stride 4 over 16 bytes
+  }
+
+  test("resizeImage scales real pixels: exact dims and exact block colors") {
+    // 8×8, left half pure black, right half pure white → 2×2: the
+    // sample points sit deep inside each color block, so the output
+    // pixels are EXACT under any sane interpolation
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val out = Multimodal.resizeImage(pngBytes(img), 2, 2).get
+    assert(Multimodal.sniffFormat(out) === "png")
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out))
+    assert(dec.getWidth === 2 && dec.getHeight === 2)
+    for (y <- 0 until 2) {
+      assert((dec.getRGB(0, y) & 0xffffff) === 0x000000)
+      assert((dec.getRGB(1, y) & 0xffffff) === 0xffffff)
+    }
+    // solid color survives interpolation exactly, non-integer scale too
+    val red = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) red.setRGB(x, y, 0xff0000)
+    val r3 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.resizeImage(pngBytes(red), 3, 3).get))
+    assert(r3.getWidth === 3 && r3.getHeight === 3)
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert((r3.getRGB(x, y) & 0xffffff) === 0xff0000)
+    // deterministic bytes (PNG is lossless and the encoder is the JDK's)
+    assert(Multimodal.resizeImage(pngBytes(img), 2, 2).get.sameElements(out))
+    // bomb guard holds on the resize path too: 8×8 = 64 px over a 63 cap
+    assert(Multimodal.resizeImage(pngBytes(img), 2, 2, maxPixels = 63L).isEmpty)
+  }
+
+  test("resized dispatch: real path for decodable images, stub for text, null-safe") {
+    val s = spark
+    import s.implicits._
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+    val png = pngBytes(img)
+    val txt = "0123456789abcdef".getBytes("UTF-8")
+    val rows = Seq((1L, png), (2L, txt), (3L, null: Array[Byte]))
+      .toDF("id", "data")
+    val out = Multimodal.resized(rows, 2, 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Array[Byte]]("data"),
+         r.getAs[org.apache.spark.sql.Row]("meta"))).toMap
+    // real path: output is a genuine 2×2 PNG, meta.format = png
+    val (realBytes, realMeta) = out(1L)
+    assert(realMeta.getAs[String]("format") === "png")
+    assert(realMeta.getAs[Int]("width") === 2 && realMeta.getAs[Int]("height") === 2)
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(realBytes))
+    assert(dec.getWidth === 2 && dec.getHeight === 2)
+    assert((dec.getRGB(0, 0) & 0xffffff) === 0xffffff)
+    // stub path: byte-stride subsample, meta.format = resized
+    val (stubBytes, stubMeta) = out(2L)
+    assert(stubMeta.getAs[String]("format") === "resized")
+    assert(stubBytes.sameElements(Multimodal.resizeStub(txt, 2, 2)))
+    // null data: empty blob through the stub, no NPE
+    val (nullBytes, nullMeta) = out(3L)
+    assert(nullBytes.length === 0)
+    assert(nullMeta.getAs[String]("format") === "resized")
+  }
+
+  test("asPngBlobTable builds genuine PNGs the real decoder round-trips") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "abcdefgh" * 3), (2L, ""), (3L, null: String))
+      .toDF("doc_id", "text")
+    val blobs = Multimodal.asPngBlobTable(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(blobs).collect()
+      .map(f => f.id -> f).toMap
+    // 24 bytes at width 8 → 8×3; decoded for real (format png, real dims)
+    assert(feats(1L).format === "png")
+    assert(feats(1L).width === 8 && feats(1L).height === 3)
+    // empty and null text → 1-row black image, still a valid PNG
+    Seq(2L, 3L).foreach { id =>
+      assert(feats(id).format === "png")
+      assert(feats(id).width === 8 && feats(id).height === 1)
+    }
+    // pixel (0,0) of doc 1 is the gray of byte 'a' = 0x61
+    val bytes = blobs.filter(col("id") === 1L).head().getAs[Array[Byte]]("data")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert((img.getRGB(0, 0) & 0xffffff) === 0x616161)
+  }
+
+  test("audio + feature paths tolerate null text/data rows") {
+    val s = spark
+    import s.implicits._
+    // null text through the WAV wrapper: zero-frame but valid container
+    val docs = Seq((1L, "abcdef"), (2L, null: String)).toDF("doc_id", "text")
+    val metas = Multimodal.audioMeta(
+      Multimodal.asWavBlobTable(docs, "doc_id", "text"))
+      .collect().map(m => m.id -> m).toMap
+    assert(metas(1L).frames === 3L)
+    assert(metas(2L).frames === 0L)
+    // null data through audioMeta and extractFeatures: skipped / stubbed
+    val rows = Seq((1L, Multimodal.wavBytes("hi!!".getBytes, 8000)),
+                   (2L, null: Array[Byte])).toDF("id", "data")
+    assert(Multimodal.audioMeta(rows).collect().map(_.id).toSeq === Seq(1L))
+    val fs = Multimodal.extractFeatures(rows).collect().sortBy(_.id)
+    assert(fs(1).n_bytes === 0L && fs(1).format === "bin")
+    // null data through frameSample: n empty frames
+    val frames = Multimodal.frameSample(rows.filter(col("id") === 2L), 3)
+      .collect()
+    assert(frames.map(_.frame.length).toSeq === Seq(0, 0, 0))
   }
 
   test("frameSample yields n frames whose concatenation is the blob") {
