@@ -29,7 +29,7 @@ object DotBench {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .crossJoin(spark.range(amplify))
       .repartition(spark.sparkContext.defaultParallelism)
-      .persist()
+      .persist() // bench-owned: lives for the whole run, dies with the JVM
     val rows = emb.count()
 
     val native = s"graft_dot(embedding, $lit)"

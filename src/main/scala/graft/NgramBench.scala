@@ -33,6 +33,8 @@ object NgramBench {
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val sigs = Dedup.signatures(docs, "doc_id", shingler, k, seed = 42L)
+        // bench-owned cache: dropped by the clearCache() at the top of
+        // every timing, and the process exits after the trials
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = Dedup.candidateIdPairs(Dedup.bandRows(sigs, bands, k / bands))
       val n = Dedup.verifyJaccard(pairs, sigs, 0.8, estMargin).count()

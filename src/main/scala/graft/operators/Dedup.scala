@@ -207,15 +207,19 @@ object Dedup {
     * frame is persisted for the duration of the job — it is read by
     * the band explode, both self-join sides, and the verify join, and
     * recomputing 64 minhash passes per consumer would dominate the
-    * runtime. */
+    * runtime. The cache releases automatically after the first
+    * consuming action ([[MetricListener.releaseAfterFirstAction]]);
+    * persist the RESULT for multi-pass use. */
   def lshNearDups(docs: DataFrame, idCol: String, shingler: Column,
                   threshold: Double, k: Int, bands: Int,
                   seed: Long = 42L, maxBucket: Int = 64): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sigs = signatures(docs, idCol, shingler, k, seed)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
     val pairs = candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
-    verifyJaccard(pairs, sigs, threshold)
+    MetricListener.releaseAfterFirstAction(
+      verifyJaccard(pairs, sigs, threshold), sigs,
+      size(col("mh")) < 0, Seq(sigs))
   }
 
   /** Word-shingle MinHash-LSH near-dups (the classic document dedup). */
@@ -288,7 +292,11 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.sig") === col("r.sig"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    verifyJaccardAB(pairs, newSigs, corpus, threshold)
+    // the BATCH-side cache dies with the first consuming action (the
+    // corpus cache above stays caller-owned — see its comment)
+    MetricListener.releaseAfterFirstAction(
+      verifyJaccardAB(pairs, newSigs, corpus, threshold),
+      newSigs, size(col("mh")) < 0, Seq(newSigs))
   }
 
   /** Apply near-dup `pairs` (doc_a < doc_b) as a dedup filter: drop
@@ -394,7 +402,7 @@ object Dedup {
     val withFp = spread(docs)
       .select(col(idCol).as("id"), tokenHashes(textCol).as("th"))
       .select(col("id"), simhashFromHashes("th").as("fp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
     val chunks = withFp.select(col("id"), col("fp"),
       explode(expr(
         "transform(sequence(0, 3), j -> named_struct('band', j, 'sig', pmod(shiftright(fp, cast(j * 16 as int)), 65536)))"))
@@ -406,11 +414,14 @@ object Dedup {
       .drop("count")
     val lhs = pruned.alias("l")
     val rhs = pruned.alias("r")
-    lhs.join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+    val result = lhs
+      .join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"),
               expr("bit_count(l.fp ^ r.fp)").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
+    MetricListener.releaseAfterFirstAction(result, withFp,
+      expr("bit_count(fp)") < 0, Seq(withFp))
   }
 }

@@ -1,46 +1,139 @@
 package graft.operators
 
-import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, NumericType, StringType, StructType}
 import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Session-scoped delivery of `Dataset.observe` metrics to in-process
-  * handlers — the shared plumbing behind [[Similarity]]'s skew warning
-  * and [[Components]]'s convergence counter.
+  * handlers — the shared plumbing behind [[Similarity]]'s skew
+  * warning, [[Components]]'s convergence counter, and the
+  * cache-release hooks ([[once]]).
   *
-  * `ensure` registers at most ONE QueryExecutionListener per
-  * (session, prefix): every observed metric whose name starts with
-  * `prefix` is dispatched to `handler` when its query completes.
-  * Sessions are weak keys so a stopped-and-dropped SparkSession stays
-  * collectable (a strong set would pin every session and its
-  * SessionState for the JVM lifetime in long-lived multi-session
-  * drivers); the map is synchronized because WeakHashMap is not
-  * thread-safe. Handlers run on the listener bus thread — keep them
-  * cheap and non-blocking. */
+  * One QueryExecutionListener is registered per session (lazily, on
+  * the first `ensure`/`once`) and dispatches every observed metric to
+  * the matching handlers. Sessions are weak keys so a
+  * stopped-and-dropped SparkSession stays collectable (a strong set
+  * would pin every session and its SessionState for the JVM lifetime
+  * in long-lived multi-session drivers); the map is synchronized
+  * because WeakHashMap is not thread-safe. Handlers run on the
+  * listener bus thread — keep them cheap and non-blocking. */
 private[graft] object MetricListener {
 
-  private val registered =
-    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]()
+  private final class Dispatch {
+    // prefix → the ONE session-wide handler for that prefix
+    val prefixHandlers =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Row) => Unit]()
+    // exact metric name → handler fired at most once, then dropped
+    val onceHandlers =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Row) => Unit]()
+  }
 
+  private val registered = new java.util.WeakHashMap[SparkSession, Dispatch]()
+
+  private def dispatchFor(spark: SparkSession): Dispatch =
+    registered.synchronized {
+      var d = registered.get(spark)
+      if (d == null) {
+        d = new Dispatch
+        registered.put(spark, d)
+        val dd = d
+        spark.listenerManager.register(new QueryExecutionListener {
+          override def onSuccess(funcName: String, qe: QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              dd.prefixHandlers.forEach { (p, h) =>
+                if (name.startsWith(p)) h(name, row)
+              }
+              val once = dd.onceHandlers.remove(name)
+              if (once != null) once(name, row)
+            }
+          override def onFailure(funcName: String, qe: QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+      }
+      d
+    }
+
+  /** Register the session-wide handler for metric names starting with
+    * `prefix`.
+    *
+    * CONTRACT — first registration wins: a second `ensure` for the
+    * same (session, prefix) is a no-op even with a DIFFERENT handler
+    * (pinned in MetricListenerSpec). The call sites pass stable,
+    * capture-free handlers, so this is what keeps re-entrant
+    * operators from stacking one duplicate warning per call; a
+    * per-call handler belongs in [[once]] under a unique name. */
   def ensure(spark: SparkSession, prefix: String)
             (handler: (String, Row) => Unit): Unit = {
-    val isNew = registered.synchronized {
-      var set = registered.get(spark)
-      if (set == null) {
-        set = new java.util.HashSet[String]()
-        registered.put(spark, set)
-      }
-      set.add(prefix)
-    }
-    if (isNew)
-      spark.listenerManager.register(new QueryExecutionListener {
-        override def onSuccess(funcName: String, qe: QueryExecution,
-                               durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith(prefix)) handler(name, row)
-          }
-        override def onFailure(funcName: String, qe: QueryExecution,
-                               exception: Exception): Unit = ()
-      })
+    dispatchFor(spark).prefixHandlers.putIfAbsent(prefix, handler)
+    ()
   }
+
+  /** Register a handler for EXACTLY `name`, delivered at most once —
+    * it is deregistered as it fires. For per-query lifecycle hooks
+    * (cache release keyed on a unique observation name). A second
+    * registration under the same name before delivery replaces the
+    * first. */
+  def once(spark: SparkSession, name: String)
+          (handler: (String, Row) => Unit): Unit = {
+    dispatchFor(spark).onceHandlers.put(name, handler)
+    ()
+  }
+
+  private val releaseObsId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Release `caches` after the first completed action that consumes
+    * `result`: observes `observeOn` (a frame already inside `result`'s
+    * query — typically one of the caches) under a unique name, unions
+    * a zero-row twin onto the result (rows/schema/nullability
+    * unchanged; see [[zeroRowTwin]]), and unpersists the caches from a
+    * [[once]] handler when the metric is delivered. A later action on
+    * the same frame recomputes the caches — persist the RESULT for
+    * multi-pass use. Best-effort: a failed action delivers no
+    * metrics, so the caches then wait for the next successful one.
+    * Cost: the branch re-scans `observeOn` (cached — narrow, no
+    * shuffle) once per action. */
+  def releaseAfterFirstAction(result: DataFrame, observeOn: DataFrame,
+                              opaqueFalse: Column,
+                              caches: Seq[DataFrame]): DataFrame = {
+    val name = s"graft_release_${releaseObsId.incrementAndGet()}"
+    once(result.sparkSession, name)((_, _) => caches.foreach(_.unpersist(false)))
+    val observed = observeOn.observe(name, count(lit(1)).as("rows"))
+    result.unionByName(zeroRowTwin(observed, opaqueFalse, result.schema))
+  }
+
+  /** A zero-row twin of `schema` riding on `observed`: filtered by
+    * `opaqueFalse` — a predicate that never passes but that the
+    * optimizer cannot constant-fold away. Use a comparison on VALUES
+    * the optimizer has no bounds for: `count < 0` on an aggregate
+    * output, `size(arr) < 0`, `bit_count(x) < 0`. NOT `rand() < -1`:
+    * Spark 4 knows rand's [0,1) range, folds the filter to false, and
+    * then prunes the whole branch — CollectMetrics included (verified
+    * empirically; the metric silently never fires). Projected to
+    * `schema`'s columns, `unionByName` it onto a real result to keep `observed`'s
+    * CollectMetrics node in the FINAL stage, where AQE's
+    * empty-relation propagation cannot delete it (the round-9 find:
+    * a metric riding a prunable branch vanishes exactly when that
+    * branch goes empty — see Similarity's in-code note).
+    *
+    * Fields are projected as NON-NULL zero literals for
+    * numeric/string/boolean types, so the union does not widen the
+    * real result's nullability (a null-literal branch marks every
+    * output column nullable — the round-9 ADVICE item); other types
+    * fall back to a null literal and DO widen, so keep such columns
+    * out of hash-pinned schemas or extend the zero table.
+    * [[releaseAfterFirstAction]] is the packaged form. */
+  def zeroRowTwin(observed: DataFrame, opaqueFalse: Column,
+                  schema: StructType): DataFrame =
+    observed.filter(opaqueFalse).select(schema.fields.toIndexedSeq.map { f =>
+      val z = f.dataType match {
+        case BooleanType      => lit(false)
+        case StringType       => lit("")
+        case _: NumericType   => lit(0).cast(f.dataType)
+        case dt               => lit(null).cast(dt)
+      }
+      z.as(f.name)
+    }: _*)
 }

@@ -226,8 +226,15 @@ object TextAnalysis {
     import org.apache.spark.storage.StorageLevel
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(split(col(textCol), " ")).as("term"))
-    // tf feeds three consumers (df agg, hot join, tail join): persist
-    // so the explode+partial-agg runs once
+    // tf feeds three consumers (df agg, hot join, tail join) and dfreq
+    // two. ReuseExchange does NOT collapse the repeats — the join
+    // consumers push isnotnull(term) below the agg, so the subtrees
+    // canonicalize differently (checked in the final adaptive plan) —
+    // and at corpus scale re-running the tokenize+explode per consumer
+    // triples the heaviest scan. So both frames persist, and BOTH
+    // release via the MetricListener.once hook at the end of this
+    // function when the first consuming action completes (the round-9
+    // verdict flagged them as permanent cache residents otherwise).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -240,14 +247,32 @@ object TextAnalysis {
     val n = docs.agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
-    hotJoined.unionByName(tailJoined)
+    val result = hotJoined.unionByName(tailJoined)
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n") / col("df")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
               col("rn"))
+    // cache release after the first consuming action: an invisible
+    // zero-row branch over the cached document-frequency table keeps a
+    // CollectMetrics node in the final stage (AQE-safe — see
+    // MetricListener.zeroRowTwin), and the once-handler unpersists
+    // both caches when it fires. A later action on the same frame
+    // recomputes them; persist the result for multi-pass use.
+    val spark = docs.sparkSession
+    val obsName = s"graft_tfidf_release_${tfidfObsId.incrementAndGet()}"
+    MetricListener.once(spark, obsName) { (_, _) =>
+      Seq(tf, dfreq).foreach(_.unpersist(false))
+    }
+    val observed = dfreq.observe(obsName, count(lit(1)).as("terms"))
+    result.unionByName(MetricListener.zeroRowTwin(
+      observed, col("df") < 0, result.schema))
   }
+
+  // unique observation name per tfidfTop call (names must not collide
+  // across concurrent queries in one session)
+  private val tfidfObsId = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Line-level boilerplate removal — the C4/CCNet repetition pass:
     * split each doc on the literal `sep`, count every distinct
