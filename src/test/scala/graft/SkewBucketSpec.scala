@@ -67,20 +67,45 @@ class SkewBucketSpec extends AnyFunSuite {
        r.getAs[Int]("l_linenumber"), r.getAs[Int]("rn"))
     val plain = li.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5).collect().map(key).toSet
-    // across salt factors, including 1 (degenerate = plain window)
-    // and a factor far above the per-group row count
+    // the forced two-phase arm (k=5 through the public entry would
+    // dispatch to the plain window — see the threshold test below),
+    // across salt factors including 1 (degenerate = plain window) and
+    // a factor far above the per-group row count
     for (f <- Seq(1, 4, 64, 4096)) {
-      val salted = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 5,
-        saltFactor = f).collect().map(key).toSet
+      val salted = Skew.saltedTopKForced(li, Seq("l_returnflag"), order,
+        k = 5, saltFactor = f).collect().map(key).toSet
       assert(salted === plain, s"saltFactor=$f diverged")
     }
     // narrow salt basis (group + order expressions) — same rows/ranks
-    val narrow = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 5,
+    val narrow = Skew.saltedTopKForced(li, Seq("l_returnflag"), order, k = 5,
       saltFactor = 64,
       saltCols = Seq(col("l_returnflag"), col("l_extendedprice"),
                      col("l_orderkey"), col("l_linenumber")))
       .collect().map(key).toSet
     assert(narrow === plain, "narrow saltCols diverged")
+  }
+
+  test("saltedTopK dispatches on the WindowGroupLimit threshold") {
+    val li = Tables.lineitem(spark, SparkSuite.sf0001)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+              col("l_extendedprice"))
+    val order = Seq(col("l_extendedprice").desc, col("l_orderkey").asc,
+                    col("l_linenumber").asc)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    // k ≤ threshold (default 1000): plain single window — the
+    // optimizer's partial group-limit bounds the shuffle for free
+    // (TopKBench: plain ~0.55 s vs salted ~0.95 s on the hot-group
+    // input), so no salt column may appear in the plan
+    val small = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 5)
+    assert(!planOf(small).contains("__salt"),
+      "k below the threshold must use the plain window")
+    // k > threshold: the rule is off, the plain window would funnel
+    // the whole hot group through one task (TopKBench: 13.9 s vs
+    // 1.7 s salted at k=2000) — the salted two-phase must engage
+    val big = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 1001)
+    assert(planOf(big).contains("__salt"),
+      "k above the threshold must use the salted two-phase")
   }
 
   test("sourceCap accepts schemas the full-row hash cannot (map column)") {
