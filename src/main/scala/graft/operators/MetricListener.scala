@@ -14,21 +14,39 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * One QueryExecutionListener is registered per session (lazily, on
   * the first `ensure`/`once`) and dispatches every observed metric to
   * the matching handlers. Sessions are weak keys so a
-  * stopped-and-dropped SparkSession stays collectable (a strong set
-  * would pin every session and its SessionState for the JVM lifetime
-  * in long-lived multi-session drivers); the map is synchronized
-  * because WeakHashMap is not thread-safe. Handlers run on the
-  * listener bus thread — keep them cheap and non-blocking. */
+  * stopped-and-dropped SparkSession stays collectable — PROVIDED its
+  * pending once-handlers have drained: a handler held for delivery
+  * references what it captured, which for release hooks reaches back
+  * to the session, so collectability holds for sessions whose
+  * registered queries ran (the normal case), and the pending set is
+  * capped regardless (see [[once]]). The map is synchronized because
+  * WeakHashMap is not thread-safe. Handlers run on the listener bus
+  * thread — keep them cheap and non-blocking. */
 private[graft] object MetricListener {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private final class Dispatch {
     // prefix → the ONE session-wide handler for that prefix
     val prefixHandlers =
       new java.util.concurrent.ConcurrentHashMap[String, (String, Row) => Unit]()
-    // exact metric name → handler fired at most once, then dropped
+    // exact metric name → handler fired at most once, then dropped.
+    // Insertion-ordered and CAPPED: an undelivered handler (its query
+    // was never run, or only failed) strongly references whatever it
+    // captured — for release hooks that is the cached frames and,
+    // through them, the session — so unbounded pending handlers would
+    // both pin storage plans and defeat the weak-session key above.
+    // Past the cap the OLDEST pending handler is dropped with a warn:
+    // for release hooks that re-opens the bounded version of the leak
+    // the hook exists to close, which is the honest trade — a weakly
+    // held handler could be collected between the caller's action
+    // completing and the async listener delivering, silently skipping
+    // release. Bound: <= onceCap closures per session.
     val onceHandlers =
-      new java.util.concurrent.ConcurrentHashMap[String, (String, Row) => Unit]()
+      new java.util.LinkedHashMap[String, (String, Row) => Unit]()
   }
+
+  private val onceCap = 1024
 
   private val registered = new java.util.WeakHashMap[SparkSession, Dispatch]()
 
@@ -46,7 +64,9 @@ private[graft] object MetricListener {
               dd.prefixHandlers.forEach { (p, h) =>
                 if (name.startsWith(p)) h(name, row)
               }
-              val once = dd.onceHandlers.remove(name)
+              val once = dd.onceHandlers.synchronized {
+                dd.onceHandlers.remove(name)
+              }
               if (once != null) once(name, row)
             }
           override def onFailure(funcName: String, qe: QueryExecution,
@@ -75,10 +95,31 @@ private[graft] object MetricListener {
     * it is deregistered as it fires. For per-query lifecycle hooks
     * (cache release keyed on a unique observation name). A second
     * registration under the same name before delivery replaces the
-    * first. */
+    * first.
+    *
+    * Retention contract: until delivered, the handler (and everything
+    * it captures) is strongly held. Pending handlers are capped per
+    * session ([[onceCap]]); past the cap the oldest is dropped with a
+    * warning — so a driver that registers release hooks but never
+    * runs the consuming actions leaks at most the capped tail, and a
+    * session with ANY pending handler is not GC-collectable until
+    * they deliver or fall off the cap. Run the action (or
+    * clearCache()) rather than relying on eviction. */
   def once(spark: SparkSession, name: String)
           (handler: (String, Row) => Unit): Unit = {
-    dispatchFor(spark).onceHandlers.put(name, handler)
+    val d = dispatchFor(spark)
+    d.onceHandlers.synchronized {
+      d.onceHandlers.put(name, handler)
+      if (d.onceHandlers.size > onceCap) {
+        val it = d.onceHandlers.entrySet().iterator()
+        val evicted = it.next()
+        it.remove()
+        log.warn(s"MetricListener: dropped pending once-handler " +
+          s"'${evicted.getKey}' (over $onceCap pending — its query was " +
+          "registered but never completed an action; any caches it was " +
+          "meant to release stay resident)")
+      }
+    }
     ()
   }
 

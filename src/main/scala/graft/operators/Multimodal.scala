@@ -352,7 +352,7 @@ object Multimodal {
       // construct explicit in-memory ImageIO streams, so the
       // process-global ImageIO.setUseCache flag is never consulted —
       // and never mutated from executor tasks
-      .mapPartitions(_.map { case (id, data) => decode(id, safeBytes(data)) })
+      .mapPartitions(_.map { case (id, data) => decode(id, data) }) // decode null-safes
   }
 
   /** Deterministic stand-in for a NON-media resize: subsample the byte

@@ -26,13 +26,34 @@ object Skew {
     *
     * Prefer a narrow `saltCols` basis on wide rows: the full-row
     * default hashes every column, so its cost grows with row width
-    * (for a document table that is the entire text, per row), and it
-    * throws on column types xxhash64 cannot hash (e.g. MapType). */
+    * (for a document table that is the entire text, per row). The
+    * default SKIPS column types xxhash64 cannot hash (maps, and any
+    * nesting of them) so schemas that worked before salting keep
+    * working; an explicit `saltCols` is the caller's responsibility.
+    *
+    * Determinism's price: rows IDENTICAL across the basis share a
+    * bucket. A hot key whose rows are full duplicates (or a frame
+    * projected down to just the key) therefore degenerates to ONE
+    * bucket — correct, but no spread. There is no way around this:
+    * any salt that distinguishes identical rows is position-dependent
+    * and re-salts on retry. Give the frame (or `saltCols`) a
+    * distinguishing column — an event id, a file offset — to spread
+    * duplicate-heavy hot keys. */
   private[graft] def rowSalt(df: DataFrame, saltCols: Seq[Column],
                              saltFactor: Int): Column = {
+    def hashable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => false
+      case s: org.apache.spark.sql.types.StructType => s.fields.forall(f => hashable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hashable(a.elementType)
+      case _ => true
+    }
     val basis = if (saltCols.nonEmpty) saltCols
-                else df.columns.map(col).toIndexedSeq
-    pmod(xxhash64(basis: _*), lit(saltFactor)).cast("int")
+                else df.schema.fields.toIndexedSeq
+                  .filter(f => hashable(f.dataType)).map(f => col(f.name))
+    // an all-unhashable schema leaves no basis: constant salt —
+    // degenerate (single bucket) but correct and retry-safe
+    if (basis.isEmpty) lit(0)
+    else pmod(xxhash64(basis: _*), lit(saltFactor)).cast("int")
   }
 
   /** Join `big` (skewed) with `small` on `key`, spreading each hot key

@@ -96,10 +96,15 @@ class SkewBucketSpec extends AnyFunSuite {
     // k ≤ threshold (default 1000): plain single window — the
     // optimizer's partial group-limit bounds the shuffle for free
     // (TopKBench: plain ~0.55 s vs salted ~0.95 s on the hot-group
-    // input), so no salt column may appear in the plan
+    // input), so no salt column may appear in the plan AND the
+    // WindowGroupLimit node the whole premise rests on must actually
+    // be there (if a future change breaks the Filter-over-Window
+    // pattern the rule needs, the plain arm silently loses its bound)
     val small = Skew.saltedTopK(li, Seq("l_returnflag"), order, k = 5)
     assert(!planOf(small).contains("__salt"),
       "k below the threshold must use the plain window")
+    assert(planOf(small).contains("WindowGroupLimit"),
+      "the plain arm's shuffle bound (WindowGroupLimit) did not fire")
     // k > threshold: the rule is off, the plain window would funnel
     // the whole hot group through one task (TopKBench: 13.9 s vs
     // 1.7 s salted at k=2000) — the salted two-phase must engage
@@ -108,7 +113,7 @@ class SkewBucketSpec extends AnyFunSuite {
       "k above the threshold must use the salted two-phase")
   }
 
-  test("sourceCap accepts schemas the full-row hash cannot (map column)") {
+  test("sourceCap and the salt default accept schemas with map columns") {
     val spark2 = spark
     import spark2.implicits._
     // xxhash64 rejects MapType; the narrow (source, order) salt basis
@@ -118,6 +123,25 @@ class SkewBucketSpec extends AnyFunSuite {
     val capped = graft.operators.TextAnalysis.sourceCap(df, "source", "doc_id", 5)
     assert(capped.count() === 15)
     assert(capped.columns.toSeq === Seq("source", "doc_id", "attrs"))
+    // cap=5 dispatches to the plain window, which never evaluates the
+    // salt — exercise the SALTED arm against the same schema, both
+    // with sourceCap's narrow basis and with the full-row default
+    // (which must skip the unhashable map column, not throw)
+    val salted = Skew.saltedTopKForced(df, Seq("source"),
+      Seq(col("doc_id")), k = 5, saltFactor = 8,
+      saltCols = Seq(col("source"), col("doc_id")))
+    assert(salted.drop("rn").count() === 15)
+    val fullRowDefault = Skew.saltedTopKForced(df, Seq("source"),
+      Seq(col("doc_id")), k = 5, saltFactor = 8)
+    assert(fullRowDefault.drop("rn").count() === 15)
+    // degenerate-but-correct: once the map column is skipped the
+    // default basis is just the key, so every row of a key shares one
+    // bucket (no spread — documented in rowSalt) but counts stay exact
+    val mapOnly = (1 to 20).map(i => (s"s${i % 2}", Map("a" -> i)))
+      .toDF("source", "attrs")
+    val g = Skew.saltedGroupCount(mapOnly, "source", 4).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g === Map("s0" -> 10L, "s1" -> 10L))
   }
 
   test("bucketed tables join on the bucket key with no shuffle exchange") {
