@@ -86,6 +86,78 @@ object Similarity {
       .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
 
+  /** Map-side nearest-centroid assignment: score_j = ⟨v, c_j⟩ −
+    * |c_j|²/2 (the argmax of which equals the argmin of squared
+    * distance — the shared |v|² term cancels), each centroid riding
+    * as ONE typedLit literal into the codegen'd native dot product;
+    * argmax via array_position(·, array_max(·)), first index on ties
+    * so assignment is deterministic. */
+  private[graft] def kMeansAssign(vecCol: String,
+      centroids: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val scores = centroids.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      call_function("graft_dot", col(vecCol), typedLit(c)) - lit(half)
+    }
+    val arr = array(scores: _*)
+    (call_function("array_position", arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Final centroids plus the (id, cluster) assignment frame. */
+  case class KMeansResult(centroids: IndexedSeq[IndexedSeq[Double]],
+                          assignments: DataFrame)
+
+  /** DataFrame-native k-means (Lloyd's) over an embedding column —
+    * the in-library producer of [[ivfTopK]]'s cluster column, so the
+    * whole IVF layout (cluster → partition → probe) can be built
+    * without any external clustering dependency.
+    *
+    * Shape per iteration: assignment is MAP-SIDE ([[kMeansAssign]] —
+    * k centroids as literals inside a codegen'd argmin, no join, no
+    * shuffle), and the recompute is ONE partial-aggregated shuffle
+    * (groupBy cluster, per-dimension avg) whose k-row result is
+    * collected to the driver — k·dim doubles, tiny by definition, the
+    * one legitimate driver-side loop in this file. Init picks the k
+    * hash-smallest ids (seeded — deterministic and independent of
+    * scan order). Empty clusters keep their previous centroid. At
+    * corpus scale the cost is `iters` scans plus `iters` k-row
+    * shuffles; callers iterating many times should persist the
+    * projected input themselves.
+    *
+    * Iterative float arithmetic is not SQL-replayable, so q_kmeans is
+    * a rows-only gate entry; SimilaritySpec pins the semantics
+    * (nearest-centroid invariant, determinism, exact recovery of
+    * separated synthetic clusters, IVF recall over the produced
+    * clustering). */
+  def kMeans(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+             iters: Int = 10, seed: Long = 7L): KMeansResult = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    require(k >= 1 && iters >= 0, "kMeans needs k >= 1 and iters >= 0")
+    val base = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val init = base
+      .orderBy(xxhash64(col("id"), lit(seed)).asc, col("id").asc)
+      .limit(k).collect()
+    require(init.length == k, s"kMeans: need at least k=$k rows")
+    var centroids: IndexedSeq[IndexedSeq[Double]] =
+      init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val dim = centroids.head.length
+    for (_ <- 0 until iters) {
+      val aggs = count(lit(1)).as("n") +:
+        (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
+      val stats = base.withColumn("cluster", kMeansAssign("v", centroids))
+        .groupBy("cluster").agg(aggs.head, aggs.tail: _*)
+        .collect()
+      val next = centroids.toArray
+      stats.foreach { r =>
+        next(r.getInt(0)) = (0 until dim).map(i => r.getDouble(i + 2)).toIndexedSeq
+      }
+      centroids = next.toIndexedSeq
+    }
+    KMeansResult(centroids,
+      base.withColumn("cluster", kMeansAssign("v", centroids))
+        .select(col("id").as(idCol), col("cluster")))
+  }
+
   /** The seeded random hyperplanes behind every LSH signature here —
     * exposed so an external oracle (DuckDB SQL in the driver gate)
     * can replay the exact same bucketing. */

@@ -48,6 +48,15 @@ object SimilarityPack extends QueryPack {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.40)),
 
+    // DataFrame-native k-means (Lloyd's): the in-library producer of
+    // ivfTopK's cluster column. Iterative float arithmetic is not
+    // SQL-replayable → rows-only; nearest-centroid invariant,
+    // determinism, synthetic-cluster recovery, and IVF recall over
+    // the produced clustering are pinned in SimilaritySpec.
+    "q_kmeans" -> ((s, d) =>
+      Similarity.kMeans(Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L).assignments),
+
     // the full production layout end-to-end: bucket + int8-quantize,
     // write partitioned by bucket, probe the re-read store — pruned
     // scan over 4×-smaller vectors, one rescale multiply per row

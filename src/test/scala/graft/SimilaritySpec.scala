@@ -206,4 +206,63 @@ class SimilaritySpec extends AnyFunSuite {
     val c = df.select(Similarity.cosine("a", "b").as("c")).head().getDouble(0)
     assert(math.abs(c - 8.0 / 9.0) < 1e-12)
   }
+
+  test("kMeans recovers separated synthetic clusters; assignments are nearest-centroid and deterministic") {
+    val s = spark
+    import s.implicits._
+    // 90 points, 3 well-separated centers in dim 4, deterministic jitter
+    val rows = (0 until 90).map { i =>
+      val g = i % 3
+      val base = Array.fill(4)(0.0)
+      base(g) = 10.0
+      val jit = Array.tabulate(4)(j => ((i * 37 + j * 11) % 10) / 100.0)
+      (i.toLong, base.zip(jit).map { case (a, b) => a + b })
+    }
+    val df = rows.toDF("id", "vec")
+    val res = Similarity.kMeans(df, "id", "vec", k = 3, iters = 8, seed = 7L)
+    val got = res.assignments.collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // perfect recovery up to label permutation: each true group maps
+    // to exactly one label, and the three labels are distinct
+    val labelOf = (0 until 3).map(g =>
+      (0 until 90 by 3).map(i => got((i + g).toLong)).distinct)
+    labelOf.foreach(ls => assert(ls.size === 1, s"split cluster: $labelOf"))
+    assert(labelOf.map(_.head).toSet.size === 3)
+    // nearest-centroid invariant, checked against the returned
+    // centroids with plain scala arithmetic
+    def dist2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    rows.foreach { case (id, v) =>
+      val best = res.centroids.indices.minBy(j => dist2(v.toSeq, res.centroids(j)))
+      assert(got(id) === best, s"row $id not nearest-centroid")
+    }
+    // centroid fixpoint: each centroid is the mean of its members
+    val members = rows.groupBy { case (id, _) => got(id) }
+    res.centroids.zipWithIndex.foreach { case (c, j) =>
+      val vs = members(j).map(_._2)
+      val mean = (0 until 4).map(d => vs.map(_(d)).sum / vs.size)
+      assert(dist2(c, mean) < 1e-18, s"centroid $j is not its members' mean")
+    }
+    // determinism
+    val again = Similarity.kMeans(df, "id", "vec", k = 3, iters = 8, seed = 7L)
+    assert(again.centroids === res.centroids)
+  }
+
+  test("ivfTopK over a kMeans clustering recalls the brute-force top-k") {
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val km = Similarity.kMeans(emb, "vec_id", "embedding", k = 8, iters = 5,
+      seed = 7L)
+    // ivfTopK aliases its internal centroid frame's column "cluster";
+    // rename ours so the probe join is unambiguous
+    val clustered = emb.join(
+      km.assignments.withColumnRenamed("cluster", "km_cluster"), "vec_id")
+    val ivf = Similarity.ivfTopK(clustered, "vec_id", "embedding", "km_cluster",
+        SimilarityPack.queryVec, k = 10, nprobe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        SimilarityPack.queryVec, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF-over-kMeans recall $recall")
+  }
 }
