@@ -158,6 +158,39 @@ object Similarity {
         .select(col("id").as(idCol), col("cluster")))
   }
 
+  /** IVF probe over the STORED layout — the true corpus-scale shape:
+    * the table is written partitioned by its (kMeans) cluster column
+    * and the probe reads ONLY the `nprobe` nearest clusters'
+    * partition directories, a planning-time-pruned scan —
+    * vs [[ivfTopK]]'s full scan + broadcast filter (fine for ad-hoc
+    * clusterings, wrong for a standing index at 100 TB). Centroids
+    * come in precomputed ([[kMeans]]'s result — recomputing them here
+    * would re-scan everything the layout exists to avoid); picking
+    * the probe set is driver-side arithmetic over k·dim doubles, no
+    * data touched, deterministic (index tie-break). SimilaritySpec
+    * pins the PartitionFilters pruning, exact equality with a
+    * brute-force scan restricted to the same probed clusters, and
+    * recall against the global exact top-k. */
+  def ivfTopKStored(stored: DataFrame, idCol: String, vecCol: String,
+                    clusterCol: String,
+                    centroids: IndexedSeq[IndexedSeq[Double]],
+                    query: Seq[Double], k: Int, nprobe: Int = 3): DataFrame = {
+    graft.functions.DotProduct.register(stored.sparkSession)
+    require(nprobe >= 1 && centroids.nonEmpty,
+      "ivfTopKStored needs nprobe >= 1 and at least one centroid")
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val probes = centroids.indices
+      .sortBy(j => (-dot(centroids(j), query), j)).take(nprobe)
+    stored
+      .filter(col(clusterCol).isin(probes: _*))
+      .select(col(idCol),
+        expr(s"graft_dot($vecCol, ${vecLiteral(query)})").as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), round(col("sim"), 4).as("sim"))
+  }
+
   /** The seeded random hyperplanes behind every LSH signature here —
     * exposed so an external oracle (DuckDB SQL in the driver gate)
     * can replay the exact same bucketing. */

@@ -57,6 +57,23 @@ object SimilarityPack extends QueryPack {
       Similarity.kMeans(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 5, seed = 7L).assignments),
 
+    // the full IVF index lifecycle end-to-end: kMeans the corpus,
+    // write it partitioned BY cluster, probe the re-read store — the
+    // nprobe nearest clusters resolve to a partition-pruned scan
+    // (pinned in SimilaritySpec). rows-only like q_kmeans (the
+    // clustering upstream is not SQL-replayable).
+    "q_ann_ivf_stored" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val km = Similarity.kMeans(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
+      val cat = new graft.catalog.Catalog(s, dir)
+      cat.putPartitioned("ann_ivf_store",
+        emb.join(km.assignments, "vec_id"), "cluster")
+      Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
+        "embedding", "cluster", km.centroids, queryVec, k = 10, nprobe = 3)
+    }),
+
     // the full production layout end-to-end: bucket + int8-quantize,
     // write partitioned by bucket, probe the re-read store — pruned
     // scan over 4×-smaller vectors, one rescale multiply per row

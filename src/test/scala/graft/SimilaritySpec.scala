@@ -248,6 +248,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.centroids === res.centroids)
   }
 
+  test("ivfTopKStored: cluster layout prunes partitions; probe equals restricted brute force") {
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val km = Similarity.kMeans(emb, "vec_id", "embedding", k = 8, iters = 5,
+      seed = 7L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cat = new graft.catalog.Catalog(spark, dir)
+    cat.putPartitioned("ivf_store", emb.join(km.assignments, "vec_id"), "cluster")
+    val reread = cat.get("ivf_store")
+    val probed = Similarity.ivfTopKStored(reread, "vec_id", "embedding",
+      "cluster", km.centroids, SimilarityPack.queryVec, k = 10, nprobe = 3)
+    // planning-time pruning: the isin(probe clusters) filter must reach
+    // the partitioned read as PartitionFilters
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      s"expected cluster partition pruning in:\n$plan")
+    // exact equality with brute force restricted to the same probe set
+    // (cross-checking the pruned scan misses nothing inside it)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val probes = km.centroids.indices
+      .sortBy(j => (-dot(km.centroids(j), SimilarityPack.queryVec), j)).take(3)
+    val restricted = Similarity.bruteForceTopK(
+      emb.join(km.assignments, "vec_id")
+        .filter(col("cluster").isin(probes: _*)),
+      "vec_id", "embedding", SimilarityPack.queryVec, 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    val got = probed.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim"))).toSeq
+    assert(got === restricted)
+    // and useful recall against the GLOBAL exact top-k
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        SimilarityPack.queryVec, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = got.map(_._1).toSet.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, s"stored-IVF recall $recall")
+  }
+
   test("ivfTopK over a kMeans clustering recalls the brute-force top-k") {
     val emb = Tables.embeddings(spark, SparkSuite.sf0001)
     val km = Similarity.kMeans(emb, "vec_id", "embedding", k = 8, iters = 5,
