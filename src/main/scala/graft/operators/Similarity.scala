@@ -118,7 +118,12 @@ object Similarity {
     * collected to the driver — k·dim doubles, tiny by definition, the
     * one legitimate driver-side loop in this file. Init picks the k
     * hash-smallest ids (seeded — deterministic and independent of
-    * scan order). Empty clusters keep their previous centroid. At
+    * scan order). Empty clusters keep their previous centroid.
+    * Determinism caveat: the recompute's `avg` merges partial sums in
+    * partition order, so centroids are bit-reproducible for a given
+    * seed AND input layout (pinned in SimilaritySpec); a different
+    * partitioning can move a centroid by an ulp and flip near-tie
+    * assignments — inherent to any distributed float mean. At
     * corpus scale the cost is `iters` scans plus `iters` k-row
     * shuffles; callers iterating many times should persist the
     * projected input themselves.
