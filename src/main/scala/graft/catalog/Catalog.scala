@@ -258,9 +258,7 @@ final class Catalog(spark: SparkSession, root: String,
   }
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    }
+    Catalog.deleteRecursively(p)
 
   private def saveManifest(): Unit = {
     val lines = entries.values.toSeq.sortBy(_.name).map { e =>
@@ -289,6 +287,11 @@ object Catalog {
 
   /** File name a blob's bytes live under inside its versioned dir. */
   private[catalog] val BlobFile = "blob.bin"
+
+  private[graft] def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
 
   /** Bound on concurrent catalog ops — library code must not
     * `Await.result(..., Duration.Inf)`; callers with genuinely longer

@@ -217,9 +217,13 @@ object Dedup {
     val sigs = signatures(docs, idCol, shingler, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
     val pairs = candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
+    // isnotnull guard: size(mh) < 0 alone is never-true only because
+    // signatures() pre-filters empty/null hash arrays — under legacy
+    // (non-ANSI) sizeOfNull semantics a null mh would score -1 and
+    // PASS, injecting fabricated zero rows. Null-safe, not coupled.
     MetricListener.releaseAfterFirstAction(
       verifyJaccard(pairs, sigs, threshold), sigs,
-      size(col("mh")) < 0, Seq(sigs))
+      isnotnull(col("mh")) && size(col("mh")) < 0, Seq(sigs))
   }
 
   /** Word-shingle MinHash-LSH near-dups (the classic document dedup). */
@@ -296,7 +300,7 @@ object Dedup {
     // corpus cache above stays caller-owned — see its comment)
     MetricListener.releaseAfterFirstAction(
       verifyJaccardAB(pairs, newSigs, corpus, threshold),
-      newSigs, size(col("mh")) < 0, Seq(newSigs))
+      newSigs, isnotnull(col("mh")) && size(col("mh")) < 0, Seq(newSigs))
   }
 
   /** Apply near-dup `pairs` (doc_a < doc_b) as a dedup filter: drop
@@ -309,6 +313,59 @@ object Dedup {
                    pairs: DataFrame): DataFrame =
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** EXACT near-dup pairs by word-n-gram Jaccard — no LSH, no
+    * sampling: candidates are the doc pairs sharing at least one
+    * gram (a pair with Jaccard ≥ any positive threshold must share a
+    * gram, so candidate generation loses nothing), verified with the
+    * exact set Jaccard on the distinct STRING gram arrays. This is
+    * the DuckDB-replayable input for the hash-gated destructive
+    * dedup steps (q_dedup_drop/cluster/canonical_exact) — unlike the
+    * minhash path, every number here is plain string/set arithmetic
+    * an external SQL engine reproduces bit-for-bit.
+    *
+    * Scale shape: the candidate join is GRAM-keyed (explode → equi-
+    * join → distinct pair), so cost is Σ_gram freq² — fine while no
+    * gram is shared by a large fraction of the corpus, quadratic in
+    * the hot gram's frequency when one is (boilerplate). That skew is
+    * inherent to exactness (those docs really are pairwise
+    * candidates); `maxGramFreq > 0` caps it by DROPPING grams shared
+    * by more than that many docs — pairs overlapping ONLY in ultra-
+    * common grams are then missed, so the cap trades exactness for
+    * a bound, exactly like the LSH path's bucket cap (and the gate
+    * queries run uncapped). For corpus-scale near-dup the LSH path
+    * ([[minhashNearDups]]) remains the production choice; this is
+    * the exact mode for modest corpora and for auditing it. */
+  def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, n: Int = 3,
+                        maxGramFreq: Int = 0): DataFrame = {
+    require(threshold > 0, "exactJaccardPairs needs threshold > 0 " +
+      "(candidate generation by shared gram is only exact above 0)")
+    val grams = docs.select(col(idCol).as("id"),
+        TextAnalysis.stringShingles(textCol, n).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = grams.select(col("id"), explode(col("g")).as("gram"))
+    val keyed =
+      if (maxGramFreq > 0) {
+        val freq = ex.groupBy("gram").count()
+          .filter(col("count") <= maxGramFreq).drop("count")
+        ex.join(freq, Seq("gram"))
+      } else ex
+    val cand = keyed.alias("l")
+      .join(keyed.alias("r"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val result = cand
+      .join(grams.select(col("id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
+      .join(grams.select(col("id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        expr("cast(size(array_intersect(ga, gb)) as double) / size(array_union(ga, gb))"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+    MetricListener.releaseAfterFirstAction(result, grams,
+      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams))
+  }
 
   /** Brute-force exact Jaccard pairs over an arbitrary shingler
     * (all-pairs — test oracle for LSH recall at small scale; never

@@ -130,7 +130,14 @@ private[graft] object MetricListener {
     * query — typically one of the caches) under a unique name, unions
     * a zero-row twin onto the result (rows/schema/nullability
     * unchanged; see [[zeroRowTwin]]), and unpersists the caches from a
-    * [[once]] handler when the metric is delivered. A later action on
+    * [[once]] handler when the metric is delivered.
+    *
+    * `opaqueFalse` must be never-true for ALL rows of `observeOn`
+    * INCLUDING nulls: a predicate like `size(arr) < 0` scores -1 on a
+    * null array under legacy (non-ANSI) `sizeOfNull` and would PASS,
+    * injecting fabricated zero rows into the result — guard nullable
+    * inputs with `isnotnull(c) && …` (null-filtering upstream is not
+    * enough; the guard keeps the invariant locally evident). A later action on
     * the same frame recomputes the caches — persist the RESULT for
     * multi-pass use. Best-effort: a failed action delivers no
     * metrics, so the caches then wait for the next successful one.

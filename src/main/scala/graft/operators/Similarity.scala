@@ -123,10 +123,26 @@ object Similarity {
     * partition order, so centroids are bit-reproducible for a given
     * seed AND input layout (pinned in SimilaritySpec); a different
     * partitioning can move a centroid by an ulp and flip near-tie
-    * assignments — inherent to any distributed float mean. At
-    * corpus scale the cost is `iters` scans plus `iters` k-row
-    * shuffles; callers iterating many times should persist the
-    * projected input themselves.
+    * assignments — inherent to any distributed float mean.
+    *
+    * The projected (id, v) frame is persisted internally
+    * (MEMORY_AND_DISK — a persist changes neither seed nor layout, so
+    * the determinism pin above is unaffected): the source is scanned
+    * ONCE (the init sample populates the cache) and each Lloyd's
+    * iteration reads the cache, not the source — at corpus scale the
+    * per-iteration cost drops from a full re-scan to a cached-column
+    * pass plus the k-row shuffle. The cache releases when the first
+    * action consuming the returned `assignments` completes (the
+    * [[MetricListener.releaseAfterFirstAction]] hook); a caller using
+    * only `centroids` and never acting on `assignments` leaves it
+    * resident until then (clearCache() if that matters).
+    *
+    * Null embeddings and vectors whose length differs from the init
+    * sample's dimension are EXCLUDED — from the fit and from the
+    * returned assignments (a null vector would otherwise assign a
+    * NULL cluster and NPE the stats loop; a short vector makes
+    * `element_at` throw under ANSI mode). A mixed-dim init sample
+    * fails fast instead of fitting garbage.
     *
     * Iterative float arithmetic is not SQL-replayable, so q_kmeans is
     * a rows-only gate entry; SimilaritySpec pins the semantics
@@ -137,15 +153,24 @@ object Similarity {
              iters: Int = 10, seed: Long = 7L): KMeansResult = {
     graft.functions.DotProduct.register(emb.sparkSession)
     require(k >= 1 && iters >= 0, "kMeans needs k >= 1 and iters >= 0")
-    val base = emb.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val init = base
+    val raw = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the init sample's TakeOrdered computes every partition, so this
+    // one action both seeds the centroids AND fills the cache — the
+    // source is never scanned again
+    val init = raw
       .orderBy(xxhash64(col("id"), lit(seed)).asc, col("id").asc)
       .limit(k).collect()
-    require(init.length == k, s"kMeans: need at least k=$k rows")
+    require(init.length == k, s"kMeans: need at least k=$k non-null rows")
     var centroids: IndexedSeq[IndexedSeq[Double]] =
       init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
     val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      s"kMeans: init sample mixes vector dimensions (expected $dim); " +
+        "the input must be fixed-dim")
+    val base = raw.filter(size(col("v")) === dim)
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +:
         (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
@@ -158,9 +183,14 @@ object Similarity {
       }
       centroids = next.toIndexedSeq
     }
+    val assignments = base.withColumn("cluster", kMeansAssign("v", centroids))
+      .select(col("id").as(idCol), col("cluster"))
+    // size(v) < 0 is null-safe here because `raw` pre-filters null
+    // vectors — the isNotNull guard makes the predicate's never-true
+    // property locally evident rather than coupled to that filter
     KMeansResult(centroids,
-      base.withColumn("cluster", kMeansAssign("v", centroids))
-        .select(col("id").as(idCol), col("cluster")))
+      MetricListener.releaseAfterFirstAction(assignments, raw,
+        isnotnull(col("v")) && size(col("v")) < 0, Seq(raw)))
   }
 
   /** IVF probe over the STORED layout — the true corpus-scale shape:

@@ -69,6 +69,37 @@ object DedupPack extends QueryPack {
         .select("doc_id")
     }),
 
+    // ---- hash-gated destructive dedup: same drop/cluster/canonical
+    // steps as above, but the pair input is the EXACT string-gram
+    // Jaccard ([[Dedup.exactJaccardPairs]] — gram-keyed candidates,
+    // set arithmetic on distinct word 3-grams), which DuckDB replays
+    // verbatim (list_intersect / list_distinct(a||b)). The LSH-fed
+    // variants stay rows-only by nature; these put the DESTRUCTIVE
+    // logic itself — the steps that delete data — under the hash gate.
+    "q_dedup_pairs_exact" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)),
+
+    "q_dedup_drop_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.dropNearDups(docs, "doc_id",
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+        .select("doc_id")
+    }),
+
+    "q_dedup_cluster_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Components.clusters(docs, "doc_id",
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+    }),
+
+    "q_dedup_canonical_exact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Components.canonicalDocs(docs, "doc_id",
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+        .select("doc_id")
+    }),
+
     // the CC kernel under a DuckDB-recursive-CTE hash oracle: edges
     // between consecutive doc_ids whose texts share a first character
     // form variable-length chains — a non-transitive relation, so the
@@ -95,9 +126,81 @@ object DedupPack extends QueryPack {
           org.apache.spark.sql.functions.col("text")).as("exact_docs"))),
   )
 
+  /** DuckDB replay of [[Dedup.exactJaccardPairs]] (threshold 0.8,
+    * word 3-grams): the gram builder mirrors
+    * TextAnalysis.stringShingles index-for-index — Spark
+    * `sequence(0, greatest(size-3, 0))` + `slice(toks, i+1, 3)`
+    * becomes `range(1, greatest(len-3, 0) + 2)` + the clamped
+    * inclusive slice `t[i:i+2]` — and the candidate step is the same
+    * shared-gram equi-join, so the oracle never goes all-pairs
+    * either. */
+  private val exactPairsCte: String =
+    """toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      |),
+      |grams AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(t) - 3, 0) + 2),
+      |      i -> array_to_string(t[i:i+2], ' '))) AS g
+      |  FROM toks
+      |),
+      |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |),
+      |pairs AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      |      / len(list_distinct(ga.g || gb.g)) AS jaccard
+      |  FROM cand
+      |  JOIN grams ga ON ga.doc_id = cand.doc_a
+      |  JOIN grams gb ON gb.doc_id = cand.doc_b
+      |  WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+      |      / len(list_distinct(ga.g || gb.g)) >= 0.8
+      |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    "q_dedup_pairs_exact" ->
+      s"""WITH $exactPairsCte
+         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
+         |""".stripMargin,
+    "q_dedup_drop_exact" ->
+      s"""WITH $exactPairsCte
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |""".stripMargin,
+    "q_dedup_cluster_exact" ->
+      s"""WITH RECURSIVE $exactPairsCte,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+         |)
+         |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+         |""".stripMargin,
+    "q_dedup_canonical_exact" ->
+      s"""WITH RECURSIVE $exactPairsCte,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+         |)
+         |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(comp) = id
+         |""".stripMargin,
     // transitive closure of the chain-edge relation via recursive CTE:
     // walk enumerates every node reachable from each doc through the
     // symmetrized edges; min(reachable ∪ self) is the component label

@@ -15,6 +15,24 @@ object SimilarityPack extends QueryPack {
   /** Shared deterministic unit query vector (dim 64, seeded). */
   val queryVec: Seq[Double] = Similarity.seededUnitVector(64, seed = 1234L)
 
+  /** One store root per (store, data dir) per JVM. The storage-routed
+    * queries below write a full copy of the table before probing it;
+    * the bench invokes each query several times, so a fresh temp dir
+    * per invocation would accumulate unbounded copies under /tmp
+    * (round-10 ADVICE). Re-putting into the SAME catalog root instead
+    * keeps disk bounded — `writeVersioned` swaps in the new version
+    * and deletes the previous one — and a shutdown hook removes the
+    * roots at JVM exit. Keyed by data dir so sf0.01 (Verify) and
+    * sf0.1 (Bench) runs sharing a JVM never collide. */
+  private val storeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def storeRoot(store: String, dataDir: String): String =
+    storeRoots.computeIfAbsent(s"$store|$dataDir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$store")
+      sys.addShutdownHook(graft.catalog.Catalog.deleteRecursively(p))
+      p.toString
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_brute" -> ((s, d) =>
       Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -35,8 +53,7 @@ object SimilarityPack extends QueryPack {
     // probe is a partition-pruned scan — identical results to
     // q_ann_lsh by construction, which the shared oracle checks
     "q_ann_lsh_pruned" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-annstore").toString
-      val cat = new graft.catalog.Catalog(s, dir)
+      val cat = new graft.catalog.Catalog(s, storeRoot("annstore", d))
       cat.putPartitioned("ann_lsh_store",
         Similarity.withLshBucket(Tables.embeddings(s, d), "embedding",
           dim = 64, numBits = 4, seed = 7L), "bucket")
@@ -66,8 +83,7 @@ object SimilarityPack extends QueryPack {
       val emb = Tables.embeddings(s, d)
       val km = Similarity.kMeans(emb, "vec_id", "embedding",
         k = 8, iters = 5, seed = 7L)
-      val dir = java.nio.file.Files.createTempDirectory("graft-ivfstore").toString
-      val cat = new graft.catalog.Catalog(s, dir)
+      val cat = new graft.catalog.Catalog(s, storeRoot("ivfstore", d))
       cat.putPartitioned("ann_ivf_store",
         emb.join(km.assignments, "vec_id"), "cluster")
       Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
@@ -78,8 +94,7 @@ object SimilarityPack extends QueryPack {
     // write partitioned by bucket, probe the re-read store — pruned
     // scan over 4×-smaller vectors, one rescale multiply per row
     "q_ann_quantized" -> ((s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-annqstore").toString
-      val cat = new graft.catalog.Catalog(s, dir)
+      val cat = new graft.catalog.Catalog(s, storeRoot("annqstore", d))
       cat.putPartitioned("ann_q_store",
         Similarity.quantizeInt8(
           Similarity.withLshBucket(Tables.embeddings(s, d), "embedding",

@@ -132,6 +132,30 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors === all -- dropped)
   }
 
+  test("exactJaccardPairs equals the all-pairs brute force on string grams") {
+    // candidate generation by shared gram must lose NOTHING vs the
+    // quadratic scan (a pair above any positive threshold shares a
+    // gram) — set equality, not recall
+    val truth = Dedup.bruteForceJaccardBy(docs, "doc_id",
+        graft.operators.TextAnalysis.stringShingles("text", 3), 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val got = Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(truth.nonEmpty, "test data must contain planted near-dups")
+    assert(got === truth)
+  }
+
+  test("exactJaccardPairs maxGramFreq cap only ever drops pairs, never invents them") {
+    val uncapped = pairs(Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8))
+    val capped = pairs(
+      Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8, maxGramFreq = 8))
+    assert(capped.subsetOf(uncapped))
+  }
+
   test("shingle hashes: deterministic, distinct, and short-text safe") {
     val spark2 = spark
     import spark2.implicits._
