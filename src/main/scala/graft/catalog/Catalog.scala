@@ -45,6 +45,10 @@ final class Catalog(spark: SparkSession, root: String,
                     replicationFactor: Int = 4) {
 
   private val entries = TrieMap.empty[String, CatalogEntry]
+  // name → the ONE retained prior version dir (the retention window —
+  // see [[writeVersioned]]); persisted as the manifest's 5th column so
+  // a reopened catalog keeps GC'ing it instead of leaking it forever
+  private val retired = TrieMap.empty[String, String]
   private val rootPath: Path = Paths.get(root)
   private val manifest: Path = rootPath.resolve("_catalog.tsv")
   Files.createDirectories(rootPath)
@@ -67,11 +71,17 @@ final class Catalog(spark: SparkSession, root: String,
     * Writes are versioned: each put lands in a fresh `name-v<nano>`
     * directory and the catalog pointer swaps to it, so there is never
     * a window where the dataset has no data on disk (a delete-then-
-    * rename overwrite would have one). The previous version is
-    * removed after the swap — readers that resolved the old path
-    * before the put keep snapshot isolation only until then (the
-    * reference's leader R/W gate solved this with locks; here the
-    * catalog pointer is the consistency point). */
+    * rename overwrite would have one). The displaced version is
+    * RETAINED for exactly one more put (the retention window): a
+    * reader that resolved the old path before the swap — Spark plans
+    * file lists at planning time and reads them at action time —
+    * finishes its scan against intact files instead of dying with
+    * FileNotFound mid-job. Only the put after next reclaims the dir,
+    * so disk holds at most two versions per name (the reference's
+    * leader R/W gate solved the same race with locks; here the pointer
+    * swap plus one-version grace is the consistency point). Readers
+    * older than TWO puts do lose their files — a bounded window, not
+    * full MVCC; long-running consumers should `get` fresh per job. */
   def put(name: String, df: DataFrame, format: String = "parquet"): CatalogEntry =
     writeVersioned(name, format) { dir =>
       df.write.format(format).mode(SaveMode.Overwrite).save(dir)
@@ -85,11 +95,17 @@ final class Catalog(spark: SparkSession, root: String,
     val previous = entries.get(name)
     val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
     entries.put(name, e)
-    saveManifest()
-    previous.foreach { p =>
-      val prev = Paths.get(p.path)
-      if (prev.startsWith(rootPath)) deleteRecursively(prev)
+    // reclaim the version TWO puts back; retire the one just displaced
+    // (external paths registered via putPath are never deleted — same
+    // containment rule as `delete`)
+    retired.remove(name).foreach { old =>
+      val p = Paths.get(old)
+      if (p.normalize().startsWith(rootPath.normalize())) deleteRecursively(p)
     }
+    previous.filter(p =>
+        Paths.get(p.path).normalize().startsWith(rootPath.normalize()))
+      .foreach(p => retired.put(name, p.path))
+    saveManifest()
     e
   }
 
@@ -193,8 +209,13 @@ final class Catalog(spark: SparkSession, root: String,
     * content, ...) so the DataFrame verbs — multiread above all — work
     * unchanged over them; byte-exact retrieval is [[getBlob]]. */
   def get(name: String): DataFrame = {
-    val e = entries.getOrElse(name,
-      throw new NoSuchElementException(s"no such dataset: $name"))
+    // miss → reload the manifest once: another Catalog instance over
+    // the SAME root (a second engine/session) may have put the name
+    // after this instance opened. Names this instance already holds
+    // resolve without touching disk.
+    val e = entries.get(name)
+      .orElse { loadManifest(); entries.get(name) }
+      .getOrElse(throw new NoSuchElementException(s"no such dataset: $name"))
     val fmt = if (e.format == "blob") "binaryFile" else e.format
     spark.read.format(fmt).load(e.path)
   }
@@ -207,8 +228,13 @@ final class Catalog(spark: SparkSession, root: String,
   def delete(name: String): Boolean = synchronized {
     entries.remove(name) match {
       case Some(e) =>
-        if (Paths.get(e.path).normalize().startsWith(rootPath.normalize()))
-          deleteRecursively(Paths.get(e.path))
+        // the retained prior version goes with the name — delete means
+        // delete, not "delete except the grace copy"
+        (retired.remove(name).toSeq :+ e.path).foreach { path =>
+          val p = Paths.get(path)
+          if (p.normalize().startsWith(rootPath.normalize()))
+            deleteRecursively(p)
+        }
         saveManifest()
         true
       case None => false
@@ -260,13 +286,28 @@ final class Catalog(spark: SparkSession, root: String,
   private def deleteRecursively(p: Path): Unit =
     Catalog.deleteRecursively(p)
 
+  /** Manifest row: name, format, path, replicas, retired-prior-path
+    * ('' when none). Written to a temp file then ATOMIC_MOVE'd into
+    * place: a concurrent [[loadManifest]] from another Catalog
+    * instance over the same root sees the old manifest or the new one,
+    * never a truncated half-write. */
   private def saveManifest(): Unit = {
     val lines = entries.values.toSeq.sortBy(_.name).map { e =>
-      s"${e.name}\t${e.format}\t${e.path}\t${e.replicas.mkString(",")}"
+      s"${e.name}\t${e.format}\t${e.path}\t${e.replicas.mkString(",")}" +
+        s"\t${retired.getOrElse(e.name, "")}"
     }
-    Files.write(manifest, lines.asJava)
+    val tmp = Files.createTempFile(rootPath, "_catalog", ".tmp")
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, manifest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
+  /** Merge the on-disk manifest into this instance's map (newer
+    * in-memory state for a name this instance wrote is simply
+    * re-asserted by its own saveManifest; a name another instance
+    * wrote appears). 4-column rows from pre-retention manifests load
+    * with no retired version. */
   private def loadManifest(): Unit =
     if (Files.exists(manifest)) {
       Files.readAllLines(manifest).asScala.foreach { line =>
@@ -274,6 +315,10 @@ final class Catalog(spark: SparkSession, root: String,
           case Array(n, f, p, r) =>
             entries.put(n, CatalogEntry(n, p, f,
               r.split(",").toSeq.filter(_.nonEmpty)))
+          case Array(n, f, p, r, ret) =>
+            entries.put(n, CatalogEntry(n, p, f,
+              r.split(",").toSeq.filter(_.nonEmpty)))
+            if (ret.nonEmpty) retired.put(n, ret) else retired.remove(n)
           case _ => // skip malformed line
         }
       }

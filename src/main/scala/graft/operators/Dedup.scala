@@ -53,7 +53,7 @@ object Dedup {
     * would re-split per shingle, O(words²) per row. Kept as the
     * semantic reference (DedupSpec pins native == HOF bit-for-bit). */
   private[graft] def shingleHashesHof(textCol: String, w: Int = 3): Column =
-    expr(graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+    expr(graft.functions.Let.let1(TextAnalysis.tokensSql(textCol), "toks")(
       s"""array_distinct(transform(
          |  sequence(0, greatest(size(toks) - $w, 0)),
          |  i -> pmod(xxhash64(concat_ws(' ', slice(toks, i + 1, $w))), ${P}L)))""".stripMargin))
@@ -111,13 +111,9 @@ object Dedup {
   }
 
   /** Spread a narrow input across the cluster before a compute-heavy
-    * map stage: a small parquet file arrives as ONE partition, which
-    * would serialize the whole signature pass onto a single core. No
-    * effect when the input is already at least this wide. */
-  private def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+    * map stage — see [[Spread.ensureWidth]] (plan-stats check, no RDD
+    * translation). No effect when the input is already wide. */
+  private def spread(df: DataFrame): DataFrame = Spread.ensureWidth(df)
 
   /** Per-doc signature frame: (id, hashes, mh). `shingler` picks the
     * similarity universe (word shingles or char n-grams). The RAW doc
@@ -209,10 +205,15 @@ object Dedup {
     * recomputing 64 minhash passes per consumer would dominate the
     * runtime. The cache releases automatically after the first
     * consuming action ([[MetricListener.releaseAfterFirstAction]]);
-    * persist the RESULT for multi-pass use. */
+    * persist the RESULT for multi-pass use — or pass
+    * `keepCaches = true` (a known multi-pass caller: several actions
+    * over the pair frame, each reusing the signature cache instead of
+    * re-running the minhash pass; release is then the caller's
+    * `clearCache()`). */
   def lshNearDups(docs: DataFrame, idCol: String, shingler: Column,
                   threshold: Double, k: Int, bands: Int,
-                  seed: Long = 42L, maxBucket: Int = 64): DataFrame = {
+                  seed: Long = 42L, maxBucket: Int = 64,
+                  keepCaches: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sigs = signatures(docs, idCol, shingler, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
@@ -223,14 +224,16 @@ object Dedup {
     // PASS, injecting fabricated zero rows. Null-safe, not coupled.
     MetricListener.releaseAfterFirstAction(
       verifyJaccard(pairs, sigs, threshold), sigs,
-      isnotnull(col("mh")) && size(col("mh")) < 0, Seq(sigs))
+      isnotnull(col("mh")) && size(col("mh")) < 0, Seq(sigs), keepCaches)
   }
 
   /** Word-shingle MinHash-LSH near-dups (the classic document dedup). */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = 0.8, w: Int = 3, k: Int = 64,
-                      bands: Int = 16, seed: Long = 42L): DataFrame =
-    lshNearDups(docs, idCol, shingleHashes(textCol, w), threshold, k, bands, seed)
+                      bands: Int = 16, seed: Long = 42L,
+                      keepCaches: Boolean = false): DataFrame =
+    lshNearDups(docs, idCol, shingleHashes(textCol, w), threshold, k, bands,
+      seed, keepCaches = keepCaches)
 
   /** Character-n-gram Jaccard near-dups, LSH-accelerated: same banded
     * pipeline over the char-gram universe. k=64 in 16 bands of 4:
@@ -242,8 +245,10 @@ object Dedup {
     * the estimate pre-filter is worth 5-13× on its own there. */
   def ngramNearDups(docs: DataFrame, idCol: String, textCol: String,
                     threshold: Double = 0.8, n: Int = 5, k: Int = 64,
-                    bands: Int = 16, seed: Long = 42L): DataFrame =
-    lshNearDups(docs, idCol, charShingleHashes(textCol, n), threshold, k, bands, seed)
+                    bands: Int = 16, seed: Long = 42L,
+                    keepCaches: Boolean = false): DataFrame =
+    lshNearDups(docs, idCol, charShingleHashes(textCol, n), threshold, k, bands,
+      seed, keepCaches = keepCaches)
 
   /** Incremental near-dup: candidates between NEW docs and an
     * EXISTING corpus — the shape a 100 TB pipeline actually runs.
@@ -261,7 +266,8 @@ object Dedup {
                           idCol: String, shingler: Column,
                           threshold: Double, k: Int, bands: Int,
                           seed: Long = 42L, maxBucket: Int = 64,
-                          cacheCorpus: Boolean = true): DataFrame = {
+                          cacheCorpus: Boolean = true,
+                          keepCaches: Boolean = false): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
     val newSigs = signatures(newDocs, idCol, shingler, k, seed)
@@ -297,10 +303,12 @@ object Dedup {
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     // the BATCH-side cache dies with the first consuming action (the
-    // corpus cache above stays caller-owned — see its comment)
+    // corpus cache above stays caller-owned — see its comment);
+    // keepCaches=true pins it too for a multi-action batch consumer
     MetricListener.releaseAfterFirstAction(
       verifyJaccardAB(pairs, newSigs, corpus, threshold),
-      newSigs, isnotnull(col("mh")) && size(col("mh")) < 0, Seq(newSigs))
+      newSigs, isnotnull(col("mh")) && size(col("mh")) < 0, Seq(newSigs),
+      keepCaches)
   }
 
   /** Apply near-dup `pairs` (doc_a < doc_b) as a dedup filter: drop
@@ -338,7 +346,8 @@ object Dedup {
     * the exact mode for modest corpora and for auditing it. */
   def exactJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, n: Int = 3,
-                        maxGramFreq: Int = 0): DataFrame = {
+                        maxGramFreq: Int = 0,
+                        keepCaches: Boolean = false): DataFrame = {
     require(threshold > 0, "exactJaccardPairs needs threshold > 0 " +
       "(candidate generation by shared gram is only exact above 0)")
     val grams = docs.select(col(idCol).as("id"),
@@ -364,7 +373,7 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     MetricListener.releaseAfterFirstAction(result, grams,
-      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams))
+      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
   }
 
   /** Brute-force exact Jaccard pairs over an arbitrary shingler
@@ -435,14 +444,17 @@ object Dedup {
 
   /** Token-hash array for [[simhashFromHashes]]. Kept separate so the
     * tokenize+hash pass runs ONCE per row — inlining it under the
-    * per-bit aggregate would re-split and re-hash the text 64×. */
+    * per-bit aggregate would re-split and re-hash the text 64×.
+    * Tokenizes via [[TextAnalysis.tokensSql]] (the shared single-space
+    * tokenizer), so simhash's token universe matches the gram/stopword
+    * consumers'. */
   def tokenHashes(textCol: String): Column =
-    expr(s"transform(split($textCol, ' '), t -> xxhash64(t))")
+    expr(s"transform(${TextAnalysis.tokensSql(textCol)}, t -> xxhash64(t))")
 
   /** One-expression convenience form: tokenize+hash feeds the native
     * one-pass fold directly (the old per-bit HOF re-tokenized 64×). */
   def simhash(textCol: String): Column =
-    expr(s"graft_simhash(transform(split($textCol, ' '), t -> xxhash64(t)))")
+    expr(s"graft_simhash(transform(${TextAnalysis.tokensSql(textCol)}, t -> xxhash64(t)))")
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk
@@ -452,7 +464,8 @@ object Dedup {
     * never collide, silently losing pairs. (A wider radius needs more
     * chunks: maxHamming+1 bands guarantee a collision in general.) */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 64): DataFrame = {
+                      maxHamming: Int = 3, maxBucket: Int = 64,
+                      keepCaches: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
     graft.functions.SimHash64.register(docs.sparkSession)
@@ -479,6 +492,6 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= maxHamming)
     MetricListener.releaseAfterFirstAction(result, withFp,
-      expr("bit_count(fp)") < 0, Seq(withFp))
+      expr("bit_count(fp)") < 0, Seq(withFp), keepCaches)
   }
 }

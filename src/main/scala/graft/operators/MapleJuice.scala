@@ -42,6 +42,14 @@ object MapleJuice {
     * reshards input into exactly n row-contiguous chunks
     * (fileserver.py:265-289); n is clamped like the reference clamps
     * to row/member count (fileserver.py:274,501).
+    *
+    * The coalesce-vs-repartition pick needs the EXACT current
+    * partition count (`coalesce(n)` silently keeps fewer when the
+    * input has fewer — the numTasks contract would break), so this is
+    * the one site that keeps the `.rdd.getNumPartitions` touch: a
+    * physical-plan translation on the driver, paid once per job
+    * submission, no job run. The estimate-based guard
+    * ([[Spread.ensureWidth]]) is not exact enough here.
     */
   private def resized[T](ds: Dataset[T], numTasks: Int): Dataset[T] = {
     val n = math.max(1, numTasks)

@@ -142,15 +142,26 @@ private[graft] object MetricListener {
     * multi-pass use. Best-effort: a failed action delivers no
     * metrics, so the caches then wait for the next successful one.
     * Cost: the branch re-scans `observeOn` (cached — narrow, no
-    * shuffle) once per action. */
+    * shuffle) once per action.
+    *
+    * `keepCaches = true` opts OUT: the result is returned untouched
+    * (same rows and schema — the twin contributes zero rows either
+    * way) and the caches stay resident for the caller to reuse across
+    * several actions. The caller then owns their lifetime —
+    * `spark.catalog.clearCache()` (or session end) is the release;
+    * the operators that thread this flag through say so on their
+    * `keepCaches` param. */
   def releaseAfterFirstAction(result: DataFrame, observeOn: DataFrame,
                               opaqueFalse: Column,
-                              caches: Seq[DataFrame]): DataFrame = {
-    val name = s"graft_release_${releaseObsId.incrementAndGet()}"
-    once(result.sparkSession, name)((_, _) => caches.foreach(_.unpersist(false)))
-    val observed = observeOn.observe(name, count(lit(1)).as("rows"))
-    result.unionByName(zeroRowTwin(observed, opaqueFalse, result.schema))
-  }
+                              caches: Seq[DataFrame],
+                              keepCaches: Boolean = false): DataFrame =
+    if (keepCaches) result
+    else {
+      val name = s"graft_release_${releaseObsId.incrementAndGet()}"
+      once(result.sparkSession, name)((_, _) => caches.foreach(_.unpersist(false)))
+      val observed = observeOn.observe(name, count(lit(1)).as("rows"))
+      result.unionByName(zeroRowTwin(observed, opaqueFalse, result.schema))
+    }
 
   /** A zero-row twin of `schema` riding on `observed`: filtered by
     * `opaqueFalse` — a predicate that never passes but that the

@@ -94,6 +94,9 @@ object Multimodal {
         data(2) == 'N' && data(3) == 'G') "png"
     else if (data.length >= 3 && (data(0) & 0xff) == 0xff &&
         (data(1) & 0xff) == 0xd8 && (data(2) & 0xff) == 0xff) "jpeg"
+    else if (data.length >= 6 && data(0) == 'G' && data(1) == 'I' &&
+        data(2) == 'F' && data(3) == '8' &&
+        (data(4) == '7' || data(4) == '9') && data(5) == 'a') "gif"
     else if (data.length >= 12 && data(0) == 'R' && data(1) == 'I' &&
         data(2) == 'F' && data(3) == 'F' && data(8) == 'W' &&
         data(9) == 'A' && data(10) == 'V' && data(11) == 'E') "wav"
@@ -215,7 +218,7 @@ object Multimodal {
   def decode(id: Long, data0: Array[Byte]): MediaFeatures = {
     val data = safeBytes(data0)
     sniffFormat(data) match {
-      case f @ ("png" | "jpeg") =>
+      case f @ ("png" | "jpeg" | "gif") =>
         decodeImage(id, data, f).getOrElse(decodeStub(id, data))
       case f if AudioFormats(f) => decodeStub(id, data).copy(format = f)
       case _ => decodeStub(id, data)
@@ -410,8 +413,8 @@ object Multimodal {
       .mapPartitions(_.map { case (id, d0) =>
         val d = safeBytes(d0)
         val real = sniffFormat(d) match {
-          case "png" | "jpeg" => resizeImage(d, w, h)
-          case _              => None
+          case "png" | "jpeg" | "gif" => resizeImage(d, w, h)
+          case _                      => None
         }
         real match {
           case Some(px) => (id, px, "png")
@@ -424,13 +427,64 @@ object Multimodal {
       .drop("__graft_fmt")
   }
 
+  /** Decode every image stored in a multi-frame container (GIF — the
+    * one multi-image format the JDK ships a reader for) under the same
+    * header-first bomb guard as [[readImage]]: per-frame dims checked
+    * against `maxPixels` BEFORE that frame's pixels are allocated, and
+    * the frame COUNT is also capped (a hostile GIF can declare
+    * thousands of descriptors in a few KB — unbounded reads would be
+    * the decompression bomb in its time dimension). None when no
+    * reader claims the bytes, any frame is over cap, there are more
+    * than `maxFrames`, or the codec throws. NOTE: frames come back as
+    * the reader stores them — raw image descriptors, NOT composited
+    * against previous frames (GIF inter-frame disposal is an animation
+    * concern; frame sampling wants the stored rasters). */
+  private[graft] def readAllFrames(data: Array[Byte], maxPixels: Long,
+                                   maxFrames: Int = 4096):
+      Option[IndexedSeq[java.awt.image.BufferedImage]] =
+    try {
+      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(data))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(stream)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(stream, false, true)
+            val count = reader.getNumImages(true)
+            if (count < 1 || count > maxFrames) None
+            else {
+              val frames = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
+              var ok = true
+              var i = 0
+              while (ok && i < count) {
+                val w = reader.getWidth(i)
+                val h = reader.getHeight(i)
+                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) ok = false
+                else { frames += reader.read(i); i += 1 }
+              }
+              if (ok) Some(frames.result()) else None
+            }
+          } finally reader.dispose()
+        }
+      } finally stream.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Sample `n` evenly spaced frames per blob (the video frame-sample
-    * shape): frame i is the byte span [i·sz, (i+1)·sz) with sz =
-    * len/n, the last frame absorbing the remainder — so short blobs
-    * yield n-1 empty frames plus the whole payload, never an error.
-    * Each input row expands to its n frames in place (flatMap, one
-    * narrow stage); at corpus scale the fan-out is bounded by n and
-    * never shuffles. */
+    * shape). Multi-frame containers the JDK can decode (GIF by magic
+    * bytes) take the REAL path: all stored frames are decoded
+    * ([[readAllFrames]]), n evenly spaced ones are picked across the
+    * actual frame index range (repeats when the container has fewer
+    * than n), and each is re-encoded as PNG — so downstream consumers
+    * see self-contained single-frame images. Everything else (and
+    * bytes the codec rejects) keeps the byte-span stub: frame i is
+    * the span [i·sz, (i+1)·sz) with sz = len/n, the last frame
+    * absorbing the remainder — short blobs yield n-1 empty frames
+    * plus the whole payload, never an error. Both paths emit EXACTLY
+    * n frames per blob with frame_idx 0..n-1. Each input row expands
+    * to its n frames in place (flatMap, one narrow stage); at corpus
+    * scale the fan-out is bounded by n and never shuffles. */
   def frameSample(blobs: DataFrame, n: Int): Dataset[MediaFrame] = {
     require(n >= 1, "frameSample needs n >= 1")
     val spark = blobs.sparkSession
@@ -438,11 +492,25 @@ object Multimodal {
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
       .flatMap { case (id, d0) =>
         val d = safeBytes(d0) // null blob = n empty frames, not an NPE
-        val sz = d.length / n
-        (0 until n).map { i =>
-          val from = i * sz
-          val until = if (i == n - 1) d.length else (i + 1) * sz
-          MediaFrame(id, i.toLong, java.util.Arrays.copyOfRange(d, from, until))
+        val real =
+          if (sniffFormat(d) == "gif")
+            readAllFrames(d, maxPixels = 1L << 26).map { frames =>
+              (0 until n).map { i =>
+                // even spacing over the real frame range; n=1 → frame 0
+                val idx = if (n == 1) 0
+                          else math.round(i.toDouble * (frames.size - 1)
+                            / (n - 1)).toInt
+                MediaFrame(id, i.toLong, encodePng(frames(idx)))
+              }
+            }
+          else None
+        real.getOrElse {
+          val sz = d.length / n
+          (0 until n).map { i =>
+            val from = i * sz
+            val until = if (i == n - 1) d.length else (i + 1) * sz
+            MediaFrame(id, i.toLong, java.util.Arrays.copyOfRange(d, from, until))
+          }
         }
       }
   }

@@ -12,7 +12,34 @@ import graft.functions.RollingHash
   */
 object TextAnalysis {
 
-  /** Whitespace token count. */
+  /** THE corpus tokenizer — literal single-space split — as a SQL
+    * fragment for expression-string call sites. One definition site:
+    * [[stopwordHits]], [[stringShingles]], [[repetitionScore]],
+    * [[langId]], [[tfidfTop]] (via [[tokens]]), and the Dedup
+    * tokenize+hash paths ([[Dedup.tokenHashes]], and the native
+    * `graft_shingles`/`graft_chargrams` expressions, which pin
+    * split-on-' ' equivalence bit-for-bit in GramHashesSpec) all
+    * tokenize THIS way, so their token universes are interchangeable
+    * — and DuckDB's `string_split(text, ' ')` replays it exactly,
+    * which is what keeps the gram/stopword oracles hash-green. A
+    * regex split ('\\s+') would diverge on tabs/newlines and has no
+    * 1:1 DuckDB replay. */
+  private[graft] def tokensSql(textCol: String): String =
+    s"split($textCol, ' ')"
+
+  /** [[tokensSql]] as a Column (the Column-API call sites). */
+  private[graft] def tokens(textCol: String): Column =
+    split(col(textCol), " ")
+
+  /** Whitespace token count.
+    *
+    * DELIBERATE divergence from [[tokensSql]]: counts runs of ANY
+    * whitespace ('\\s+') — a newline- or tab-separated doc counts its
+    * words, where the single-space tokenizer would see one giant
+    * token. That is the right semantics for a SIZE metric (and what
+    * the q_token_count oracle pins), while the gram/stopword
+    * consumers need the exact replayable token ARRAY — identity
+    * matters there, not count. */
   def tokenCount(textCol: String): Column =
     size(expr(s"split($textCol, '\\\\s+')"))
 
@@ -33,7 +60,7 @@ object TextAnalysis {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "for", "on")
   def stopwordHits(textCol: String): Column = {
     val set = stopwords.map(s => s"'$s'").mkString("(", ", ", ")")
-    expr(s"size(filter(split($textCol, ' '), x -> x IN $set))")
+    expr(s"size(filter(${tokensSql(textCol)}, x -> x IN $set))")
   }
 
   /** Quality features + a single score in [0,1]: long-enough text,
@@ -59,7 +86,7 @@ object TextAnalysis {
     * universes are interchangeable. Tokens are let-bound: `split`
     * runs once per row. */
   private[graft] def stringShingles(textCol: String, n: Int): Column =
-    expr(graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+    expr(graft.functions.Let.let1(tokensSql(textCol), "toks")(
       s"""array_distinct(transform(
          |  sequence(0, greatest(size(toks) - $n, 0)),
          |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin))
@@ -104,10 +131,10 @@ object TextAnalysis {
     * phrase looping). Pure map-side column expression: total windows
     * minus distinct windows over total, no shuffle, no explode. */
   def repetitionScore(textCol: String, n: Int = 3): Column = {
-    val total = s"greatest(size(split($textCol, ' ')) - ${n - 1}, 1)"
+    val total = s"greatest(size(${tokensSql(textCol)}) - ${n - 1}, 1)"
     // distinct grams via the same let-bound window transform the
     // other gram consumers use (split runs once per row)
-    val distinctGrams = graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+    val distinctGrams = graft.functions.Let.let1(tokensSql(textCol), "toks")(
       s"""size(array_distinct(transform(
          |  sequence(0, greatest(size(toks) - $n, 0)),
          |  i -> concat_ws(' ', slice(toks, i + 1, $n)))))""".stripMargin)
@@ -201,7 +228,7 @@ object TextAnalysis {
         .map(j => s"$mine >= element_at(sc, ${j + 1})").mkString(" AND ")
       s"WHEN $mine > 0 AND $gt THEN '$lang'"
     }.mkString(" ")
-    expr(let1(s"split($textCol, ' ')", "toks")(
+    expr(let1(tokensSql(textCol), "toks")(
       let1(scoresArr, "sc")(s"CASE $best ELSE 'und' END")))
   }
 
@@ -221,11 +248,11 @@ object TextAnalysis {
     * shuffle join. Row-identical to the single shuffle join; only the
     * exchange's key distribution changes. */
   def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 3, hotTerms: Int = 1024): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+               k: Int = 3, hotTerms: Int = 1024,
+               keepCaches: Boolean = false): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val toks = docs.select(col(idCol).as("doc_id"),
-      explode(split(col(textCol), " ")).as("term"))
+      explode(tokens(textCol)).as("term"))
     // tf feeds three consumers (df agg, hot join, tail join) and dfreq
     // two. ReuseExchange does NOT collapse the repeats — the join
     // consumers push isnotnull(term) below the agg, so the subtrees
@@ -245,13 +272,20 @@ object TextAnalysis {
     val tailJoined = tf.join(hot.select("term"), Seq("term"), "left_anti")
       .join(dfreq.join(hot.select("term"), Seq("term"), "left_anti"), Seq("term"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("term").asc)
-    val result = hotJoined.unionByName(tailJoined)
+    // per-doc top-k through the shared Skew.saltedTopK dispatch — the
+    // SAME plan as the direct row_number window at typical k (k ≤ the
+    // WindowGroupLimit threshold dispatches to the plain single
+    // window; doc_id is high-cardinality so even that is safe), but
+    // the k-threshold behavior is now uniform with sourceCap: a
+    // pathological k > 1000 takes the salted two-phase instead of
+    // funneling whole docs through single tasks. saltCols = the group
+    // and order columns — the narrow deterministic basis.
+    val scored = hotJoined.unionByName(tailJoined)
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n") / col("df")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+    val result = Skew.saltedTopK(scored, Seq("doc_id"),
+        Seq(col("score").desc, col("term").asc), k,
+        saltCols = Seq(col("doc_id"), col("score"), col("term")))
       .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
               col("rn"))
     // cache release after the first consuming action: an invisible
@@ -259,15 +293,20 @@ object TextAnalysis {
     // CollectMetrics node in the final stage (AQE-safe — see
     // MetricListener.zeroRowTwin), and the once-handler unpersists
     // both caches when it fires. A later action on the same frame
-    // recomputes them; persist the result for multi-pass use.
-    val spark = docs.sparkSession
-    val obsName = s"graft_tfidf_release_${tfidfObsId.incrementAndGet()}"
-    MetricListener.once(spark, obsName) { (_, _) =>
-      Seq(tf, dfreq).foreach(_.unpersist(false))
+    // recomputes them; persist the result for multi-pass use — or
+    // keepCaches=true to pin tf/dfreq across actions (release is then
+    // the caller's clearCache()).
+    if (keepCaches) result
+    else {
+      val spark = docs.sparkSession
+      val obsName = s"graft_tfidf_release_${tfidfObsId.incrementAndGet()}"
+      MetricListener.once(spark, obsName) { (_, _) =>
+        Seq(tf, dfreq).foreach(_.unpersist(false))
+      }
+      val observed = dfreq.observe(obsName, count(lit(1)).as("terms"))
+      result.unionByName(MetricListener.zeroRowTwin(
+        observed, col("df") < 0, result.schema))
     }
-    val observed = dfreq.observe(obsName, count(lit(1)).as("terms"))
-    result.unionByName(MetricListener.zeroRowTwin(
-      observed, col("df") < 0, result.schema))
   }
 
   // unique observation name per tfidfTop call (names must not collide

@@ -118,7 +118,8 @@ object TextPack extends QueryPack {
     // them — same rows the old size-filter removed).
     "q_top_bigrams" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(explode(expr(graft.functions.Let.let1("split(text, ' ')", "toks")(
+        .select(explode(expr(graft.functions.Let.let1(
+          graft.operators.TextAnalysis.tokensSql("text"), "toks")(
           """CASE WHEN size(toks) < 2 THEN cast(array() as array<string>)
             |ELSE transform(sequence(0, size(toks) - 2),
             |  i -> concat_ws(' ', slice(toks, i + 1, 2))) END""".stripMargin)))

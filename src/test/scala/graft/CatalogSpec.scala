@@ -217,4 +217,50 @@ class CatalogSpec extends AnyFunSuite {
     cat.put("w", (1 to 3).toDF("x"))
     assert(cat.get("w").count() === 3L)
   }
+
+  test("retention window: a reader that resolved before a put still scans intact files") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.put("r", (1 to 100).toDF("x"))
+    // resolve now (file listing happens at planning time), act later
+    val reader = cat.get("r")
+    cat.put("r", (1 to 5).toDF("x")) // v1 retired, NOT deleted
+    assert(reader.count() === 100L)  // old snapshot fully readable
+    assert(cat.get("r").count() === 5L) // fresh resolve sees the swap
+  }
+
+  test("retention window: the put after next reclaims the dir — disk holds at most two versions") {
+    import spark.implicits._
+    val (cat, dir) = freshCatalog()
+    import scala.jdk.CollectionConverters._
+    def versionDirs(): Seq[String] = {
+      val s = Files.list(java.nio.file.Paths.get(dir))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("r2-v")).toList
+      finally s.close()
+    }
+    cat.put("r2", (1 to 4).toDF("x"))
+    cat.put("r2", (1 to 4).toDF("x"))
+    assert(versionDirs().size === 2) // current + one retained
+    cat.put("r2", (1 to 4).toDF("x"))
+    assert(versionDirs().size === 2) // oldest reclaimed, never three
+    // delete takes the retained copy with it
+    assert(cat.delete("r2"))
+    assert(versionDirs().isEmpty)
+  }
+
+  test("two catalogs over one root: reload-on-miss sees the other instance's put") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-catalog-shared").toString
+    val writer = new Catalog(spark, dir)
+    val reader = new Catalog(spark, dir) // opened BEFORE the write
+    writer.put("shared", (1 to 7).toDF("x"))
+    // reader's in-memory map has never heard of "shared" — the miss
+    // path reloads the manifest the writer saved
+    assert(reader.get("shared").count() === 7L)
+    // and a put-over-put from the writer stays visible through the
+    // reader's stale entry only until it re-misses; a fresh name works
+    writer.put("shared2", (1 to 2).toDF("x"))
+    assert(reader.get("shared2").count() === 2L)
+  }
 }

@@ -72,6 +72,26 @@ class MetricListenerSpec extends AnyFunSuite {
       "cache still resident after the consuming action")
   }
 
+  test("releaseAfterFirstAction keepCaches=true: caches stay resident across actions") {
+    val spark2 = spark
+    import spark2.implicits._
+    val cache = Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val result = cache.groupBy("s").agg(count(lit(1)).as("cnt"))
+      val wrapped = MetricListener.releaseAfterFirstAction(
+        result, cache, col("id") < -1, Seq(cache), keepCaches = true)
+      assert(wrapped.schema === result.schema) // same shape either way
+      wrapped.collect()
+      wrapped.collect()
+      // the async release (if wrongly registered) would land well
+      // inside this window — poll the NEGATIVE briefly
+      Thread.sleep(1500)
+      assert(cache.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "keepCaches=true must leave the cache pinned; release is the caller's")
+    } finally cache.unpersist()
+  }
+
   test("zeroRowTwin: opaque-false branch is empty and type-faithful") {
     val spark2 = spark
     import spark2.implicits._

@@ -171,6 +171,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(t.map(_.frame.length).toSeq === Seq(0, 0, 0, 2))
   }
 
+  /** A real multi-image GIF via the JDK's own GIF writer — each frame
+    * a solid 4×4 block of the given palette colors. */
+  private def gifBytes(colors: Seq[Int]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(
+          4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until 4; y <- 0 until 4) img.setRGB(x, y, c)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  test("frameSample GIF real path: stored frames decode back, evenly sampled") {
+    val spark2 = spark
+    import spark2.implicits._
+    // GIF palette colors survive exactly for pure red/blue
+    val gif = gifBytes(Seq(0xff0000, 0x0000ff))
+    assert(Multimodal.sniffFormat(gif) === "gif")
+    val frames = Multimodal.frameSample(
+        Seq((1L, gif)).toDF("id", "data"), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    def centerRgb(png: Array[Byte]): Int = {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(im.getWidth === 4 && im.getHeight === 4)
+      im.getRGB(2, 2) & 0xffffff
+    }
+    // frame 0 ↔ stored frame 0 (red), frame 1 ↔ stored frame 1 (blue):
+    // the PNG re-encode is lossless so the colors come back exact
+    assert(centerRgb(frames(0).frame) === 0xff0000)
+    assert(centerRgb(frames(1).frame) === 0x0000ff)
+    // n > stored frames: even spacing repeats endpoints, never errors
+    val three = Multimodal.frameSample(
+        Seq((2L, gif)).toDF("id", "data"), 3)
+      .collect().sortBy(_.frame_idx)
+    assert(three.map(f => centerRgb(f.frame)).toSeq ===
+      Seq(0xff0000, 0x0000ff, 0x0000ff))
+    // a corrupt gif (magic only) falls back to the byte-span stub
+    val junk = "GIF89a-not-really-an-image".getBytes("UTF-8")
+    val stub = Multimodal.frameSample(
+        Seq((3L, junk)).toDF("id", "data"), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(stub.map(_.frame).reduce(_ ++ _).sameElements(junk))
+  }
+
   // --- real image decode (javax.imageio — JDK-only, public API) ---
 
   private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
