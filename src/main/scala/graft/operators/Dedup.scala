@@ -322,6 +322,43 @@ object Dedup {
     docs.join(pairs.select(col("doc_b").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** All four dedup-application frames derived from ONE materialized
+    * pair set — see [[Dedup.bundle]]. `release()` drops the two
+    * internal caches (the pair set and the clustering); call it after
+    * the last action on any of the frames. */
+  final case class DedupBundle(pairs: DataFrame, clusters: DataFrame,
+                               canonical: DataFrame, deduped: DataFrame) {
+    def release(): Unit =
+      Seq(pairs, clusters).foreach(_.unpersist(false))
+  }
+
+  /** The production dedup-application pass: persist the near-dup
+    * `pairsIn` ONCE and derive every downstream frame — the transitive
+    * clustering, the canonical (one-per-cluster) doc set, and the
+    * greedy-filtered corpus — from that single materialization.
+    * Calling [[Components.clusters]] / [[Components.canonicalDocs]] /
+    * [[dropNearDups]] separately re-runs the pair GENERATION (the
+    * minhash or gram join — the dominant cost at corpus scale) once
+    * per consumer; at 100 TB that triples the most expensive stage of
+    * the pipeline. The clustering is also persisted (it feeds both
+    * `clusters` and `canonical`); `canonical` keeps exactly the docs
+    * whose cluster label is their own id (min-id per cluster +
+    * singletons — same rule as [[Components.canonicalDocs]]), and
+    * `deduped` applies the greedy pairwise rule of [[dropNearDups]].
+    * Caller owns release: [[DedupBundle.release]] after the last
+    * action (an automatic first-action hook would be wrong here — the
+    * bundle exists precisely for multi-action consumers). */
+  def bundle(docs: DataFrame, idCol: String,
+             pairsIn: DataFrame): DedupBundle = {
+    val pairs = pairsIn.persist(StorageLevel.MEMORY_AND_DISK)
+    val cl = Components.clusters(docs, idCol, pairs)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val canonical = docs.join(
+      cl.filter(col("cluster_id") === col(idCol)).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    DedupBundle(pairs, cl, canonical, dropNearDups(docs, idCol, pairs))
+  }
+
   /** EXACT near-dup pairs by word-n-gram Jaccard — no LSH, no
     * sampling: candidates are the doc pairs sharing at least one
     * gram (a pair with Jaccard ≥ any positive threshold must share a

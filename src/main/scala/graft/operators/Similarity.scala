@@ -297,6 +297,33 @@ object Similarity {
     lshTopKBucketed(withLshBucket(emb, vecCol, query.size, numBits, seed),
       idCol, vecCol, query, k, numBits, probeFlips, seed)
 
+  /** Dense random projection to `outDim` dimensions — the
+    * Johnson–Lindenstrauss dimensionality-reduction step of an
+    * embedding pipeline (shrink 1024-dim vectors to a cheap sketch
+    * before clustering / coarse search, keeping pairwise geometry to
+    * within the JL distortion bound): component j = ⟨v, plane_j⟩ over
+    * the SAME seeded Gaussian planes as the LSH family here
+    * ([[hyperplanes]] — the signs of these components ARE
+    * [[hyperplaneBits]]), so an external engine can replay the exact
+    * projection from (dim, outDim, seed) alone. Components are
+    * rounded to 6 decimals — each is ONE deterministic dot product
+    * (the native `graft_dot` left fold, bit-identical to DuckDB's
+    * list_dot_product — the q_ann_brute oracle pins that), no
+    * cross-row arithmetic. Pure map-side projection: no shuffle, one
+    * codegen'd pass, embarrassingly parallel at any scale. The usual
+    * 1/√outDim distance rescale is left to the caller — it is a
+    * constant factor that would only blur the replayability. */
+  def projectDense(emb: DataFrame, idCol: String, vecCol: String,
+                   dim: Int, outDim: Int, seed: Long = 7L): DataFrame = {
+    require(dim >= 1 && outDim >= 1,
+      s"projectDense needs dim >= 1 and outDim >= 1, got $dim/$outDim")
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val comps = hyperplanes(dim, outDim, seed).map { p =>
+      round(call_function("graft_dot", col(vecCol), typedLit(p)), 6)
+    }
+    emb.select(col(idCol), array(comps: _*).as("proj"))
+  }
+
   /** Materialize the LSH `bucket` column (the hyperplane-sign
     * signature as one bigint). This IS the storage layout for ANN at
     * scale: write the table `putPartitioned(..., "bucket")` (or

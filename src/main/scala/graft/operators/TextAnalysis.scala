@@ -247,30 +247,49 @@ object TextAnalysis {
     * tail — high-cardinality but per-key small — takes the ordinary
     * shuffle join. Row-identical to the single shuffle join; only the
     * exchange's key distribution changes. */
-  def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
-               k: Int = 3, hotTerms: Int = 1024,
-               keepCaches: Boolean = false): DataFrame = {
+  /** The shared (doc, term) statistics pass behind [[tfidfTop]],
+    * [[bm25Top]] and [[unigramCrossEntropy]]: explode to tokens once,
+    * aggregate tf per (doc, term), aggregate per-term corpus stats
+    * (df = documents containing the term, cf = total occurrences),
+    * and join tf⋈stats frequency-split — the top-`hotTerms` terms by
+    * df (a BOUNDED head, broadcastable at any corpus size) join
+    * map-side, the high-cardinality/per-key-small tail takes the
+    * ordinary shuffle join. Row-identical to a single shuffle join;
+    * only the exchange's key distribution changes — the stopword-heavy
+    * hot keys never shuffle.
+    *
+    * Both returned caches (tf, per-term stats) MUST be released by the
+    * caller — every public consumer threads them into the
+    * [[MetricListener]] release hook or honors `keepCaches`. tf feeds
+    * three consumers (stats agg, hot join, tail join) and the stats
+    * frame two; ReuseExchange does NOT collapse the repeats (the join
+    * consumers push isnotnull(term) below the agg, so the subtrees
+    * canonicalize differently), and at corpus scale re-running the
+    * tokenize+explode per consumer triples the heaviest scan. */
+  private def termStatsJoined(docs: DataFrame, idCol: String,
+                              textCol: String, hotTerms: Int):
+      (DataFrame, DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(tokens(textCol)).as("term"))
-    // tf feeds three consumers (df agg, hot join, tail join) and dfreq
-    // two. ReuseExchange does NOT collapse the repeats — the join
-    // consumers push isnotnull(term) below the agg, so the subtrees
-    // canonicalize differently (checked in the final adaptive plan) —
-    // and at corpus scale re-running the tokenize+explode per consumer
-    // triples the heaviest scan. So both frames persist, and BOTH
-    // release via the MetricListener.once hook at the end of this
-    // function when the first consuming action completes (the round-9
-    // verdict flagged them as permanent cache residents otherwise).
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = tf.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val hot = broadcast(dfreq.orderBy(col("df").desc, col("term").asc)
+    val hot = broadcast(stats.orderBy(col("df").desc, col("term").asc)
       .limit(hotTerms))
-    val hotJoined = tf.join(hot, Seq("term"))
-    val tailJoined = tf.join(hot.select("term"), Seq("term"), "left_anti")
-      .join(dfreq.join(hot.select("term"), Seq("term"), "left_anti"), Seq("term"))
+    val joined = tf.join(hot, Seq("term"))
+      .unionByName(tf.join(hot.select("term"), Seq("term"), "left_anti")
+        .join(stats.join(hot.select("term"), Seq("term"), "left_anti"),
+          Seq("term")))
+    (joined, tf, stats)
+  }
+
+  def tfidfTop(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 3, hotTerms: Int = 1024,
+               keepCaches: Boolean = false): DataFrame = {
+    val (joined, tf, dfreq) = termStatsJoined(docs, idCol, textCol, hotTerms)
     val n = docs.agg(count(lit(1)).as("n"))
     // per-doc top-k through the shared Skew.saltedTopK dispatch — the
     // SAME plan as the direct row_number window at typical k (k ≤ the
@@ -280,7 +299,7 @@ object TextAnalysis {
     // pathological k > 1000 takes the salted two-phase instead of
     // funneling whole docs through single tasks. saltCols = the group
     // and order columns — the narrow deterministic basis.
-    val scored = hotJoined.unionByName(tailJoined)
+    val scored = joined
       .crossJoin(broadcast(n))
       .withColumn("score", col("tf") * log(col("n") / col("df")))
     val result = Skew.saltedTopK(scored, Seq("doc_id"),
@@ -289,29 +308,115 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
               col("rn"))
     // cache release after the first consuming action: an invisible
-    // zero-row branch over the cached document-frequency table keeps a
+    // zero-row branch over the cached term-stats table keeps a
     // CollectMetrics node in the final stage (AQE-safe — see
     // MetricListener.zeroRowTwin), and the once-handler unpersists
     // both caches when it fires. A later action on the same frame
     // recomputes them; persist the result for multi-pass use — or
     // keepCaches=true to pin tf/dfreq across actions (release is then
     // the caller's clearCache()).
-    if (keepCaches) result
-    else {
-      val spark = docs.sparkSession
-      val obsName = s"graft_tfidf_release_${tfidfObsId.incrementAndGet()}"
-      MetricListener.once(spark, obsName) { (_, _) =>
-        Seq(tf, dfreq).foreach(_.unpersist(false))
-      }
-      val observed = dfreq.observe(obsName, count(lit(1)).as("terms"))
-      result.unionByName(MetricListener.zeroRowTwin(
-        observed, col("df") < 0, result.schema))
-    }
+    MetricListener.releaseAfterFirstAction(result, dfreq,
+      isnotnull(col("df")) && col("df") < 0, Seq(tf, dfreq), keepCaches)
   }
 
-  // unique observation name per tfidfTop call (names must not collide
-  // across concurrent queries in one session)
-  private val tfidfObsId = new java.util.concurrent.atomic.AtomicLong(0)
+  /** BM25 top-k terms per document — [[tfidfTop]]'s saturating,
+    * length-normalized sibling (the Okapi BM25 formula with the usual
+    * k1/b defaults): idf = ln(1 + (N - df + ½)/(df + ½)), score =
+    * idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)). Same
+    * frequency-split term join as tfidf; per-doc length dl is derived
+    * from the CACHED tf frame (Σ tf — no second tokenize pass) and
+    * joins on the high-cardinality doc_id key (an even shuffle, the
+    * correct shape — dl has one row per doc, never broadcastable at
+    * corpus scale). avgdl is computed as exact-integer Σdl / N cast to
+    * double, so the scalar is bit-identical across engines and
+    * partitionings; with tf/df/dl/N all exact integers the whole score
+    * is a deterministic per-row double — no cross-row double
+    * summation anywhere (that determinism is what lets the DuckDB
+    * oracle hash-match at round(…, 6)). */
+  def bm25Top(docs: DataFrame, idCol: String, textCol: String,
+              k: Int = 3, k1: Double = 1.2, b: Double = 0.75,
+              hotTerms: Int = 1024, keepCaches: Boolean = false): DataFrame = {
+    val (joined, tf, stats) = termStatsJoined(docs, idCol, textCol, hotTerms)
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("total_tokens"))
+    val scored = joined.join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(lit(1d) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("score", col("idf") * (col("tf") * lit(k1 + 1d)) /
+        (col("tf") + lit(k1) *
+          (lit(1d - b) + lit(b) * col("dl") / col("avgdl"))))
+    val result = Skew.saltedTopK(scored, Seq("doc_id"),
+        Seq(col("score").desc, col("term").asc), k,
+        saltCols = Seq(col("doc_id"), col("score"), col("term")))
+      .select(col("doc_id"), col("term"), round(col("score"), 6).as("score"),
+              col("rn"))
+    MetricListener.releaseAfterFirstAction(result, stats,
+      isnotnull(col("df")) && col("df") < 0, Seq(tf, stats), keepCaches)
+  }
+
+  /** Per-document unigram cross-entropy against the corpus's own
+    * unigram distribution — the CCNet-style LM quality signal (a doc
+    * of common words scores low, OCR noise / rare-token soup scores
+    * high): xent = −(Σ_terms tf·ln(cf/T)) / dl nats per token, with
+    * cf the term's corpus frequency and T total corpus tokens.
+    *
+    * The per-term contributions are quantized to fixed-point BIGINTs
+    * (round(tf·ln(cf/T)·10⁹)) BEFORE the per-doc sum: a floating
+    * Σ over terms would be partition-order-dependent in its last ulps
+    * (Spark sums in shuffle arrival order, an external oracle in scan
+    * order), and a last-ulp wobble next to a round(…, 6) boundary
+    * would flip hashes nondeterministically. Integer sums are exact
+    * and order-free, so the result is bit-stable across engines,
+    * partitionings and retries; the 10⁹ scale keeps quantization error
+    * (≤ 5·10⁻¹⁰·terms) three orders below the 10⁻⁶ rounding unit.
+    * Same frequency-split join and cache discipline as [[tfidfTop]]. */
+  def unigramCrossEntropy(docs: DataFrame, idCol: String, textCol: String,
+                          hotTerms: Int = 1024,
+                          keepCaches: Boolean = false): DataFrame = {
+    val (joined, tf, stats) = termStatsJoined(docs, idCol, textCol, hotTerms)
+    val totals = stats.agg(sum("cf").as("t_total"))
+    val result = joined.crossJoin(broadcast(totals))
+      .withColumn("contrib",
+        round(col("tf") * log(col("cf").cast("double") /
+          col("t_total").cast("double")) * lit(1e9)).cast("bigint"))
+      .groupBy("doc_id")
+      .agg(round(-(sum(col("contrib")).cast("double") / lit(1e9)) /
+        sum(col("tf")).cast("double"), 6).as("xent"))
+    MetricListener.releaseAfterFirstAction(result, stats,
+      isnotnull(col("cf")) && col("cf") < 0, Seq(tf, stats), keepCaches)
+  }
+
+  /** Overlapping token-window chunking — the pretraining sequence-prep
+    * step that turns documents into model-sized pieces: chunk i covers
+    * tokens [i·stride, i·stride + window) of the [[tokensSql]] token
+    * array, chunks start every `stride` tokens until the doc is
+    * exhausted (⌈len/stride⌉ chunks; `stride < window` overlaps
+    * consecutive chunks by window − stride tokens, the usual
+    * context-continuity trick), and trailing chunks may be shorter
+    * than `window` — never empty, never an error (a null text chunks
+    * as one empty chunk). Output: (doc_id, chunk_idx, chunk,
+    * n_tokens), one row per chunk. Pure map-side flatMap via
+    * posexplode — tokenize once per row (let-bound), no shuffle, the
+    * fan-out bounded by ⌈len/stride⌉; at 100 TB this is an
+    * embarrassingly parallel reshape of the scan. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  window: Int, stride: Int): DataFrame = {
+    require(window >= 1 && stride >= 1,
+      s"chunkTokens needs window >= 1 and stride >= 1, got $window/$stride")
+    val chunksExpr = graft.functions.Let.let1(
+      tokensSql(s"coalesce($textCol, '')"), "toks")(
+      s"""transform(
+         |  sequence(0, cast(ceil(size(toks) / ${stride}.0) as int) - 1),
+         |  i -> slice(toks, i * $stride + 1, $window))""".stripMargin)
+    docs.select(col(idCol).as("doc_id"),
+        posexplode(expr(chunksExpr)).as(Seq("chunk_idx", "__graft_ctoks")))
+      .select(col("doc_id"), col("chunk_idx"),
+        concat_ws(" ", col("__graft_ctoks")).as("chunk"),
+        size(col("__graft_ctoks")).as("n_tokens"))
+  }
 
   /** Line-level boilerplate removal — the C4/CCNet repetition pass:
     * split each doc on the literal `sep`, count every distinct

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import graft.{QueryPack, Tables}
 import graft.operators.{Components, Dedup}
 
@@ -98,6 +99,26 @@ object DedupPack extends QueryPack {
       Components.canonicalDocs(docs, "doc_id",
         Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
         .select("doc_id")
+    }),
+
+    // the single-materialization production pass: ONE exact pair set
+    // feeds clustering + canonical + greedy-drop ([[Dedup.bundle]] —
+    // the separate queries above each regenerate the pairs); the
+    // result rides all three derived frames so the gate exercises the
+    // whole bundle, and the oracle replays every flag from the same
+    // recursive-CTE walk as the *_exact trio
+    "q_dedup_bundle" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bundle = Dedup.bundle(docs, "doc_id",
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+      bundle.clusters
+        .join(bundle.canonical.select(col("doc_id"), lit(1).as("canon0")),
+          Seq("doc_id"), "left")
+        .join(bundle.deduped.select(col("doc_id"), lit(1).as("kept0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("canon0"), lit(0)).as("is_canonical"),
+          coalesce(col("kept0"), lit(0)).as("kept"))
     }),
 
     // the CC kernel under a DuckDB-recursive-CTE hash oracle: edges
@@ -200,6 +221,32 @@ object DedupPack extends QueryPack {
          |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
          |)
          |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(comp) = id
+         |""".stripMargin,
+    // every bundle flag from one walk: cluster label = min reachable,
+    // canonical = label is own id, kept = never a doc_b (the greedy
+    // rule) — the same semantics the three *_exact oracles pin
+    // separately
+    "q_dedup_bundle" ->
+      s"""WITH RECURSIVE $exactPairsCte,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+         |),
+         |cl AS (
+         |  SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+         |),
+         |dropped AS (SELECT DISTINCT doc_b AS doc_id FROM pairs)
+         |SELECT cl.doc_id, cl.cluster_id,
+         |  CASE WHEN cl.cluster_id = cl.doc_id THEN 1 ELSE 0 END
+         |    AS is_canonical,
+         |  CASE WHEN dropped.doc_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM cl LEFT JOIN dropped ON cl.doc_id = dropped.doc_id
          |""".stripMargin,
     // transitive closure of the chain-edge relation via recursive CTE:
     // walk enumerates every node reachable from each doc through the

@@ -105,6 +105,19 @@ object SimilarityPack extends QueryPack {
         queryVec, k = 10, numBits = 4, probeFlips = 2, seed = 7L)
     }),
 
+    // JL dimensionality reduction: 64-dim embeddings down to 8 dense
+    // components over the seeded plane family — the oracle replays the
+    // exact projection from the interpolated plane literals. Exploded
+    // (vec_id, pos, p) like q_embed_quantize: the gate's canonicalizer
+    // sorts by every column, which an array column cannot do
+    "q_project_dense" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, posexplode}
+      Similarity.projectDense(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, outDim = 8, seed = 7L)
+        .select(col("vec_id"), posexplode(col("proj")))
+        .select(col("vec_id"), col("pos"), col("col").as("p"))
+    }),
+
     // int8 quantization, element-wise under the hash oracle: the
     // (vec_id, pos, q, scale) explosion pins every quantized byte
     // against DuckDB's replay of the same double arithmetic
@@ -191,6 +204,22 @@ object SimilarityPack extends QueryPack {
            |                     CAST($lit AS DOUBLE[])) AS sim
            |  FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10
            |)""".stripMargin,
+
+      // replay the dense projection: one list_dot_product per output
+      // component against the SAME seeded planes the operator loads as
+      // typedLits (Double.toString round-trips, so the parsed literals
+      // are bit-identical); exploded per component to match the gate
+      // query's (vec_id, pos, p) shape
+      "q_project_dense" -> {
+        val comps = Similarity.hyperplanes(64, 8, 7L).map { p =>
+          val pl = p.map(_.toString).mkString("[", ", ", "]")
+          s"""round(list_dot_product(CAST(embedding AS DOUBLE[]),
+             |      CAST($pl AS DOUBLE[])), 6)""".stripMargin
+        }.mkString("[\n", ",\n", "\n]")
+        s"""SELECT vec_id, CAST(pos AS INT) AS pos, proj[pos + 1] AS p
+           |FROM (SELECT vec_id, $comps AS proj FROM embeddings),
+           |     (SELECT unnest(range(0, 8)) AS pos)""".stripMargin
+      },
       // IVF probe selection is SQL-expressible through linearity:
       // dot(mean(v), q) == mean(dot(v, q)), so the top-nprobe
       // clusters by centroid·q are the top-nprobe by avg(v·q) — no

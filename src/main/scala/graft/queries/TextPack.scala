@@ -34,6 +34,25 @@ object TextPack extends QueryPack {
     "q_tfidf" -> ((s, d) =>
       TextAnalysis.tfidfTop(Tables.documents(s, d), "doc_id", "text", k = 3)),
 
+    // BM25 keyword extraction — tfidf's saturating, length-normalized
+    // sibling; every score input is an exact integer so the oracle
+    // replays the doubles bit-for-bit (see the operator's scaladoc)
+    "q_bm25" -> ((s, d) =>
+      TextAnalysis.bm25Top(Tables.documents(s, d), "doc_id", "text", k = 3)),
+
+    // corpus-LM quality signal: per-doc unigram cross-entropy in nats
+    // against the corpus's own term distribution (fixed-point
+    // contributions — deterministic under any partitioning)
+    "q_unigram_xent" -> ((s, d) =>
+      TextAnalysis.unigramCrossEntropy(Tables.documents(s, d), "doc_id",
+        "text")),
+
+    // pretraining sequence prep: overlapping 32-token windows every 24
+    // tokens (8-token overlap), trailing chunks shorter, never empty
+    "q_chunk" -> ((s, d) =>
+      TextAnalysis.chunkTokens(Tables.documents(s, d), "doc_id", "text",
+        window = 32, stride = 24)),
+
     // corpus-relative quality gate: keep the top quartile by
     // quality_score, threshold computed from the distribution itself
     // (broadcast scalar, not a global window)
@@ -334,5 +353,75 @@ object TextPack extends QueryPack {
         |      ORDER BY tf.tf * ln(n.n / dfreq.df) DESC, tf.term) AS rn
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |) WHERE rn <= 3""".stripMargin,
+
+    // k1+1 is interpolated from the SAME Scala arithmetic the operator
+    // runs (1.2 + 1.0) — a hand-written 2.2 literal could differ from
+    // the computed sum by one ulp, and the score is sensitive to it;
+    // Double.toString round-trips, so DuckDB parses the identical bits
+    "q_bm25" -> {
+      val k1 = 1.2; val b = 0.75
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+         |), tf AS (
+         |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+         |), stats AS (
+         |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+         |), dl AS (
+         |  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY 1
+         |), tot AS (SELECT count(*) AS n, sum(dl) AS total_tokens FROM dl),
+         |sel AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln(1.0 + (tot.n - stats.df + 0.5) / (stats.df + 0.5)) *
+         |      (tf.tf * ${k1 + 1d}) /
+         |      (tf.tf + $k1 * (${1d - b} + ($b * dl.dl) /
+         |        (CAST(tot.total_tokens AS DOUBLE) / CAST(tot.n AS DOUBLE))))
+         |      AS score
+         |  FROM tf JOIN stats USING (term) JOIN dl USING (doc_id)
+         |    CROSS JOIN tot
+         |)
+         |SELECT doc_id, term, round(score, 6) AS score, rn FROM (
+         |  SELECT doc_id, term, score, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+         |  FROM sel
+         |) WHERE rn <= 3""".stripMargin
+    },
+
+    // fixed-point contributions (×10⁹, BIGINT) make the per-doc sum
+    // order-free — the one place a floating Σ would be partition-
+    // order-dependent; see the operator's scaladoc
+    "q_unigram_xent" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        |), stats AS (
+        |  SELECT term, sum(tf) AS cf FROM tf GROUP BY 1
+        |), tot AS (SELECT sum(cf) AS t_total FROM stats)
+        |SELECT doc_id,
+        |  round(-(CAST(sum(contrib) AS DOUBLE) / 1000000000.0) /
+        |    CAST(sum(tf) AS DOUBLE), 6) AS xent
+        |FROM (
+        |  SELECT tf.doc_id, tf.tf,
+        |    CAST(round(tf.tf * ln(CAST(stats.cf AS DOUBLE) /
+        |      CAST(tot.t_total AS DOUBLE)) * 1000000000.0) AS BIGINT)
+        |      AS contrib
+        |  FROM tf JOIN stats USING (term) CROSS JOIN tot
+        |) GROUP BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(len(toks) / 24.0) AS BIGINT))) AS i
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  array_to_string(list_slice(toks, i * 24 + 1, i * 24 + 32), ' ')
+        |    AS chunk,
+        |  CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS INT)
+        |    AS n_tokens
+        |FROM idx""".stripMargin,
   )
 }
