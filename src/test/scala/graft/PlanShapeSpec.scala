@@ -36,6 +36,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"hot-term join is not a broadcast join:\n$p")
   }
 
+  test("bm25 keeps the frequency-split broadcast and adds no cartesian") {
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(TextAnalysis.bm25Top(docs, "doc_id", "text"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-term join is not a broadcast join:\n$p")
+    // the 1-row totals scalar must ride a broadcast nested loop, never
+    // a flat cartesian of the scored rows
+    assert(!p.contains("CartesianProduct"),
+      s"totals scalar degenerated to a cartesian product:\n$p")
+  }
+
+  test("chunkTokens and projectDense are single-stage map-side plans") {
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val pc = plan(TextAnalysis.chunkTokens(docs, "doc_id", "text", 32, 24))
+    assert(!pc.contains("Exchange"), s"chunking shuffles:\n$pc")
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val pp = plan(Similarity.projectDense(emb, "vec_id", "embedding",
+      dim = 64, outDim = 8))
+    assert(!pp.contains("Exchange"), s"dense projection shuffles:\n$pp")
+  }
+
   test("IVF probe list broadcasts; scan side never shuffles on cluster") {
     val emb = Tables.embeddings(spark, SparkSuite.sf0001)
     val q = Similarity.seededUnitVector(64, 11L)
