@@ -461,6 +461,72 @@ object TextAnalysis {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** Top-`topK` unigram vocabulary with cumulative corpus coverage —
+    * the tokenizer-prep pass (how many terms cover 95% of the corpus?
+    * what goes in the vocab, what falls to <unk>?): terms ranked by
+    * corpus frequency (ties broken lexicographically — a TOTAL order,
+    * so rank and coverage are deterministic), each row carrying its
+    * share and the running cumulative share of ALL corpus tokens.
+    * One partial-agg shuffle over terms; the rank/cumsum window runs
+    * AFTER the top-K cut, so the single-partition window only ever
+    * sees `topK` rows no matter the corpus size (the unbounded-corpus
+    * equivalent would be a global window — the trap this shape
+    * avoids). Shares divide exact BIGINT counts by the exact BIGINT
+    * total, rounded to 6 — engine-replayable. */
+  def vocab(docs: DataFrame, idCol: String, textCol: String,
+            topK: Int = 1000): DataFrame = {
+    require(topK >= 1, "vocab needs topK >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(tokens(textCol)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    // Σcnt equals Σ size(tokens) — the narrow per-doc form costs one
+    // cheap map-side agg instead of re-running the term aggregation
+    val total = docs.select(sum(size(tokens(textCol))).as("total"))
+    val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(topK)
+    val w = Window.orderBy(col("cnt").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term").asc)))
+      .withColumn("share",
+        round(col("cnt").cast("double") / col("total").cast("double"), 6))
+      .withColumn("cum_share",
+        round(sum("cnt").over(w).cast("double") /
+          col("total").cast("double"), 6))
+      .select("term", "cnt", "rank", "share", "cum_share")
+  }
+
+  /** Token-length histogram — the corpus-datasheet distribution pass
+    * ([[sourceStats]] gives means; this gives the shape): docs
+    * bucketed by ⌊tokens/bucketSize⌋·bucketSize. Exact integer
+    * arithmetic end-to-end, one partial-agg shuffle over a bounded
+    * key space (≈ max_len/bucketSize buckets). */
+  def lengthHistogram(docs: DataFrame, textCol: String,
+                      bucketSize: Int = 50): DataFrame = {
+    require(bucketSize >= 1, "lengthHistogram needs bucketSize >= 1")
+    docs.select((floor(tokenCount(textCol).cast("long") / bucketSize)
+        * bucketSize).as("bucket_lo"))
+      .groupBy("bucket_lo").agg(count(lit(1)).as("docs"))
+  }
+
+  /** Per-doc PII pattern counts — the audit pass that runs BEFORE a
+    * scrub decides what to redact: counts of email-shaped tokens,
+    * phone-shaped digit groups, and URLs. The patterns are
+    * deliberately simple character-class regexes (no lookarounds, no
+    * word-boundary metachars) so every regex engine — Java here,
+    * RE2/PCRE elsewhere — reads them identically; they are audit
+    * heuristics, not validators. Map-side, one codegen'd pass. */
+  def piiStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(expr(s"regexp_extract_all($textCol, " +
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+', 0)"))
+        .as("emails"),
+      size(expr(s"regexp_extract_all($textCol, " +
+        "'[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', 0)")).as("phones"),
+      size(expr(s"regexp_extract_all($textCol, " +
+        "'https?://[^ ]+', 0)")).as("urls"))
+
   /** Rolling-hash content fingerprint (see [[graft.functions.RollingHash]]). */
   def withFingerprint(spark: SparkSession, df: DataFrame,
                       textCol: String): DataFrame = {

@@ -53,6 +53,20 @@ object TextPack extends QueryPack {
       TextAnalysis.chunkTokens(Tables.documents(s, d), "doc_id", "text",
         window = 32, stride = 24)),
 
+    // tokenizer prep: top-200 vocabulary with cumulative coverage
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocab(Tables.documents(s, d), "doc_id", "text",
+        topK = 200)),
+
+    // corpus datasheet: token-length distribution in buckets of 50
+    "q_length_hist" -> ((s, d) =>
+      TextAnalysis.lengthHistogram(Tables.documents(s, d), "text",
+        bucketSize = 50)),
+
+    // PII audit: per-doc email/phone/url pattern counts
+    "q_pii" -> ((s, d) =>
+      TextAnalysis.piiStats(Tables.documents(s, d), "doc_id", "text")),
+
     // corpus-relative quality gate: keep the top quartile by
     // quality_score, threshold computed from the distribution itself
     // (broadcast scalar, not a global window)
@@ -423,5 +437,43 @@ object TextPack extends QueryPack {
         |  CAST(len(list_slice(toks, i * 24 + 1, i * 24 + 32)) AS INT)
         |    AS n_tokens
         |FROM idx""".stripMargin,
+
+    "q_vocab" ->
+      """WITH counts AS (
+        |  SELECT term, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term
+        |), tot AS (
+        |  SELECT sum(len(string_split(text, ' '))) AS total FROM documents
+        |), top AS (
+        |  SELECT term, cnt FROM counts ORDER BY cnt DESC, term LIMIT 200
+        |)
+        |SELECT term, cnt,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rank,
+        |  round(CAST(cnt AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+        |    AS share,
+        |  round(CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(tot.total AS DOUBLE), 6) AS cum_share
+        |FROM top CROSS JOIN tot""".stripMargin,
+
+    // same '\s+' tokenizer as q_token_count (a SIZE metric, not the
+    // identity tokenizer — see TextAnalysis.tokenCount)
+    "q_length_hist" ->
+      """SELECT CAST(floor(len(string_split_regex(text, '\s+')) / 50) AS BIGINT)
+        |    * 50 AS bucket_lo,
+        |  count(*) AS docs
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]+')) AS INT)
+        |    AS emails,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS phones,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT)
+        |    AS urls
+        |FROM documents""".stripMargin,
   )
 }

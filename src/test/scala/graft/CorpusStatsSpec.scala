@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.TextAnalysis
+
+/** [[TextAnalysis.vocab]], [[TextAnalysis.lengthHistogram]] and
+  * [[TextAnalysis.piiStats]] against hand-computed expectations.
+  */
+class CorpusStatsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  test("vocab ranks by frequency with lexicographic ties, coverage accumulates to 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    // counts: b=4, a=3, c=2, d=1 → total 10
+    val docs = Seq(
+      1L -> "a b b c",
+      2L -> "b a d",
+      3L -> "a b c").toDF("doc_id", "text")
+    val all = TextAnalysis.vocab(docs, "doc_id", "text", topK = 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("term"), r.getAs[Long]("cnt"),
+                 r.getAs[Int]("rank"), r.getAs[Double]("share"),
+                 r.getAs[Double]("cum_share")))
+    assert(all.toSeq === Seq(
+      ("b", 4L, 1, 0.4, 0.4),
+      ("a", 3L, 2, 0.3, 0.7),
+      ("c", 2L, 3, 0.2, 0.9),
+      ("d", 1L, 4, 0.1, 1.0)))
+    // topK cuts the tail but keeps the FULL-corpus denominator
+    val top2 = TextAnalysis.vocab(docs, "doc_id", "text", topK = 2)
+      .orderBy("rank").collect()
+    assert(top2.length === 2)
+    assert(top2.last.getAs[Double]("cum_share") === 0.7)
+  }
+
+  test("vocab tie-break is lexicographic, making rank deterministic") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(1L -> "z y x", 2L -> "x y z").toDF("doc_id", "text")
+    val terms = TextAnalysis.vocab(docs, "doc_id", "text", topK = 3)
+      .orderBy("rank").collect().map(_.getAs[String]("term")).toSeq
+    assert(terms === Seq("x", "y", "z")) // all cnt=2 → lexicographic
+  }
+
+  test("lengthHistogram buckets by floor(tokens/bucket)*bucket") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      1L -> (1 to 3).map(_ => "w").mkString(" "),   // 3 tokens  → 0
+      2L -> (1 to 49).map(_ => "w").mkString(" "),  // 49 tokens → 0
+      3L -> (1 to 50).map(_ => "w").mkString(" "),  // 50 tokens → 50
+      4L -> (1 to 120).map(_ => "w").mkString(" ")  // 120       → 100
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lengthHistogram(docs, "text", bucketSize = 50)
+      .collect().map(r => r.getAs[Long]("bucket_lo") -> r.getAs[Long]("docs"))
+      .toMap
+    assert(got === Map(0L -> 2L, 50L -> 1L, 100L -> 1L))
+  }
+
+  test("piiStats counts emails, phones and urls, zero on clean text") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      1L -> "contact bob@example.com or sue@test.org today",
+      2L -> "call 555-123-4567 or 555.987.6543 now",
+      3L -> "see https://example.com/x and http://a.b/c?d=1",
+      4L -> "perfectly clean text with no identifiers"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiStats(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("emails"), r.getAs[Int]("phones"),
+          r.getAs[Int]("urls")))).toMap
+    assert(got(1L) === ((2, 0, 0)))
+    assert(got(2L) === ((0, 2, 0)))
+    assert(got(3L) === ((0, 0, 2)))
+    assert(got(4L) === ((0, 0, 0)))
+  }
+}
