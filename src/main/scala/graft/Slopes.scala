@@ -60,8 +60,12 @@ object Slopes {
       val ts = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, dir).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        // teardown OUTSIDE the timed span — queries differ in how much
+        // they cache, and attributing unpersist cost to the query
+        // would shift slopes without the compute scaling changing
         spark.catalog.clearCache()
-        (System.nanoTime() - t0) / 1e9
+        sec
       }.sorted
       ts(ts.size / 2)
     }
@@ -85,19 +89,31 @@ object Slopes {
         }
       }
 
-    val hdr = f"${"query"}%-28s" +
-      sfs.map(s => f"sf$s%-9s").mkString +
+    // Locale.ROOT formatting throughout: the f"" interpolator uses the
+    // JVM default locale, which renders decimals with ',' under e.g.
+    // de_DE — fatal for the machine-readable line below, ugly above
+    def fmt(pattern: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
+    val hdr = "query".padTo(28, ' ') +
+      sfs.map(s => s"sf$s".padTo(9, ' ')).mkString +
       "slope_lo  slope_hi  verdict"
     println(hdr)
     rows.foreach { case (name, ts, sl) =>
       val verdict = if (sl.last > flagAt) "FLAG" else "ok"
-      println(f"$name%-28s" + ts.map(t => f"$t%-9.3f").mkString +
-        f"${sl.head}%-10.2f${sl.last}%-10.2f$verdict")
+      println(name.padTo(28, ' ') +
+        ts.map(t => fmt("%.3f", t).padTo(9, ' ')).mkString +
+        fmt("%.2f", sl.head).padTo(10, ' ') +
+        fmt("%.2f", sl.last).padTo(10, ' ') + verdict)
     }
     val flagged = rows.filter(_._3.last > flagAt).map(_._1)
+    // a degenerate ladder (one dir) yields NaN slopes — JSON has no
+    // NaN literal, emit null
+    def jNum(s: Double): String =
+      if (s.isNaN || s.isInfinite) "null" else fmt("%.4f", s)
     val qJson = rows.map { case (n, ts, sl) =>
-      "\"" + n + "\":{\"sec\":" + ts.mkString("[", ",", "]") +
-        ",\"slopes\":" + sl.map(s => f"$s%.4f").mkString("[", ",", "]") + "}"
+      "\"" + n + "\":{\"sec\":" +
+        ts.map(t => fmt("%.6f", t)).mkString("[", ",", "]") +
+        ",\"slopes\":" + sl.map(jNum).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     println("SLOPES_JSON:" +
       s"""{"sfs":${sfs.mkString("[", ",", "]")},"runs":$runs,""" +

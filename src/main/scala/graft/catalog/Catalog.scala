@@ -38,7 +38,21 @@ final case class CatalogEntry(name: String, path: String, format: String,
   * plain concurrent read, asserted in tests.
   *
   * The manifest is persisted as TSV (name, format, path,
-  * comma-joined hosts) so a new session can re-open the catalog.
+  * comma-joined hosts, retired-prior-path) so a new session can
+  * re-open the catalog.
+  *
+  * Sharing contract: ONE WRITER per root, any number of readers —
+  * the immutable-swap analog of the reference's leader write gate
+  * (fileserver.py:843-891 serialized every mutation through the
+  * leader; here the single writing Catalog instance is that
+  * serialization point). Readers over the same root see the writer's
+  * datasets via the atomic manifest swap plus reload-on-miss in
+  * [[get]]. TWO writers on one root are NOT merged: [[saveManifest]]
+  * whole-file-replaces the manifest with this instance's view, so
+  * the last writer's view wins and the other's names vanish from
+  * disk state (their data dirs remain). Cross-JVM writer election is
+  * deliberately out of scope — the Spark driver owns the pipeline's
+  * writes exactly as the reference's leader owned its file table.
   */
 final class Catalog(spark: SparkSession, root: String,
                     hosts: Seq[String] = Catalog.defaultHosts,

@@ -132,6 +132,25 @@ object Multimodal {
     * a process-global JVM flag that executor tasks must not touch. */
   private[graft] def readImage(data: Array[Byte],
                                maxPixels: Long): Option[java.awt.image.BufferedImage] =
+    withReader(data) { reader =>
+      val w = reader.getWidth(0)
+      val h = reader.getHeight(0)
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
+      else Some(reader.read(0))
+    }
+
+  /** The ONE hardened ImageIO access path — in-memory stream
+    * construction, reader lookup, guaranteed dispose, and NonFatal
+    * containment live here once, shared by [[readImage]] and the
+    * multi-frame sampler (two hand-rolled copies would inevitably
+    * drift on the next fuzz-hardening fix). `seekForwardOnly=false`
+    * because frame sampling reads non-consecutive indices and
+    * `getNumImages(allowSearch=true)` requires it. None when no
+    * reader claims the bytes or the codec throws (the JDK codecs
+    * raise CMMException / AIOOBE / IllegalArgumentException on fuzzed
+    * input, not just IOException). */
+  private def withReader[T](data: Array[Byte])
+      (f: javax.imageio.ImageReader => Option[T]): Option[T] =
     try {
       val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(data))
@@ -141,11 +160,8 @@ object Multimodal {
         else {
           val reader = readers.next()
           try {
-            reader.setInput(stream, true, true)
-            val w = reader.getWidth(0)
-            val h = reader.getHeight(0)
-            if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) None
-            else Some(reader.read(0))
+            reader.setInput(stream, false, true)
+            f(reader)
           } finally reader.dispose()
         }
       } finally stream.close()
@@ -430,61 +446,63 @@ object Multimodal {
   /** Decode every image stored in a multi-frame container (GIF — the
     * one multi-image format the JDK ships a reader for) under the same
     * header-first bomb guard as [[readImage]]: per-frame dims checked
-    * against `maxPixels` BEFORE that frame's pixels are allocated, and
-    * the frame COUNT is also capped (a hostile GIF can declare
-    * thousands of descriptors in a few KB — unbounded reads would be
-    * the decompression bomb in its time dimension). None when no
-    * reader claims the bytes, any frame is over cap, there are more
-    * than `maxFrames`, or the codec throws. NOTE: frames come back as
-    * the reader stores them — raw image descriptors, NOT composited
-    * against previous frames (GIF inter-frame disposal is an animation
-    * concern; frame sampling wants the stored rasters). */
-  private[graft] def readAllFrames(data: Array[Byte], maxPixels: Long,
-                                   maxFrames: Int = 4096):
+    * against `maxPixels` BEFORE that frame's pixels are allocated.
+    * Only the frames `pick` selects from the declared count are ever
+    * DECODED or resident — total allocation is bounded by
+    * |pick(count)|·maxPixels no matter how many descriptors the
+    * container declares (decoding the whole sequence first, as an
+    * earlier form did, re-opens the bomb in the frame dimension:
+    * maxFrames × maxPixels from a few-KB LZW stream). The count
+    * itself is still capped: `getNumImages(true)` walks every frame
+    * HEADER, so a million-descriptor file would otherwise buy a long
+    * metadata scan for kilobytes of input. Repeated picks decode
+    * once and share the BufferedImage. Returns the images in pick
+    * order; None when no reader claims the bytes, the count is 0 or
+    * over `maxFrames`, any PICKED frame is over the pixel cap or out
+    * of range, or the codec throws. NOTE: frames come back as the
+    * reader stores them — raw image descriptors, NOT composited
+    * against previous frames (GIF inter-frame disposal is an
+    * animation concern; frame sampling wants the stored rasters). */
+  private[graft] def readSelectedFrames(data: Array[Byte], maxPixels: Long,
+                                        maxFrames: Int = 4096)
+      (pick: Int => Seq[Int]):
       Option[IndexedSeq[java.awt.image.BufferedImage]] =
-    try {
-      val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
-        new java.io.ByteArrayInputStream(data))
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(stream)
-        if (!readers.hasNext) None
-        else {
-          val reader = readers.next()
-          try {
-            reader.setInput(stream, false, true)
-            val count = reader.getNumImages(true)
-            if (count < 1 || count > maxFrames) None
-            else {
-              val frames = IndexedSeq.newBuilder[java.awt.image.BufferedImage]
-              var ok = true
-              var i = 0
-              while (ok && i < count) {
-                val w = reader.getWidth(i)
-                val h = reader.getHeight(i)
-                if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) ok = false
-                else { frames += reader.read(i); i += 1 }
+    withReader(data) { reader =>
+      val count = reader.getNumImages(true)
+      if (count < 1 || count > maxFrames) None
+      else {
+        val wanted = pick(count)
+        val decoded = scala.collection.mutable.Map
+          .empty[Int, java.awt.image.BufferedImage]
+        val ok = wanted.forall { i =>
+          decoded.contains(i) || {
+            i >= 0 && i < count && {
+              val w = reader.getWidth(i)
+              val h = reader.getHeight(i)
+              w > 0 && h > 0 && w.toLong * h <= maxPixels && {
+                decoded(i) = reader.read(i); true
               }
-              if (ok) Some(frames.result()) else None
             }
-          } finally reader.dispose()
+          }
         }
-      } finally stream.close()
-    } catch { case scala.util.control.NonFatal(_) => None }
+        if (ok) Some(wanted.map(decoded).toIndexedSeq) else None
+      }
+    }
 
   /** Sample `n` evenly spaced frames per blob (the video frame-sample
     * shape). Multi-frame containers the JDK can decode (GIF by magic
-    * bytes) take the REAL path: all stored frames are decoded
-    * ([[readAllFrames]]), n evenly spaced ones are picked across the
-    * actual frame index range (repeats when the container has fewer
-    * than n), and each is re-encoded as PNG — so downstream consumers
-    * see self-contained single-frame images. Everything else (and
-    * bytes the codec rejects) keeps the byte-span stub: frame i is
-    * the span [i·sz, (i+1)·sz) with sz = len/n, the last frame
-    * absorbing the remainder — short blobs yield n-1 empty frames
-    * plus the whole payload, never an error. Both paths emit EXACTLY
-    * n frames per blob with frame_idx 0..n-1. Each input row expands
-    * to its n frames in place (flatMap, one narrow stage); at corpus
-    * scale the fan-out is bounded by n and never shuffles. */
+    * bytes) take the REAL path: n evenly spaced stored-frame indices
+    * are picked across the actual frame index range (repeats when the
+    * container has fewer than n) and ONLY those are decoded
+    * ([[readSelectedFrames]]), each re-encoded as PNG — so downstream
+    * consumers see self-contained single-frame images. Everything
+    * else (and bytes the codec rejects) keeps the byte-span stub:
+    * frame i is the span [i·sz, (i+1)·sz) with sz = len/n, the last
+    * frame absorbing the remainder — short blobs yield n-1 empty
+    * frames plus the whole payload, never an error. Both paths emit
+    * EXACTLY n frames per blob with frame_idx 0..n-1. Each input row
+    * expands to its n frames in place (flatMap, one narrow stage); at
+    * corpus scale the fan-out is bounded by n and never shuffles. */
   def frameSample(blobs: DataFrame, n: Int): Dataset[MediaFrame] = {
     require(n >= 1, "frameSample needs n >= 1")
     val spark = blobs.sparkSession
@@ -494,14 +512,14 @@ object Multimodal {
         val d = safeBytes(d0) // null blob = n empty frames, not an NPE
         val real =
           if (sniffFormat(d) == "gif")
-            readAllFrames(d, maxPixels = 1L << 26).map { frames =>
+            readSelectedFrames(d, maxPixels = 1L << 26) { count =>
+              // even spacing over the real frame range; n=1 → frame 0
               (0 until n).map { i =>
-                // even spacing over the real frame range; n=1 → frame 0
-                val idx = if (n == 1) 0
-                          else math.round(i.toDouble * (frames.size - 1)
-                            / (n - 1)).toInt
-                MediaFrame(id, i.toLong, encodePng(frames(idx)))
+                if (n == 1) 0
+                else math.round(i.toDouble * (count - 1) / (n - 1)).toInt
               }
+            }.map { frames =>
+              (0 until n).map(i => MediaFrame(id, i.toLong, encodePng(frames(i))))
             }
           else None
         real.getOrElse {

@@ -164,17 +164,25 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the init sample's TakeOrdered computes every partition, so this
     // one action both seeds the centroids AND fills the cache — the
-    // source is never scanned again
-    val init = raw
-      .orderBy(xxhash64(col("id"), lit(seed)).asc, col("id").asc)
-      .limit(k).collect()
-    require(init.length == k, s"kMeans: need at least k=$k non-null rows")
-    var centroids: IndexedSeq[IndexedSeq[Double]] =
-      init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-    val dim = centroids.head.length
-    require(centroids.forall(_.length == dim),
-      s"kMeans: init sample mixes vector dimensions (expected $dim); " +
-        "the input must be fixed-dim")
+    // source is never scanned again. The validation failures below
+    // must NOT leave that cache resident (no release hook exists yet
+    // at this point — the round-11 review's leak finding), so they
+    // unpersist on the way out.
+    var centroids: IndexedSeq[IndexedSeq[Double]] = null
+    var dim = 0
+    try {
+      val init = raw
+        .orderBy(xxhash64(col("id"), lit(seed)).asc, col("id").asc)
+        .limit(k).collect()
+      require(init.length == k, s"kMeans: need at least k=$k non-null rows")
+      centroids = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      dim = centroids.head.length
+      require(centroids.forall(_.length == dim),
+        s"kMeans: init sample mixes vector dimensions (expected $dim); " +
+          "the input must be fixed-dim")
+    } catch {
+      case e: Throwable => raw.unpersist(false); throw e
+    }
     val base = raw.filter(size(col("v")) === dim)
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +:

@@ -10,23 +10,28 @@ import org.apache.spark.sql.DataFrame
 private[graft] object Spread {
 
   /** Repartition `df` to the cluster's default parallelism when its
-    * PLANNED scan width would be narrower — judged from the logical
-    * plan's size estimate against the scan split size, the same
-    * arithmetic the file-scan planner applies (est partitions ≈
-    * stats.sizeInBytes / files.maxPartitionBytes). The check costs
-    * one logical-stats lookup; `df.rdd.getNumPartitions` would build
-    * the entire physical plan and translate it to an RDD just to read
-    * a count (the round-10 advice item).
+    * PLANNED width would be narrower — judged from the logical plan's
+    * size estimate against the scan split size, the same arithmetic
+    * the file-scan planner applies (est partitions ≈ stats.sizeInBytes
+    * / files.maxPartitionBytes). For the file-scan inputs these
+    * operators take, the estimate is the on-disk byte count (×
+    * `spark.sql.sources.fileCompressionFactor`, default 1.0) — the
+    * very number the planner splits on — so the check costs one
+    * logical-stats lookup instead of building and translating the
+    * whole physical plan the way `df.rdd.getNumPartitions` does (the
+    * round-10 advice item).
     *
-    * Heuristic, and safe in both error directions: an UNDERestimate
-    * repartitions a frame the scan would have split anyway — one
-    * redundant shuffle of a small frame; an OVERestimate skips the
-    * spread on a frame that arrives narrow — the pre-advice behavior
-    * for non-scan inputs. Correctness never depends on it. The stats
-    * estimate is uncompressed in-memory bytes while parquet splits on
-    * compressed bytes, so the comparison runs ~3× conservative —
-    * exactly the direction that favors spreading a borderline input.
-    */
+    * The failure direction matters: an OVERestimate (a frame whose
+    * stats multiplied through joins, or a leaf that reports the
+    * `defaultSizeInBytes` Long.MaxValue sentinel) would SKIP the
+    * spread and silently serialize the compute pass — the regression
+    * the round-11 review flagged. Post-shuffle frames are already
+    * wide, so the join case is harmless; the sentinel case is not,
+    * and falls back to the EXACT partition count (paying the one-off
+    * RDD translation only for plans with no usable estimate). An
+    * UNDERestimate merely repartitions a frame the scan would have
+    * split anyway — one redundant shuffle of a small frame.
+    * Correctness never depends on this guard, only parallelism. */
   def ensureWidth(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
@@ -35,6 +40,11 @@ private[graft] object Spread {
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
       catch { case scala.util.control.NonFatal(_) => 128L << 20 }
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(target) * splitBytes) df.repartition(target) else df
+    if (est >= BigInt(Long.MaxValue) / 2) {
+      // no usable estimate — take the exact (slower) check rather
+      // than guess narrow
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    } else if (est < BigInt(target) * splitBytes) df.repartition(target)
+    else df
   }
 }
