@@ -461,6 +461,18 @@ object TextAnalysis {
       .select(docs.columns.map(col).toIndexedSeq: _*)
   }
 
+  /** INTRA-doc segment dedup — the other half of the C4 repetition
+    * pass ([[stripBoilerplate]] removes segments repeated ACROSS
+    * docs; this removes segments repeated WITHIN one): split on the
+    * literal `sep`, keep each segment's FIRST occurrence in order,
+    * reassemble. `array_distinct` preserves first-occurrence order,
+    * making this a pure map-side column expression — no shuffle, no
+    * explode, one codegen'd pass (the cross-doc variant needs two
+    * shuffles; do not pay them for the within-doc case). */
+  def dedupSegments(textCol: String, sep: String = "\n"): Column =
+    array_join(array_distinct(split(col(textCol),
+      java.util.regex.Pattern.quote(sep))), sep)
+
   /** Top-`topK` unigram vocabulary with cumulative corpus coverage —
     * the tokenizer-prep pass (how many terms cover 95% of the corpus?
     * what goes in the vocab, what falls to <unk>?): terms ranked by

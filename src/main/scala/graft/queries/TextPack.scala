@@ -67,6 +67,13 @@ object TextPack extends QueryPack {
     "q_pii" -> ((s, d) =>
       TextAnalysis.piiStats(Tables.documents(s, d), "doc_id", "text")),
 
+    // intra-doc repetition removal: first occurrence of each segment
+    // survives in order (space-separated here — the synthetic corpus
+    // has no newlines, same reasoning as q_boilerplate)
+    "q_dedup_segments" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.dedupSegments("text", sep = " ").as("deduped"))),
+
     // corpus-relative quality gate: keep the top quartile by
     // quality_score, threshold computed from the distribution itself
     // (broadcast scalar, not a global window)
@@ -475,5 +482,22 @@ object TextPack extends QueryPack {
         |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS INT)
         |    AS urls
         |FROM documents""".stripMargin,
+
+    // DuckDB's list_distinct does NOT preserve order, so the replay
+    // keeps each segment's min position explicitly and re-aggregates
+    // ordered — Spark's array_distinct is first-occurrence-ordered
+    // (pinned in CorpusStatsSpec); the two parallel unnests zip
+    "q_dedup_segments" ->
+      """WITH segs AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(text, ' ')) AS seg,
+        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |  FROM documents
+        |), firsts AS (
+        |  SELECT doc_id, seg, min(pos) AS p FROM segs GROUP BY doc_id, seg
+        |)
+        |SELECT doc_id, array_to_string(list(seg ORDER BY p), ' ')
+        |  AS deduped
+        |FROM firsts GROUP BY doc_id""".stripMargin,
   )
 }

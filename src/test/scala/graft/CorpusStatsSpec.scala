@@ -58,6 +58,24 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got === Map(0L -> 2L, 50L -> 1L, 100L -> 1L))
   }
 
+  test("dedupSegments keeps first occurrences in order, handles empties") {
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      1L -> "x y x z y",
+      2L -> "a a a",
+      3L -> "",
+      4L -> "unique words only here").toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.dedupSegments("text", sep = " ").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the first-occurrence ORDER is the load-bearing claim — the
+    // q_dedup_segments oracle replays it with an explicit min-pos sort
+    assert(got === Map(1L -> "x y z", 2L -> "a", 3L -> "",
+      4L -> "unique words only here"))
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._
