@@ -168,21 +168,22 @@ object Similarity {
     // must NOT leave that cache resident (no release hook exists yet
     // at this point — the round-11 review's leak finding), so they
     // unpersist on the way out.
-    var centroids: IndexedSeq[IndexedSeq[Double]] = null
-    var dim = 0
-    try {
+    val (initCentroids, dim) = try {
       val init = raw
         .orderBy(xxhash64(col("id"), lit(seed)).asc, col("id").asc)
         .limit(k).collect()
       require(init.length == k, s"kMeans: need at least k=$k non-null rows")
-      centroids = init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
-      dim = centroids.head.length
-      require(centroids.forall(_.length == dim),
-        s"kMeans: init sample mixes vector dimensions (expected $dim); " +
+      val cs: IndexedSeq[IndexedSeq[Double]] =
+        init.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+      val d = cs.head.length
+      require(cs.forall(_.length == d),
+        s"kMeans: init sample mixes vector dimensions (expected $d); " +
           "the input must be fixed-dim")
+      (cs, d)
     } catch {
       case e: Throwable => raw.unpersist(false); throw e
     }
+    var centroids = initCentroids
     val base = raw.filter(size(col("v")) === dim)
     for (_ <- 0 until iters) {
       val aggs = count(lit(1)).as("n") +:
