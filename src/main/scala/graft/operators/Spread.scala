@@ -21,16 +21,17 @@ private[graft] object Spread {
     * whole physical plan the way `df.rdd.getNumPartitions` does (the
     * round-10 advice item).
     *
-    * The failure direction matters: an OVERestimate (a frame whose
-    * stats multiplied through joins, or a leaf that reports the
-    * `defaultSizeInBytes` Long.MaxValue sentinel) would SKIP the
-    * spread and silently serialize the compute pass — the regression
-    * the round-11 review flagged. Post-shuffle frames are already
-    * wide, so the join case is harmless; the sentinel case is not,
-    * and falls back to the EXACT partition count (paying the one-off
-    * RDD translation only for plans with no usable estimate). An
-    * UNDERestimate merely repartitions a frame the scan would have
-    * split anyway — one redundant shuffle of a small frame.
+    * The estimate is only trusted in the direction where being wrong
+    * is cheap: a SMALL estimate concludes "narrow" and repartitions
+    * immediately (worst case: one redundant shuffle of a frame the
+    * stats already bound as small). A LARGE estimate proves nothing —
+    * a big unsplittable gzip, an upstream `coalesce(1)`, or a single
+    * oversized row-group all arrive narrow despite large stats (the
+    * round-12 advice item) — so the "wide enough" conclusion is
+    * always confirmed against the EXACT `rdd.getNumPartitions`,
+    * paying the one-off physical translation only for frames the
+    * cheap check could not already classify. The Long.MaxValue
+    * no-estimate sentinel lands in the same exact-check branch.
     * Correctness never depends on this guard, only parallelism. */
   def ensureWidth(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -40,11 +41,10 @@ private[graft] object Spread {
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
       catch { case scala.util.control.NonFatal(_) => 128L << 20 }
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est >= BigInt(Long.MaxValue) / 2) {
-      // no usable estimate — take the exact (slower) check rather
-      // than guess narrow
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-    } else if (est < BigInt(target) * splitBytes) df.repartition(target)
+    val trustedNarrow =
+      est < BigInt(Long.MaxValue) / 2 && est < BigInt(target) * splitBytes
+    if (trustedNarrow) df.repartition(target)
+    else if (df.rdd.getNumPartitions < target) df.repartition(target)
     else df
   }
 }

@@ -493,8 +493,11 @@ object TextAnalysis {
       .select(explode(tokens(textCol)).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
     // Σcnt equals Σ size(tokens) — the narrow per-doc form costs one
-    // cheap map-side agg instead of re-running the term aggregation
-    val total = docs.select(sum(size(tokens(textCol))).as("total"))
+    // cheap map-side agg instead of re-running the term aggregation.
+    // Null-text docs contribute 0 (explode emits no rows for them),
+    // guarded explicitly because legacy sizeOfNull would yield -1
+    val total = docs.select(sum(when(col(textCol).isNotNull,
+      size(tokens(textCol))).otherwise(lit(0L))).as("total"))
     val top = counts.orderBy(col("cnt").desc, col("term").asc).limit(topK)
     val w = Window.orderBy(col("cnt").desc, col("term").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -517,8 +520,11 @@ object TextAnalysis {
   def lengthHistogram(docs: DataFrame, textCol: String,
                       bucketSize: Int = 50): DataFrame = {
     require(bucketSize >= 1, "lengthHistogram needs bucketSize >= 1")
-    docs.select((floor(tokenCount(textCol).cast("long") / bucketSize)
-        * bucketSize).as("bucket_lo"))
+    // greatest(…, 0) pins null text to bucket 0 under BOTH ANSI
+    // settings (legacy sizeOfNull = -1 would otherwise mint a
+    // phantom bucket -bucketSize; ANSI null is skipped by greatest)
+    docs.select((floor(greatest(tokenCount(textCol).cast("long"), lit(0L))
+        / bucketSize) * bucketSize).as("bucket_lo"))
       .groupBy("bucket_lo").agg(count(lit(1)).as("docs"))
   }
 

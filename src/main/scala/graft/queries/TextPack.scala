@@ -69,10 +69,16 @@ object TextPack extends QueryPack {
 
     // intra-doc repetition removal: first occurrence of each segment
     // survives in order (space-separated here — the synthetic corpus
-    // has no newlines, same reasoning as q_boilerplate)
+    // has no newlines, same reasoning as q_boilerplate). text is
+    // coalesced to '' on BOTH sides (as q_chunk does): Spark's
+    // split(NULL) would emit a (doc_id, NULL) row while DuckDB's
+    // unnest over NULL emits none, and the doc would vanish from the
+    // oracle only
     "q_dedup_segments" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.dedupSegments("text", sep = " ").as("deduped"))),
+      Tables.documents(s, d)
+        .withColumn("text", coalesce(col("text"), lit("")))
+        .select(col("doc_id"),
+          TextAnalysis.dedupSegments("text", sep = " ").as("deduped"))),
 
     // corpus-relative quality gate: keep the top quartile by
     // quality_score, threshold computed from the distribution itself
@@ -466,8 +472,12 @@ object TextPack extends QueryPack {
 
     // same '\s+' tokenizer as q_token_count (a SIZE metric, not the
     // identity tokenizer — see TextAnalysis.tokenCount)
+    // coalesce(text,'') pairs with the Spark side's greatest(…, 0):
+    // null docs land in bucket 0 on both sides ('' splits to [''],
+    // len 1, bucket 0)
     "q_length_hist" ->
-      """SELECT CAST(floor(len(string_split_regex(text, '\s+')) / 50) AS BIGINT)
+      """SELECT CAST(floor(len(string_split_regex(coalesce(text, ''), '\s+'))
+        |      / 50) AS BIGINT)
         |    * 50 AS bucket_lo,
         |  count(*) AS docs
         |FROM documents GROUP BY 1""".stripMargin,
@@ -490,8 +500,9 @@ object TextPack extends QueryPack {
     "q_dedup_segments" ->
       """WITH segs AS (
         |  SELECT doc_id,
-        |    unnest(string_split(text, ' ')) AS seg,
-        |    unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        |    unnest(string_split(coalesce(text, ''), ' ')) AS seg,
+        |    unnest(range(1, len(string_split(coalesce(text, ''), ' ')) + 1))
+        |      AS pos
         |  FROM documents
         |), firsts AS (
         |  SELECT doc_id, seg, min(pos) AS p FROM segs GROUP BY doc_id, seg
