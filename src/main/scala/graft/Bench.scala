@@ -9,6 +9,13 @@ import org.apache.spark.sql.SparkSession
   * `errors` — it must never masquerade as a fast run. A short warmup
   * (JVM/codegen/parquet-footer paths) runs before any timing so the
   * first measured query isn't charged Spark's startup cost.
+  *
+  * Two per-query numbers are emitted: `queries` (raw medians — what
+  * this host actually did) and `queries_norm` (canary-normalized —
+  * raw × healthy_ref / interpolated-canary-at-that-point, i.e. the
+  * projected cost on the healthy reference host). Cross-round
+  * comparisons and regression flags read `queries_norm`; raw stays
+  * for absolute wall-clock accounting.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -40,8 +47,8 @@ object Bench {
     // tell host drift from a leak. With both canaries in the JSON,
     // start≈end means timings are comparable; end >> start flags the
     // suite itself as taken on a degrading host.
-    def canaryMedian(): Double = {
-      val runs = (1 to 5).map { _ =>
+    def canaryMedian(n: Int = 5): Double = {
+      val runs = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         SparkEntry.queries("q_project")(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
@@ -78,8 +85,29 @@ object Bench {
     // JSON line; dying without it reads as a silent round failure)
     val benchRuns = math.max(1,
       sys.env.get("SPARK_GRAFT_BENCH_RUNS").flatMap(_.toIntOption).getOrElse(3))
+    // Interleaved canary (round-11 verdict #1): the start/end canary
+    // pair proved the host can run ~2× slow for MOST of a suite and
+    // recover — which false-flagged 8/26 untouched queries >1.3×
+    // cross-round, because a per-query raw median carries whatever
+    // the host was doing when the loop reached it. So the canary is
+    // re-sampled every `canaryEveryN` queries (3-run median — cheap:
+    // ~0.5 s each on a healthy host, ~a dozen samples over the
+    // suite), and every query gets a normalized median = raw ×
+    // (healthy_ref / canary-at-that-point), i.e. "what this query
+    // would have cost on the healthy reference host". Cross-round
+    // regression flags must be computed on the NORMALIZED numbers.
+    val canaryEveryN = math.max(1, sys.env.get("SPARK_GRAFT_CANARY_EVERY")
+      .flatMap(_.toIntOption).getOrElse(8))
+    val healthyRef = 0.15
+    val canarySamples = scala.collection.mutable.ListBuffer[(Int, Double)](
+      0 -> canaryStart)
+    val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     val results: Seq[(String, Seq[Double])] =
-      SparkEntry.benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      ordered.zipWithIndex.map { case ((name, fn), qi) =>
+        if (qi > 0 && qi % canaryEveryN == 0) {
+          canarySamples += (qi -> canaryMedian(3))
+          spark.catalog.clearCache()
+        }
         val runs = scala.collection.mutable.ListBuffer.empty[Double]
         var failed = false
         var i = 0
@@ -112,6 +140,31 @@ object Bench {
     // end canary AFTER the loop, BEFORE the bookkeeping below, so it
     // reflects the host state the last queries actually saw
     val canaryEnd = canaryMedian()
+    canarySamples += (ordered.size -> canaryEnd)
+    // Host-speed estimate at a fractional query position: linear
+    // interpolation between the bracketing canary samples (each
+    // sample was taken BEFORE the query at its index ran, the end
+    // sample after everything). Query qi runs between samples at
+    // positions <= qi and > qi, so it is placed at qi + 0.5.
+    val samplesV = canarySamples.toVector
+    def canaryAt(pos: Double): Double = {
+      if (pos <= samplesV.head._1) samplesV.head._2
+      else if (pos >= samplesV.last._1) samplesV.last._2
+      else {
+        val hi = samplesV.indexWhere(_._1 > pos)
+        val (p0, c0) = samplesV(hi - 1)
+        val (p1, c1) = samplesV(hi)
+        c0 + (c1 - c0) * (pos - p0) / (p1 - p0)
+      }
+    }
+    val normMedians = medians.zipWithIndex.map { case ((k, v), qi) =>
+      k -> (if (v < 0) -1.0
+            else v * healthyRef / math.max(canaryAt(qi + 0.5), 1e-9))
+    }
+    val qsNorm = normMedians.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val samplesJson = samplesV
+      .map { case (p, c) => s"[$p,$c]" }.mkString("[", ",", "]")
     val (gcCount1, gcMs1) = gcTotals()
     val suiteSec = (System.nanoTime() - suiteT0) / 1e9
     val rt = Runtime.getRuntime
@@ -121,8 +174,8 @@ object Bench {
     val mem = s"""{"heap_max_bytes":${rt.maxMemory()},"heap_used_bytes":${rt.totalMemory() - rt.freeMemory()},"gc_count":${gcCount1 - gcCount0},"gc_ms":${gcMs1 - gcMs0},"gc_frac":${(gcMs1 - gcMs0) / 1000.0 / math.max(suiteSec, 1e-9)}}"""
     // "median_sec" stays = the start canary for cross-round readers of
     // the old field; canary_start/canary_end are the drift pair
-    val canary = s"""{"query":"q_project","median_sec":$canaryStart,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs":5,"healthy_ref_sec_sf01":0.15}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}""")
+    val canary = s"""{"query":"q_project","median_sec":$canaryStart,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs":5,"healthy_ref_sec_sf01":$healthyRef,"every_n":$canaryEveryN,"samples":$samplesJson}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"runs":$runsJson,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

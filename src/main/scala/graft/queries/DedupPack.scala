@@ -108,10 +108,11 @@ object DedupPack extends QueryPack {
     // whole bundle, and the oracle replays every flag from the same
     // recursive-CTE walk as the *_exact trio
     "q_dedup_bundle" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{bit_count, isnotnull}
       val docs = Tables.documents(s, d)
       val bundle = Dedup.bundle(docs, "doc_id",
         Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
-      bundle.clusters
+      val joined = bundle.clusters
         .join(bundle.canonical.select(col("doc_id"), lit(1).as("canon0")),
           Seq("doc_id"), "left")
         .join(bundle.deduped.select(col("doc_id"), lit(1).as("kept0")),
@@ -119,6 +120,15 @@ object DedupPack extends QueryPack {
         .select(col("doc_id"), col("cluster_id"),
           coalesce(col("canon0"), lit(0)).as("is_canonical"),
           coalesce(col("kept0"), lit(0)).as("kept"))
+      // this gate query is a SINGLE-action consumer of the bundle, so
+      // the caller-owned caches (pairs + clusters) ride the standard
+      // first-action release hook instead of leaking until the
+      // harness's clearCache (the multi-action production consumer
+      // calls bundle.release() itself — see Dedup.bundle's doc)
+      graft.operators.MetricListener.releaseAfterFirstAction(joined,
+        bundle.clusters,
+        isnotnull(col("cluster_id")) && bit_count(col("cluster_id")) < 0,
+        Seq(bundle.pairs, bundle.clusters))
     }),
 
     // the CC kernel under a DuckDB-recursive-CTE hash oracle: edges
@@ -145,6 +155,33 @@ object DedupPack extends QueryPack {
           .as("approx_docs"),
         org.apache.spark.sql.functions.countDistinct(
           org.apache.spark.sql.functions.col("text")).as("exact_docs"))),
+  )
+
+  /** The Verify form of q_dedup_bundle joins all three derived frames
+    * into one hash-pinnable row set — right for the gate, but a
+    * single-action shape. The bench times the PRODUCTION shape
+    * instead (round-11 verdict #2): one pair materialization, three
+    * independent consuming actions (clusters, canonical, deduped —
+    * how a pipeline actually uses the bundle), caches released after
+    * the last. The whole span — pair generation + clustering + both
+    * extra actions — rides the bench's timed `.count()`, because the
+    * first two actions run inside this builder, which the bench
+    * invokes inside its timing window. Expected: ≈ the cost of ONE
+    * q_dedup_cluster_exact, not three — that is the amortization the
+    * bundle exists for. */
+  override def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_bundle" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{bit_count, isnotnull}
+      val docs = Tables.documents(s, d)
+      val bundle = Dedup.bundle(docs, "doc_id",
+        Dedup.exactJaccardPairs(docs, "doc_id", "text", threshold = 0.8))
+      bundle.clusters.count()
+      bundle.canonical.count()
+      graft.operators.MetricListener.releaseAfterFirstAction(
+        bundle.deduped, bundle.clusters,
+        isnotnull(col("cluster_id")) && bit_count(col("cluster_id")) < 0,
+        Seq(bundle.pairs, bundle.clusters))
+    }),
   )
 
   /** DuckDB replay of [[Dedup.exactJaccardPairs]] (threshold 0.8,

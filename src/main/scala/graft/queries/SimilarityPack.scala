@@ -57,8 +57,12 @@ object SimilarityPack extends QueryPack {
       cat.putPartitioned("ann_lsh_store",
         Similarity.withLshBucket(Tables.embeddings(s, d), "embedding",
           dim = 64, numBits = 4, seed = 7L), "bucket")
-      Similarity.lshTopKBucketed(cat.get("ann_lsh_store"), "vec_id",
+      // hand the root to the NEXT invocation's writer (the enforced
+      // one-writer contract; the probe below is a pure read)
+      val out = Similarity.lshTopKBucketed(cat.get("ann_lsh_store"), "vec_id",
         "embedding", queryVec, k = 10, numBits = 4, probeFlips = 2, seed = 7L)
+      cat.close()
+      out
     }),
 
     "q_embed_neardup" -> ((s, d) =>
@@ -86,8 +90,10 @@ object SimilarityPack extends QueryPack {
       val cat = new graft.catalog.Catalog(s, storeRoot("ivfstore", d))
       cat.putPartitioned("ann_ivf_store",
         emb.join(km.assignments, "vec_id"), "cluster")
-      Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
+      val out = Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
         "embedding", "cluster", km.centroids, queryVec, k = 10, nprobe = 3)
+      cat.close()
+      out
     }),
 
     // the full production layout end-to-end: bucket + int8-quantize,
@@ -101,8 +107,10 @@ object SimilarityPack extends QueryPack {
             dim = 64, numBits = 4, seed = 7L),
           "vec_id", "embedding"),
         "bucket")
-      Similarity.lshTopKQuantized(cat.get("ann_q_store"), "vec_id",
+      val out = Similarity.lshTopKQuantized(cat.get("ann_q_store"), "vec_id",
         queryVec, k = 10, numBits = 4, probeFlips = 2, seed = 7L)
+      cat.close()
+      out
     }),
 
     // JL dimensionality reduction: 64-dim embeddings down to 8 dense
@@ -146,7 +154,38 @@ object SimilarityPack extends QueryPack {
         .agg(sum(xxhash64(col("qvec"), col("scale"))).as("digest"),
           count(lit(1)).as("n"))
     }),
+
+    // The Verify form times the whole index LIFECYCLE (kMeans build +
+    // partitioned write + probe) in one number — right for the gate,
+    // wrong to TIME: a serving user pays the build once and the probe
+    // per query (round-11 verdict #3). The bench builds the store on
+    // the FIRST invocation only (memoized per data dir; the temp
+    // store outlives clearCache) and times the probe alone — with
+    // the default 3 bench runs the median is a pure probe, and the
+    // build-contaminated first run is visible in `runs` rather than
+    // hidden. The probe is the partition-pruned scan SimilaritySpec
+    // pins.
+    "q_ann_ivf_stored" -> ((s, d) => {
+      val centroids = ivfBenchBuilt.computeIfAbsent(d, _ => {
+        val emb = Tables.embeddings(s, d)
+        val km = Similarity.kMeans(emb, "vec_id", "embedding",
+          k = 8, iters = 5, seed = 7L)
+        val cat = new graft.catalog.Catalog(s, storeRoot("ivfstore", d))
+        cat.putPartitioned("ann_ivf_store",
+          emb.join(km.assignments, "vec_id"), "cluster")
+        cat.close()
+        km.centroids
+      })
+      val cat = new graft.catalog.Catalog(s, storeRoot("ivfstore", d))
+      Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
+        "embedding", "cluster", centroids, queryVec, k = 10, nprobe = 3)
+    }),
   )
+
+  /** Build-once memo for the stored-IVF bench probe (data dir →
+    * centroids); the store itself lives in [[storeRoot]]'s temp dir. */
+  private val ivfBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[Double]]]()
 
   /** The LSH probe IS SQL-expressible because the planes are seeded
     * literals: replay bit h = sign(v·plane_h) per row, assemble the
