@@ -249,6 +249,57 @@ class CatalogSpec extends AnyFunSuite {
     assert(versionDirs().isEmpty)
   }
 
+  test("writer lock: a second live writer on one root fails fast; readers and handover work") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-catalog-lock").toString
+    val a = new Catalog(spark, dir)
+    a.put("t", Seq(1).toDF("x"))
+    // readers never touch the lock
+    val reader = new Catalog(spark, dir)
+    assert(reader.get("t").count() === 1L)
+    // a second WRITER on the same root must fail fast, not clobber
+    val b = new Catalog(spark, dir)
+    intercept[IllegalStateException](b.put("u", Seq(2).toDF("x")))
+    // the refused write left no trace
+    assert(reader.get("t").count() === 1L)
+    intercept[NoSuchElementException](b.get("u"))
+    // explicit handover: after close() the next writer proceeds
+    a.close()
+    b.put("u", Seq(2).toDF("x"))
+    assert(b.get("u").count() === 1L)
+    assert(b.get("t").count() === 1L) // and a's dataset survived
+    b.close()
+  }
+
+  test("writer lock liveness: dead-pid and stale-heartbeat locks are broken, fresh foreign locks are not") {
+    import spark.implicits._
+    val host = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.split("@", 2)(1)
+    def plantLock(dir: String, owner: String, jvm: String, hbAge: Long): Unit =
+      Files.write(java.nio.file.Paths.get(dir, "_writer.lock"),
+        java.util.List.of(
+          s"$owner\t$jvm\t${System.currentTimeMillis() - hbAge}"))
+    // dead pid on THIS host, fresh heartbeat → positively dead, broken
+    val d1 = Files.createTempDirectory("graft-catalog-deadpid").toString
+    plantLock(d1, "crashed-writer", s"999999999@$host", hbAge = 0L)
+    val c1 = new Catalog(spark, d1)
+    c1.put("after-crash", Seq(1).toDF("x")) // takeover, no exception
+    assert(c1.get("after-crash").count() === 1L)
+    c1.close()
+    // unknown host (pid unverifiable) + stale heartbeat → broken
+    val d2 = Files.createTempDirectory("graft-catalog-stale").toString
+    plantLock(d2, "remote-writer", "1@graft-no-such-host", hbAge = 60000L)
+    val c2 = new Catalog(spark, d2, writerLockStaleMs = 10L)
+    c2.put("after-stale", Seq(1).toDF("x"))
+    assert(c2.get("after-stale").count() === 1L)
+    c2.close()
+    // unknown host + FRESH heartbeat → presumed alive, fail fast
+    val d3 = Files.createTempDirectory("graft-catalog-foreign").toString
+    plantLock(d3, "remote-writer", "1@graft-no-such-host", hbAge = 0L)
+    val c3 = new Catalog(spark, d3)
+    intercept[IllegalStateException](c3.put("refused", Seq(1).toDF("x")))
+  }
+
   test("two catalogs over one root: reload-on-miss sees the other instance's put") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-catalog-shared").toString
