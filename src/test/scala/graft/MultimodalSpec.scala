@@ -191,6 +191,77 @@ class MultimodalSpec extends AnyFunSuite {
     bos.toByteArray
   }
 
+  /** A 2-frame GIF whose SECOND frame is a partial-canvas descriptor:
+    * frame 0 fills the w×h screen with `bg`; frame 1 is a pw×ph patch
+    * drawn at (px, py) — written through the JDK GIF writer's image
+    * metadata (ImageDescriptor offsets), i.e. a real-world animated
+    * GIF delta frame. */
+  private def partialFrameGif(w: Int, h: Int, bg: Int,
+                              pw: Int, ph: Int, px: Int, py: Int,
+                              patch: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(out)
+      writer.prepareWriteSequence(null)
+      def solid(sw: Int, sh: Int, c: Int) = {
+        val img = new java.awt.image.BufferedImage(
+          sw, sh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (x <- 0 until sw; y <- 0 until sh) img.setRGB(x, y, c)
+        img
+      }
+      def metaWithOffset(img: java.awt.image.BufferedImage,
+                         left: Int, top: Int) = {
+        val spec = new javax.imageio.ImageTypeSpecifier(img)
+        val md = writer.getDefaultImageMetadata(spec, null)
+        val fmt = "javax_imageio_gif_image_1.0"
+        val tree = md.getAsTree(fmt)
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        val kids = tree.getChildNodes
+        val desc = (0 until kids.getLength).map(kids.item)
+          .find(_.getNodeName == "ImageDescriptor").get
+          .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        desc.setAttribute("imageLeftPosition", left.toString)
+        desc.setAttribute("imageTopPosition", top.toString)
+        md.setFromTree(fmt, tree)
+        md
+      }
+      val f0 = solid(w, h, bg)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(f0, null, metaWithOffset(f0, 0, 0)), null)
+      val f1 = solid(pw, ph, patch)
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(f1, null, metaWithOffset(f1, px, py)), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); out.close() }
+    bos.toByteArray
+  }
+
+  test("frameSample composites partial GIF frames over the canvas (not raw fragments)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 8×8 red screen; frame 1 is a 2×2 blue patch at (4,4)
+    val gif = partialFrameGif(8, 8, bg = 0xff0000,
+      pw = 2, ph = 2, px = 4, py = 4, patch = 0x0000ff)
+    val frames = Multimodal.frameSample(
+        Seq((1L, gif)).toDF("id", "data"), 2)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    def decode(png: Array[Byte]) =
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val s0 = decode(frames(0).frame)
+    val s1 = decode(frames(1).frame)
+    // every sample is a self-contained CANVAS raster: a raw descriptor
+    // for frame 1 would be a 2×2 all-blue fragment
+    assert(s0.getWidth === 8 && s0.getHeight === 8)
+    assert(s1.getWidth === 8 && s1.getHeight === 8)
+    assert((s0.getRGB(5, 5) & 0xffffff) === 0xff0000) // pre-patch
+    assert((s1.getRGB(0, 0) & 0xffffff) === 0xff0000) // background survives
+    assert((s1.getRGB(5, 5) & 0xffffff) === 0x0000ff) // patch applied in place
+    assert((s1.getRGB(3, 3) & 0xffffff) === 0xff0000) // patch did not smear
+  }
+
   test("frameSample GIF real path: stored frames decode back, evenly sampled") {
     val spark2 = spark
     import spark2.implicits._
