@@ -17,4 +17,5 @@ object SparkSuite {
   }
 
   val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
 }
