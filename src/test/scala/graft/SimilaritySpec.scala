@@ -302,4 +302,37 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = ivf.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.6, s"IVF-over-kMeans recall $recall")
   }
+
+  test("clusteredEmbeddings fixture: partitioning-independent, unit-norm, label-consistent") {
+    def rows(parts: Int): Map[Long, (Seq[Float], Int)] =
+      RecallBench.clusteredEmbeddings(spark, 200L, 16, 8, 0.15, 42L)
+        .repartition(parts)
+        .collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          ((r.getSeq[Float](1), r.getAs[Int]("label"))))
+        .toMap
+    val a = rows(1)
+    val b = rows(7)
+    // per-row seeded RNG ⇒ the same vectors bit-for-bit no matter how
+    // the range is partitioned — what makes the recall sweep replayable
+    assert(a === b)
+    assert(a.size === 200)
+    a.foreach { case (id, (v, label)) =>
+      assert(label === (id % 8).toInt)
+      assert(v.length === 16)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-4, s"row $id norm $norm")
+    }
+    // the mixture is a real structure: the overwhelming majority of
+    // rows sit nearest their OWN center (σ=0.15 jitter can push a few
+    // strays in 16-dim), so a coarse quantizer can exploit it
+    val centers = (0 until 8).map(c =>
+      Similarity.seededUnitVector(16, 42L + c))
+    val own = a.count { case (_, (v, label)) =>
+      val sims = centers.map(ctr =>
+        ctr.lazyZip(v.map(_.toDouble)).map(_ * _).sum)
+      sims.indexOf(sims.max) == label
+    }
+    assert(own >= 190, s"only $own/200 rows nearest their own center")
+  }
 }
