@@ -17,17 +17,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.parquet stores ts as INT64 TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects; read nanos as long and
-    * truncate to microsecond timestamps (hour-level aggregations are
-    * unaffected). */
+  /** events.parquet's `ts` layout has drifted across regenerations
+    * (INT64 TIMESTAMP(NANOS) → TIMESTAMP(MICROS)), so adapt to the
+    * loaded column's type instead of assuming one physical layout.
+    * Every branch normalizes to microsecond-precision TimestampType
+    * under the UTC session timezone all entry points pin
+    * (TablesLayoutSpec asserts nanos and micros fixtures agree). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    // integer division: `/` would promote to double and mangle
-    // nanosecond epochs (~1.7e18 exceeds a double's 53-bit mantissa)
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    // needed to load a NANOS file at all; a no-op for non-NANOS columns
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // nanos-as-long: integer division — `/` would promote to double
+        // and mangle ~1.7e18 nano epochs (53-bit mantissa)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => // TIMESTAMP_NTZ (micros/millis): same instant under UTC
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
