@@ -1,9 +1,58 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare. A query that
+  * throws is recorded in `outDir/failures.json` AND fails the run with a
+  * non-zero exit — an absent correctness entry must never be the only
+  * trace of a broken query (round 12 lost three queries that way). */
 object Verify {
+
+  /** Runs every query, writing each result to `outDir/<name>` parquet;
+    * returns name → error for the ones that threw (insertion order). */
+  def runQueries(spark: SparkSession, sfDir: String, outDir: String,
+                 queries: Map[String, (SparkSession, String) => DataFrame])
+      : Seq[(String, String)] = {
+    new java.io.File(outDir).mkdirs()
+    val failures = Seq.newBuilder[(String, String)]
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures += name ->
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+      }
+      // release per-query persisted frames (LSH signatures etc.)
+      spark.catalog.clearCache()
+    }
+    failures.result()
+  }
+
+  // JSON string escape: backslash, quote, and ALL control chars (<0x20)
+  // — a tab or CR in builder-authored SQL would otherwise make the
+  // driver's json.load fail and silently zero the round's correctness.
+  private def q(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  def jsonObject(kvs: Iterable[(String, String)]): String =
+    kvs.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+
+  /** Writes oracle_sql.json + failures.json; returns the failure count. */
+  def writeArtifacts(outDir: String, oracleSql: Map[String, String],
+                     failures: Seq[(String, String)]): Int = {
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), jsonObject(oracleSql))
+    Files.writeString(Paths.get(s"$outDir/failures.json"), jsonObject(failures))
+    failures.size
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -14,31 +63,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // release per-query persisted frames (LSH signatures etc.)
-      spark.catalog.clearCache()
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
-    val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failures = runQueries(spark, sfDir, outDir, SparkEntry.queries)
+    writeArtifacts(outDir, SparkEntry.oracleSql, failures)
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer${
+        if (failures.size == 1) "y" else "ies"} FAILED: ${
+        failures.map(_._1).mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }
