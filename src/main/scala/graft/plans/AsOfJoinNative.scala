@@ -118,13 +118,28 @@ object AsOfJoinNative {
   /** As-of join as a native operator. Key and ts columns must be
     * non-null longs (v1 restriction, see class doc). Output: all left
     * columns, then all right columns from the matched as-of row
-    * (NULLs when no match). */
+    * (NULLs when no match).
+    *
+    * Self-join safety: the common as-of shape derives BOTH sides from
+    * one table, so the same attribute (by exprId) can appear in both
+    * legs — Catalyst's ColumnPruning then treats the two occurrences
+    * as one and prunes the right key out from under the exec's
+    * reference binding (INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND at run
+    * time). When an overlap is detected the right side is re-aliased
+    * to fresh exprIds here, same as the manual alias round-trip
+    * AsOfNativeSpec uses. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String,
            leftTsCol: String, rightTsCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
     val spark = left.sparkSession
     register(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    val rPlan =
+      if (rAnalyzed.outputSet.intersect(lPlan.outputSet).nonEmpty)
+        Project(rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+      else rAnalyzed
     def attr(p: LogicalPlan, n: String): Expression =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output.map(_.name)}"))

@@ -11,6 +11,26 @@ import graft.streaming.EventStream
   */
 object EventPack extends QueryPack {
 
+  /** Shared input shape for both as-of formulations: clicks to enrich,
+    * purchases to look up, with micros-epoch longs as the ordering
+    * columns (the native exec's v1 restriction is long key/ts). */
+  private def asOfInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    // alias round-trip on the right key: clicks and purchases derive
+    // from the SAME scan, so a plain select would carry user_id with
+    // one exprId on BOTH sides of the join — Catalyst column pruning
+    // then treats them as one attribute and prunes the right side's
+    // key out from under the native exec's reference binding
+    // (AsOfJoinNative's doc; AsOfNativeSpec uses the same freshening)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pts_us"),
+        col("value"))
+      .withColumnRenamed("p_user", "user_id")
+    (clicks, purchases)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // hourly tumbling window per event_type; same expressions as the
     // streaming query (EventStreamSpec asserts stream == batch)
@@ -81,13 +101,31 @@ object EventPack extends QueryPack {
     "q_sessionize" -> ((s, d) =>
       Sessionize.sessions(Tables.events(s, d), "user_id", "ts")),
 
-    // as-of join: each click enriched with the user's latest prior purchase
+    // as-of join: each click enriched with the user's latest prior
+    // purchase — on the NATIVE plan (custom LogicalPlan + Strategy +
+    // sort-merge SparkPlan, plans/AsOfJoinNative.scala): one exchange
+    // per side and a single forward merge holding at most ONE candidate
+    // right row, where the compositional window formulation
+    // materializes the tagged union. AsOfNativeSpec pins native ==
+    // compositional (which q_asof_window keeps under the same oracle).
     "q_asof" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), unix_micros(col("ts")).as("pts_us"), col("value"))
+      val (clicks, purchases) = asOfInputs(s, d)
+      // output = left cols ++ right cols; the equi-key appears on both
+      // sides under the same name (the native API matches by name), so
+      // rename positionally before selecting
+      graft.plans.AsOfJoinNative.asOf(clicks, purchases, "user_id", "ts_us", "pts_us")
+        .toDF("event_id", "user_id", "ts_us", "r_user_id", "pts_us", "value")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+                coalesce(col("pts_us"), lit(-1L)).as("asof_ts_us"),
+                coalesce(col("value"), lit(-1.0)).as("asof_value"))
+    }),
+
+    // the compositional (tag + union + keyed window) formulation stays
+    // under the same DuckDB ASOF JOIN oracle: it is the cross-check
+    // that keeps the native exec honest in the gate, and the fallback
+    // for key/ts types outside the native v1 long-only restriction
+    "q_asof_window" -> ((s, d) => {
+      val (clicks, purchases) = asOfInputs(s, d)
       // no-match rows carry -1 sentinels instead of NULL: result
       // comparators that sort rows handle NULL-in-sort-key orderings
       // inconsistently across engines
@@ -164,6 +202,15 @@ object EventPack extends QueryPack {
         |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  coalesce(epoch_us(r.ts), -1) AS asof_ts_us,
+        |  coalesce(r.value, -1.0) AS asof_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    // identical oracle: both formulations must produce the same rows
+    "q_asof_window" ->
       """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
         |  coalesce(epoch_us(r.ts), -1) AS asof_ts_us,
         |  coalesce(r.value, -1.0) AS asof_value

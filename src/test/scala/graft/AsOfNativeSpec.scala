@@ -56,4 +56,38 @@ class AsOfNativeSpec extends AnyFunSuite {
       (x.getAs[String]("tag"), Option(x.getAs[java.lang.Double]("v")))).toSet
     assert(rows === Set(("a", Some(1.0)), ("b", None)))
   }
+
+  test("self-derived sides (shared exprIds) are auto-freshened, not pruned apart") {
+    // both legs from ONE scan, no manual aliasing: user_id carries the
+    // same exprId on both sides, which used to die at execution with
+    // INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND once ColumnPruning conflated
+    // the two occurrences (round-13 q_asof migration)
+    val ev = Tables.events(spark, SparkSuite.sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pts_us"), col("value"))
+
+    val joined = AsOfJoinNative.asOf(clicks, purchases, "user_id", "ts_us", "pts_us")
+      .toDF("event_id", "user_id", "ts_us", "r_user_id", "pts_us", "value")
+    // the projection that used to trigger the pruning bug: keeps the
+    // LEFT key and only part of the right side
+    val got = joined
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("pts_us"), lit(-1L)).as("ats"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // compare against the compositional operator on freshened inputs
+    val purchasesFresh = purchases
+      .select(col("user_id").as("p_user"), col("pts_us"), col("value"))
+      .withColumnRenamed("p_user", "user_id")
+    val want = AsOfJoin.asOf(clicks, purchasesFresh,
+        "user_id", "ts_us", "pts_us", Seq("value"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("asof_ts"), lit(-1L)).as("ats"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
 }
