@@ -448,6 +448,17 @@ object Similarity {
     * clearCache()). A caller that never runs an action leaves only
     * the eagerly-counted vector cache resident (clearCache() if that
     * matters). */
+  /** The seeded band → bit-index assignment: each band reads `r`
+    * distinct bit positions from the shared `pool`. Deterministic in
+    * (bands, pool, r, seed); shared by [[nearDupPairs]] and its DuckDB
+    * oracle replay (SimilarityPack builds the oracle SQL from this
+    * same call, so the two can never drift apart). */
+  private[graft] def bandIndexSets(bands: Int, pool: Int, r: Int,
+                                   seed: Long): Seq[Seq[Int]] = {
+    val rnd = new scala.util.Random(seed + 1)
+    Seq.fill(bands)(rnd.shuffle((0 until pool).toList).take(r))
+  }
+
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dim: Int = 64, numBits: Int = 0,
                    bands: Int = 16, bitsPerBand: Int = 0,
@@ -474,9 +485,7 @@ object Similarity {
     val pool = if (numBits > 0) numBits else math.max(32, 2 * r)
     val maxB = if (maxBucket > 0) maxBucket else math.max(256, 32 * targetBucket)
     log.info(s"nearDupPairs: n=$n bands=$bands bitsPerBand=$r pool=$pool maxBucket=$maxB")
-    val rnd = new scala.util.Random(seed + 1)
-    val bandIdx = Seq.fill(bands)(
-      rnd.shuffle((0 until pool).toList).take(r))
+    val bandIdx = bandIndexSets(bands, pool, r, seed)
     // signatures persisted once (id + bits only — vectors stay in
     // `base`, so neither cache stores them twice); band rows carry ONLY
     // (id, band, sig) so the vectors never ride the 16-way band explode

@@ -308,12 +308,61 @@ object DedupPack extends QueryPack {
         |)
         |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
         |""".stripMargin,
-    // q_dedup_minhash / q_dedup_ngram / q_dedup_simhash /
-    // q_dedup_incremental / q_dedup_drop / q_dedup_cluster /
-    // q_dedup_canonical: rows-only — LSH banding and 64-bit signature
-    // arithmetic are not expressible in DuckDB SQL; accuracy is pinned
-    // by DedupSpec/ComponentsSpec instead (and the CC kernel itself is
-    // hash-checked via q_components above).
+    // q_dedup_minhash under the EXACT-pairs oracle: the operator
+    // exact-verifies every banded candidate with set Jaccard, so its
+    // output is {pairs banding surfaced} ∩ {Jaccard >= 0.8} — equal to
+    // the brute exact-pair set whenever banding recall is 1 and the
+    // hashed-gram universe is collision-free, and BOTH hold by a wide
+    // margin at the gate corpus: every true pair there sits at
+    // s >= 0.9, where the (b=16, r=4) miss probability (1 - s^4)^16 is
+    // < 1e-7 per pair, and xxhash64 collisions among ~1e5 grams are
+    // ~1e-10. General-corpus recall stays DedupSpec's job; this pins
+    // the verify arithmetic + pair emission bit-for-bit in the gate.
+    "q_dedup_minhash" ->
+      s"""WITH $exactPairsCte
+         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
+         |""".stripMargin,
+    // q_dedup_ngram, same argument over the char-5-gram universe: the
+    // gram builder mirrors Dedup.charShingleHashesHof index-for-index
+    // (sequence(1, greatest(len-4, 1)) + substring(text, i, 5) becomes
+    // range + the clamped slice t[i:i+4]; short/empty texts yield one
+    // truncated gram on both sides), candidates are the shared-gram
+    // equi-join (a superset of the banded candidates), and the exact
+    // set Jaccard on distinct grams equals Spark's over distinct
+    // hashed grams absent collisions
+    "q_dedup_ngram" ->
+      """WITH chargrams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(text) - 4, 1) + 1),
+        |      i -> text[i:i+4])) AS g
+        |  FROM documents
+        |),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM chargrams),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |      / len(list_distinct(ga.g || gb.g)) AS jaccard
+        |  FROM cand
+        |  JOIN chargrams ga ON ga.doc_id = cand.doc_a
+        |  JOIN chargrams gb ON gb.doc_id = cand.doc_b
+        |  WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |      / len(list_distinct(ga.g || gb.g)) >= 0.8
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
+        |""".stripMargin,
+    // q_dedup_simhash / q_dedup_incremental / q_dedup_drop /
+    // q_dedup_cluster / q_dedup_canonical: rows-only — simhash's
+    // 64-bit fingerprint arithmetic rides xxhash64 (no DuckDB twin),
+    // and the minhash-derived destructive trio would inherit any
+    // banding miss transitively (unlike the pair lists above, a miss
+    // would not just drop a row but relabel whole clusters). Accuracy
+    // is pinned by DedupSpec/ComponentsSpec instead (and the CC kernel
+    // itself is hash-checked via q_components above).
     // q_approx_distinct: rows-only — HLL estimates are
     // implementation-specific; DedupSpec bounds the estimate against
     // the exact count.

@@ -204,6 +204,61 @@ object SimilarityPack extends QueryPack {
   private def probesSql: String =
     Similarity.probeBuckets(queryVec, 4, 7L, 2).mkString(", ")
 
+  /** Full DuckDB replay of [[Similarity.nearDupPairs]]'s banded
+    * pipeline at the GATE's adaptive parameters: at sf0.01 (n = 4000
+    * vectors; adaptive for any n ≤ 8192 with the default
+    * targetBucket = 32) the operator resolves bitsPerBand = 8,
+    * pool = 32, maxBucket = 1024. The plane literals and the seeded
+    * band → bit-index sets come from the SAME Scala calls the
+    * operator makes ([[Similarity.hyperplanes]] /
+    * [[Similarity.bandIndexSets]]), so candidate generation — sign
+    * bits, per-band signature packing, bucket-size prune, bucket
+    * co-membership — is replayed exactly, then candidates get the
+    * same exact-cosine threshold. This was rows-only through round
+    * 12 ("banding not SQL-expressible"); it is expressible — the
+    * banding is deterministic given the seed, and the oracle text is
+    * generated from the seeds. */
+  private def nearDupOracle: String = {
+    val (pool, r, bands, maxB, threshold) = (32, 8, 16, 1024, 0.40)
+    val bitsList = Similarity.hyperplanes(64, pool, 7L).map { p =>
+      val pl = p.map(_.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_dot_product(v, CAST($pl AS DOUBLE[])) >= 0
+         |     THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("[\n", ",\n", "\n]")
+    val bandSelects = Similarity.bandIndexSets(bands, pool, r, 7L)
+      .zipWithIndex.map { case (idx, j) =>
+        val sig = idx.zipWithIndex
+          .map { case (bit, pos) => s"(CAST(b[${bit + 1}] AS BIGINT) * ${1L << pos})" }
+          .mkString(" + ")
+        s"  SELECT id, $j AS band, $sig AS sig FROM bits"
+      }.mkString("\n  UNION ALL\n")
+    s"""WITH v0 AS (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |),
+       |bits AS (SELECT id, v, $bitsList AS b FROM v0),
+       |bandrows AS (
+       |$bandSelects
+       |),
+       |sizes AS (SELECT band, sig, count(*) AS c FROM bandrows GROUP BY 1, 2),
+       |pruned AS (
+       |  SELECT br.id, br.band, br.sig FROM bandrows br
+       |  JOIN sizes s ON s.band = br.band AND s.sig = br.sig
+       |  WHERE s.c <= $maxB
+       |),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+       |  FROM pruned l JOIN pruned r
+       |    ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+       |)
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM (
+       |  SELECT c.id_a, c.id_b, list_dot_product(a.v, b.v) AS cos
+       |  FROM cand c
+       |  JOIN v0 a ON a.id = c.id_a
+       |  JOIN v0 b ON b.id = c.id_b)
+       |WHERE cos >= $threshold
+       |""".stripMargin
+  }
+
   private def lshOracle(lit: String): String =
     s"""SELECT vec_id, round(sim, 4) AS sim FROM (
        |  SELECT vec_id,
@@ -285,9 +340,11 @@ object SimilarityPack extends QueryPack {
       // same oracle, so any divergence introduced by the partitioned
       // write/re-read (schema drift, bucket typing) hash-fails
       "q_ann_lsh_pruned" -> lshOracle(lit),
-      // q_embed_neardup: rows-only (banded pair-join LSH is not
-      // SQL-expressible); recall vs the exact baseline is asserted in
-      // SimilaritySpec.
+      // the banded pair-join replayed end-to-end (see nearDupOracle's
+      // doc); recall vs the exact baseline stays asserted in
+      // SimilaritySpec — the oracle pins WHAT the banding computes,
+      // the spec pins that it computes ENOUGH
+      "q_embed_neardup" -> nearDupOracle,
       // zipped unnests align (pos, q) element-wise; both sides round
       // half-away-from-zero on the identical double product
       "q_embed_quantize" ->
