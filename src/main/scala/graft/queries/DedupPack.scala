@@ -355,7 +355,40 @@ object DedupPack extends QueryPack {
         |)
         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
         |""".stripMargin,
-    // q_dedup_simhash / q_dedup_incremental / q_dedup_drop /
+    // q_dedup_incremental under the same exact-verification argument
+    // as q_dedup_minhash above, restricted to the new×corpus shape:
+    // doc_a ranges over the odd-id batch, doc_b over the even-id
+    // corpus (NOT a < b), same word-3-gram universe
+    "q_dedup_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 2),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks
+        |),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ex a JOIN ex b ON a.gram = b.gram
+        |  WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+        |),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |      / len(list_distinct(ga.g || gb.g)) AS jaccard
+        |  FROM cand
+        |  JOIN grams ga ON ga.doc_id = cand.doc_a
+        |  JOIN grams gb ON gb.doc_id = cand.doc_b
+        |  WHERE CAST(len(list_intersect(ga.g, gb.g)) AS DOUBLE)
+        |      / len(list_distinct(ga.g || gb.g)) >= 0.8
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
+        |""".stripMargin,
+    // q_dedup_simhash / q_dedup_drop /
     // q_dedup_cluster / q_dedup_canonical: rows-only — simhash's
     // 64-bit fingerprint arithmetic rides xxhash64 (no DuckDB twin),
     // and the minhash-derived destructive trio would inherit any
