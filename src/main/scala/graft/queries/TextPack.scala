@@ -241,8 +241,26 @@ object TextPack extends QueryPack {
         |    len(list_filter(string_split(text, ' '), x -> x IN ('le', 'la', 'les', 'et', 'est'))) AS fr
         |  FROM documents
         |)""".stripMargin,
-    // q_fingerprint: rows-only — the 2^61-1 modular rolling hash is a
-    // native Catalyst expression; values are pinned in RollingHashSpec.
+    // the 2^61-1 modular rolling hash replayed byte-for-byte: UTF-8
+    // bytes via hex(encode(text)), the polynomial fold via list_reduce
+    // with HUGEINT intermediates (the 122-bit products that
+    // RollingHash.hashBytes keeps exact with Math.multiplyHigh fit a
+    // HUGEINT directly), seeded by a prepended 0 so empty text folds
+    // to 0 on both sides. Was rows-only through round 12; values were
+    // only pinned JVM-side in RollingHashSpec.
+    "q_fingerprint" ->
+      """WITH hx AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_prepend(CAST(0 AS HUGEINT),
+        |      list_transform(range(len(h) // 2),
+        |        i -> CAST((strpos('0123456789abcdef', h[2*i+1:2*i+1]) - 1) * 16
+        |               + (strpos('0123456789abcdef', h[2*i+2:2*i+2]) - 1) AS HUGEINT))),
+        |    (acc, b) -> (acc * 131 + b) % 2305843009213693951) AS BIGINT)
+        |    AS fingerprint
+        |FROM hx""".stripMargin,
 
     "q_scrub" ->
       """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed
