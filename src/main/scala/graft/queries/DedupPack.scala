@@ -388,12 +388,47 @@ object DedupPack extends QueryPack {
         |)
         |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
         |""".stripMargin,
-    // q_dedup_simhash / q_dedup_drop /
-    // q_dedup_cluster / q_dedup_canonical: rows-only — simhash's
-    // 64-bit fingerprint arithmetic rides xxhash64 (no DuckDB twin),
-    // and the minhash-derived destructive trio would inherit any
-    // banding miss transitively (unlike the pair lists above, a miss
-    // would not just drop a row but relabel whole clusters). Accuracy
+    // the minhash-DRIVEN destructive trio under the *_exact oracles:
+    // each is a deterministic function of the minhash pair set, and
+    // q_dedup_minhash above hash-pins that set equal to the exact
+    // pairs — so these three can only diverge from the *_exact
+    // answers in a gate run where q_dedup_minhash itself is already
+    // red (a banding miss fails all four together; no new flake mode)
+    "q_dedup_drop" ->
+      s"""WITH $exactPairsCte
+         |SELECT doc_id FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
+         |""".stripMargin,
+    "q_dedup_cluster" ->
+      s"""WITH RECURSIVE $exactPairsCte,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+         |)
+         |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+         |""".stripMargin,
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE $exactPairsCte,
+         |sym AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION
+         |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+         |),
+         |walk(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+         |)
+         |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(comp) = id
+         |""".stripMargin,
+    // q_dedup_simhash: rows-only — simhash's 64-bit fingerprint
+    // arithmetic rides xxhash64, which has no DuckDB twin. Accuracy
     // is pinned by DedupSpec/ComponentsSpec instead (and the CC kernel
     // itself is hash-checked via q_components above).
     // q_approx_distinct: rows-only — HLL estimates are

@@ -90,4 +90,40 @@ class AsOfNativeSpec extends AnyFunSuite {
     assert(got === want)
     assert(got.nonEmpty)
   }
+
+  test("bucketed inputs make the native as-of exchange-free (the 100 TB layout)") {
+    // the production shape: the event log is stored bucketed+sorted by
+    // the entity key ONCE, and every recurring as-of enrichment reads
+    // co-located buckets — the one exchange per side the ad-hoc plan
+    // needs becomes zero (only a cheap per-bucket sort on (key, ts)
+    // remains, since the layout sorts by key alone)
+    import graft.sources.Bucketed
+    val ev = Tables.events(spark, SparkSuite.sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("pts_us"), col("value"))
+    Bucketed.write(clicks, "graft_clicks_bkt", "user_id", buckets = 8)
+    Bucketed.write(purchases, "graft_purch_bkt", "user_id", buckets = 8)
+
+    val joined = AsOfJoinNative.asOf(
+      Bucketed.read(spark, "graft_clicks_bkt"),
+      Bucketed.read(spark, "graft_purch_bkt"),
+      "user_id", "ts_us", "pts_us")
+    val rows = joined
+      .select(col("event_id"), coalesce(col("pts_us"), lit(-1L)).as("ats"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(!Bucketed.hasShuffle(joined),
+      s"bucketed as-of must plan zero exchanges:\n${joined.queryExecution.executedPlan}")
+    // identical answers to the ad-hoc (shuffling) plan
+    val adHoc = AsOfJoinNative.asOf(clicks,
+        purchases.select(col("user_id").as("p_user"), col("pts_us"), col("value"))
+          .withColumnRenamed("p_user", "user_id"),
+        "user_id", "ts_us", "pts_us")
+      .select(col("event_id"), coalesce(col("pts_us"), lit(-1L)).as("ats"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === adHoc)
+    assert(rows.nonEmpty)
+  }
 }
