@@ -146,9 +146,31 @@ object EventPack extends QueryPack {
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  'txt' AS format, CAST(length(text) % 1024 AS INT) AS width
         |FROM documents""".stripMargin,
-    // q_multimodal_features: rows-only — the decoder's checksum is a
-    // JVM-side computation (real ImageIO pixels for png/jpeg, byte
-    // fold for bin); both paths are pinned in MultimodalSpec.
+    // text blobs sniff "bin", whose checksum is the plain h = h*31 + b
+    // byte fold with Java long wraparound — replayed with HUGEINT
+    // arithmetic mod 2^64 and re-signed at the end (bytes via
+    // hex(encode(text)), same as the q_fingerprint oracle). The real
+    // ImageIO pixel path (png/jpeg) stays JVM-only and is pinned in
+    // MultimodalSpec; was rows-only through round 12.
+    "q_multimodal_features" ->
+      """WITH hx AS (
+        |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(len(h) // 2 AS BIGINT) AS n_bytes,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(range(len(h) // 2),
+        |          i -> CAST((strpos('0123456789abcdef', h[2*i+1:2*i+1]) - 1) * 16
+        |                 + (strpos('0123456789abcdef', h[2*i+2:2*i+2]) - 1) AS HUGEINT))),
+        |      (acc, b) -> (acc * 31 + b) % 18446744073709551616) AS m
+        |  FROM hx
+        |)
+        |SELECT doc_id AS id, n_bytes, 'bin' AS format,
+        |  CAST(CASE WHEN m >= 9223372036854775808 THEN m - 18446744073709551616
+        |            ELSE m END AS BIGINT) AS checksum
+        |FROM f""".stripMargin,
 
     // the container truncates the payload to an even byte count at
     // 2 bytes/frame, 8 kHz mono — so frames = octet_length // 2, and
