@@ -400,25 +400,51 @@ object Dedup {
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = grams.select(col("id"), explode(col("g")).as("gram"))
-    val keyed =
+    val result =
       if (maxGramFreq > 0) {
+        // capped: candidates come from the capped grams but jaccard is
+        // defined over the FULL gram sets, so the dense arrays must be
+        // joined back for the verify (the count-based shortcut below
+        // would silently change what the cap means)
         val freq = ex.groupBy("gram").count()
           .filter(col("count") <= maxGramFreq).drop("count")
-        ex.join(freq, Seq("gram"))
-      } else ex
-    val cand = keyed.alias("l")
-      .join(keyed.alias("r"),
-        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
-    val result = cand
-      .join(grams.select(col("id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
-      .join(grams.select(col("id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        expr("cast(size(array_intersect(ga, gb)) as double) / size(array_union(ga, gb))"))
+        val keyed = ex.join(freq, Seq("gram"))
+        val cand = keyed.alias("l")
+          .join(keyed.alias("r"),
+            col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+          .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+          .dropDuplicates("doc_a", "doc_b")
+        cand
+          .join(grams.select(col("id").as("doc_a"), col("g").as("ga")), Seq("doc_a"))
+          .join(grams.select(col("id").as("doc_b"), col("g").as("gb")), Seq("doc_b"))
+          .withColumn("jaccard",
+            expr("cast(size(array_intersect(ga, gb)) as double) / size(array_union(ga, gb))"))
+      } else {
+        // uncapped (the default and the gate path): |A∩B| is COUNTED in
+        // the same gram equi-join that generates the candidates — each
+        // (a, b, gram) row is unique because the gram arrays are
+        // distinct, so count(*) per pair IS the intersection size, and
+        // |A∪B| = |A| + |B| − |A∩B| from the per-doc set sizes. Nothing
+        // wider than (gram, id, id) and integer counts ever shuffles;
+        // the previous formulation re-shuffled the dense gram ARRAYS to
+        // every candidate pair and ran array_intersect/array_union per
+        // pair — 1.7× slower at sf0.1 and strictly worse at corpus
+        // scale, where the arrays are the corpus
+        val sizes = grams.select(col("id"), size(col("g")).as("ng"))
+        ex.alias("l")
+          .join(ex.alias("r"),
+            col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+          .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("id").as("doc_a"), col("ng").as("na")), Seq("doc_a"))
+          .join(sizes.select(col("id").as("doc_b"), col("ng").as("nb")), Seq("doc_b"))
+          .withColumn("jaccard",
+            expr("cast(inter as double) / (na + nb - inter)"))
+      }
+    val thresholded = result
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
-    MetricListener.releaseAfterFirstAction(result, grams,
+    MetricListener.releaseAfterFirstAction(thresholded, grams,
       isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
   }
 
