@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Cross-round bench comparison on canary-NORMALIZED medians.
+
+Usage: bench_compare.py OLD.json NEW.json [--flag 1.3]
+
+Each input is a full bench JSON line (BENCH_FULL.json, or a BENCH_r*.json
+whose tail happens to carry queries_norm). Raw medians are NOT compared —
+the host swings 2-4x between rounds; queries_norm projects every timing
+onto the healthy reference host via the interleaved canary, which is the
+only number comparable across rounds (round-11/12 verdicts).
+
+Falls back to reconstructing normalized medians from `runs` + canary
+samples when `queries_norm` was truncated away (pre-round-13 artifacts).
+"""
+import json
+import re
+import statistics
+import sys
+
+
+def scavenge(text):
+    """Recover field objects from a truncated bench line. Driver tails
+    keep only the LAST ~2000 chars, so the usual survivor is a
+    front-truncated `runs` map: salvage every complete "q_x":[...]
+    entry before "errors" and take per-query medians from those."""
+    out = {}
+    for field in ("queries_norm", "queries", "runs"):
+        m = re.search(r'"%s":\{(.*?)\}[,}]' % field, text)
+        if m:
+            try:
+                out[field] = json.loads("{" + m.group(1) + "}")
+            except json.JSONDecodeError:
+                pass
+    if "runs" not in out and '"errors"' in text:
+        body = text[: text.index('"errors"')].rstrip().rstrip(",")
+        if body.endswith("}"):
+            body = body[:-1]
+        # drop the torn leading entry, keep complete ones
+        first = body.find(',"q_')
+        if first >= 0:
+            try:
+                out["runs"] = json.loads("{" + body[first + 1:] + "}")
+            except json.JSONDecodeError:
+                pass
+    m = re.search(r'"canary":(\{.*?\]\]\})', text)
+    if m:
+        try:
+            out["canary"] = json.loads(m.group(1))
+        except json.JSONDecodeError:
+            pass
+    return out
+
+
+def load(path):
+    text = open(path).read()
+    try:
+        doc = json.loads(text)
+    except json.JSONDecodeError:
+        return scavenge(text)
+    if "tail" in doc and "queries" not in doc:
+        # driver BENCH_r*.json wrapper: the bench line lives (truncated)
+        # in the `tail` string
+        return doc.get("parsed") or scavenge(doc["tail"])
+    return doc
+
+
+def norm_medians(doc):
+    """Canary-normalized per-query medians, best effort: queries_norm
+    when present; otherwise raw medians scaled by a FLAT
+    healthy_ref/canary factor (the interleaved per-position
+    interpolation is lost with the truncated tail, but the flat factor
+    still removes the dominant round-to-round host swing). Returns
+    (medians, exactly_normalized)."""
+    if "queries_norm" in doc:
+        return ({k: v for k, v in doc["queries_norm"].items() if v >= 0}, True)
+    raw = ({k: statistics.median(v) for k, v in doc.get("runs", {}).items()
+            if v and v[0] >= 0}
+           or {k: v for k, v in doc.get("queries", {}).items() if v >= 0})
+    c = doc.get("canary", {})
+    samples = [s[1] for s in c.get("samples", [])]
+    if samples:
+        factor = c.get("healthy_ref_sec_sf01", 0.15) / statistics.median(samples)
+        return ({k: v * factor for k, v in raw.items()}, False)
+    return (raw, False)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flag = 1.3
+    for i, a in enumerate(sys.argv):
+        if a == "--flag":
+            flag = float(sys.argv[i + 1])
+    old_doc, new_doc = load(args[0]), load(args[1])
+    (old, old_exact), (new, new_exact) = norm_medians(old_doc), norm_medians(new_doc)
+    if not (old_exact and new_exact):
+        print("WARNING: flat-factor canary normalization on at least one "
+              "side (queries_norm truncated away) — per-position host "
+              "drift within that suite is not corrected", file=sys.stderr)
+    common = sorted(set(old) & set(new))
+    if not common:
+        print("no comparable queries", file=sys.stderr)
+        sys.exit(2)
+    rows = [(k, old[k], new[k], new[k] / old[k]) for k in common]
+    regressions = [r for r in rows if r[3] > flag]
+    improvements = [r for r in rows if r[3] < 1 / flag]
+    print(f"{len(common)} comparable queries | "
+          f"sum ratio {sum(r[2] for r in rows) / sum(r[1] for r in rows):.2f} | "
+          f"flagged >{flag}x: {len(regressions)}")
+    for title, rs in (("REGRESSIONS", regressions), ("improvements", improvements)):
+        if rs:
+            print(f"\n{title}:")
+            for k, o, n, ratio in sorted(rs, key=lambda r: -r[3]):
+                print(f"  {k:30s} {o:7.2f} -> {n:7.2f}  ({ratio:.2f}x)")
+    sys.exit(1 if regressions else 0)
+
+
+if __name__ == "__main__":
+    main()
