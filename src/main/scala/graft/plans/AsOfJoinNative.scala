@@ -27,6 +27,15 @@ import org.apache.spark.sql.graftbridge.DatasetBridge
   * most ONE candidate right row (vs the window formulation, which
   * materializes the union). v1 restriction: key and ts must be
   * non-null LongType columns.
+  *
+  * Tie contract: when several right rows share the winning (key, ts),
+  * ONE of them is attached — which one is not defined, because the
+  * required ordering sorts only (key, ts) and leaves intra-tie order
+  * to partition layout. The compositional window formulation and
+  * DuckDB's ASOF JOIN have the same property, so the three agree
+  * whenever tied rows carry identical payloads (AsOfSemanticsSpec
+  * pins exactly that); pre-aggregate the right side if tied rows can
+  * differ and determinism matters.
   */
 case class AsOfJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
