@@ -31,10 +31,30 @@ object CatalogPack extends QueryPack {
         s"multiread saw divergent counts: $counts")
       cat.get("nation_rt")
     }),
+
+    // JSONL round trip — the training-corpus interchange format: the
+    // documents table (embedded newlines, quotes, unicode in `text`)
+    // goes out as catalog-managed JSON lines and comes back through
+    // the same `get`; a green hash row proves the escape/encode path
+    // is lossless against DuckDB reading the source parquet directly.
+    // Columns are re-selected by name because JSON read-back orders
+    // fields alphabetically, and doc_id is cast back to BIGINT because
+    // JSON carries no integer width.
+    "q_source_jsonl" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val root = Files.createTempDirectory("graft-cat-jsonl").toString
+      val cat = new Catalog(s, root)
+      cat.put("docs_jsonl", Tables.documents(s, d).select("doc_id", "text"),
+        format = "json")
+      cat.get("docs_jsonl")
+        .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
     "q_catalog_roundtrip" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_source_jsonl" ->
+      "SELECT doc_id, text FROM documents",
   )
 }

@@ -314,4 +314,25 @@ class CatalogSpec extends AnyFunSuite {
     writer.put("shared2", (1 to 2).toDF("x"))
     assert(reader.get("shared2").count() === 2L)
   }
+
+  test("JSONL round trip is lossless for adversarial text") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-catalog-jsonl").toString
+    val cat = new Catalog(spark, dir)
+    val nasty = Seq(
+      1L -> "plain",
+      2L -> "embedded\nnewline\r\nand tab\t.",
+      3L -> "\"quotes\" and \\backslashes\\ and } braces {",
+      4L -> "unicode: é中文 😀 and NUL-adjacent ",
+      5L -> "",
+      6L -> null,
+    ).toDF("doc_id", "text")
+    cat.put("nasty_jsonl", nasty, format = "json")
+    val back = cat.get("nasty_jsonl")
+      .select(col("doc_id").cast("bigint"), col("text"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    val want = nasty.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(back === want)
+  }
 }
