@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * scp between VMs (SURVEY.md §1.1).
   */
 final case class CatalogEntry(name: String, path: String, format: String,
-                              replicas: Seq[String])
+                              replicas: Seq[String],
+                              options: Map[String, String] = Map.empty)
 
 /** The SDFS verb surface (SURVEY.md §2.1) as a dataset catalog:
   * put / get / delete / ls / store / filetable
@@ -38,8 +39,9 @@ final case class CatalogEntry(name: String, path: String, format: String,
   * plain concurrent read, asserted in tests.
   *
   * The manifest is persisted as TSV (name, format, path,
-  * comma-joined hosts, retired-prior-path) so a new session can
-  * re-open the catalog.
+  * comma-joined hosts, retired-prior-path, URL-encoded options) so a
+  * new session can re-open the catalog — including the reader options
+  * a text-format entry needs to come back losslessly.
   *
   * Sharing contract: ONE WRITER per root, any number of readers —
   * the immutable-swap analog of the reference's leader write gate
@@ -177,19 +179,30 @@ final class Catalog(spark: SparkSession, root: String,
     * swap plus one-version grace is the consistency point). Readers
     * older than TWO puts do lose their files — a bounded window, not
     * full MVCC; long-running consumers should `get` fresh per job. */
-  def put(name: String, df: DataFrame, format: String = "parquet"): CatalogEntry =
-    writeVersioned(name, format) { dir =>
-      df.write.format(format).mode(SaveMode.Overwrite).save(dir)
+  /** `options` travel WITH the entry (persisted in the manifest) and
+    * are applied on both write and read — the catalog owns the full
+    * round trip, so a text format whose fidelity depends on options
+    * (csv header/quoting/nullValue, json timestamp formats) reads
+    * back exactly as written in ANY later session, not just the one
+    * that happened to remember the right read flags. Writer-only and
+    * reader-only options coexist in one map: Spark sources ignore
+    * options they don't understand. */
+  def put(name: String, df: DataFrame, format: String = "parquet",
+          options: Map[String, String] = Map.empty): CatalogEntry =
+    writeVersioned(name, format, options) { dir =>
+      df.write.format(format).options(options).mode(SaveMode.Overwrite).save(dir)
     }
 
-  private def writeVersioned(name: String, format: String)(
+  private def writeVersioned(name: String, format: String,
+                             options: Map[String, String] = Map.empty)(
       write: String => Unit): CatalogEntry = synchronized {
     require_valid(name)
     ensureWriterLock()
     val target = rootPath.resolve(s"$name-v${System.nanoTime()}")
     write(target.toString)
     val previous = entries.get(name)
-    val e = CatalogEntry(name, target.toString, format, placeReplicas(name))
+    val e = CatalogEntry(name, target.toString, format, placeReplicas(name),
+      options)
     entries.put(name, e)
     // reclaim the version TWO puts back; retire the one just displaced
     // (external paths registered via putPath are never deleted — same
@@ -212,9 +225,10 @@ final class Catalog(spark: SparkSession, root: String,
     * intermediate files, SURVEY.md §1.1, but pruned for free by
     * Catalyst instead of matched by filename). */
   def putPartitioned(name: String, df: DataFrame, partitionCol: String,
-                     format: String = "parquet"): CatalogEntry =
-    writeVersioned(name, format) { dir =>
-      df.write.format(format).partitionBy(partitionCol)
+                     format: String = "parquet",
+                     options: Map[String, String] = Map.empty): CatalogEntry =
+    writeVersioned(name, format, options) { dir =>
+      df.write.format(format).options(options).partitionBy(partitionCol)
         .mode(SaveMode.Overwrite).save(dir)
     }
 
@@ -246,7 +260,8 @@ final class Catalog(spark: SparkSession, root: String,
   def putCompacted(name: String, df: DataFrame,
                    targetFileBytes: Long = 128L << 20,
                    format: String = "parquet",
-                   compressionRatio: Double = 0.35): CatalogEntry = {
+                   compressionRatio: Double = 0.35,
+                   options: Map[String, String] = Map.empty): CatalogEntry = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     require(compressionRatio > 0,
       s"compressionRatio=$compressionRatio must be positive")
@@ -260,8 +275,8 @@ final class Catalog(spark: SparkSession, root: String,
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"putCompacted($name): plan estimate $est B × ratio $compressionRatio " +
         s"= $estOnDisk B on disk → $nFiles file(s) of target $targetFileBytes B")
-    writeVersioned(name, format) { dir =>
-      df.repartition(nFiles).write.format(format)
+    writeVersioned(name, format, options) { dir =>
+      df.repartition(nFiles).write.format(format).options(options)
         .mode(SaveMode.Overwrite).save(dir)
     }
   }
@@ -314,7 +329,7 @@ final class Catalog(spark: SparkSession, root: String,
       .orElse { loadManifest(); entries.get(name) }
       .getOrElse(throw new NoSuchElementException(s"no such dataset: $name"))
     val fmt = if (e.format == "blob") "binaryFile" else e.format
-    spark.read.format(fmt).load(e.path)
+    spark.read.format(fmt).options(e.options).load(e.path)
   }
 
   /** `delete sdfs`: drop data and entry. Data is deleted only when it
@@ -389,10 +404,29 @@ final class Catalog(spark: SparkSession, root: String,
     * place: a concurrent [[loadManifest]] from another Catalog
     * instance over the same root sees the old manifest or the new one,
     * never a truncated half-write. */
+  // options column: URL-encoded k=v pairs joined with ';' — encoding
+  // because option VALUES can contain the manifest's own separators
+  // (a csv delimiter of '\t', a nullValue of ';')
+  private def encodeOptions(opts: Map[String, String]): String =
+    opts.toSeq.sortBy(_._1).map { case (k, v) =>
+      java.net.URLEncoder.encode(k, "UTF-8") + "=" +
+        java.net.URLEncoder.encode(v, "UTF-8")
+    }.mkString(";")
+
+  private def decodeOptions(s: String): Map[String, String] =
+    s.split(";").toSeq.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(
+          java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
   private def saveManifest(): Unit = {
     val lines = entries.values.toSeq.sortBy(_.name).map { e =>
       s"${e.name}\t${e.format}\t${e.path}\t${e.replicas.mkString(",")}" +
-        s"\t${retired.getOrElse(e.name, "")}"
+        s"\t${retired.getOrElse(e.name, "")}\t${encodeOptions(e.options)}"
     }
     val tmp = Files.createTempFile(rootPath, "_catalog", ".tmp")
     Files.write(tmp, lines.asJava)
@@ -404,8 +438,8 @@ final class Catalog(spark: SparkSession, root: String,
   /** Merge the on-disk manifest into this instance's map (newer
     * in-memory state for a name this instance wrote is simply
     * re-asserted by its own saveManifest; a name another instance
-    * wrote appears). 4-column rows from pre-retention manifests load
-    * with no retired version. */
+    * wrote appears). Shorter rows from older manifest layouts load
+    * with no retired version / no options. */
   private def loadManifest(): Unit =
     if (Files.exists(manifest)) {
       Files.readAllLines(manifest).asScala.foreach { line =>
@@ -413,9 +447,10 @@ final class Catalog(spark: SparkSession, root: String,
           case Array(n, f, p, r) =>
             entries.put(n, CatalogEntry(n, p, f,
               r.split(",").toSeq.filter(_.nonEmpty)))
-          case Array(n, f, p, r, ret) =>
+          case Array(n, f, p, r, ret, rest @ _*) =>
             entries.put(n, CatalogEntry(n, p, f,
-              r.split(",").toSeq.filter(_.nonEmpty)))
+              r.split(",").toSeq.filter(_.nonEmpty),
+              rest.headOption.map(decodeOptions).getOrElse(Map.empty)))
             if (ret.nonEmpty) retired.put(n, ret) else retired.remove(n)
           case _ => // skip malformed line
         }

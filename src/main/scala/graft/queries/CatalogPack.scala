@@ -49,6 +49,25 @@ object CatalogPack extends QueryPack {
       cat.get("docs_jsonl")
         .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
     }),
+
+    // CSV round trip — the reference's native format: options ride the
+    // catalog ENTRY (persisted in the manifest), so the read side gets
+    // header + multiLine + inference without the caller re-supplying
+    // them; types are cast back to the parquet source's schema because
+    // CSV carries none. A green hash proves quoting/escaping of the
+    // comment text (commas, quotes) survives the trip.
+    "q_source_csv" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val src = Tables.nation(s, d)
+      val root = Files.createTempDirectory("graft-cat-csv").toString
+      val cat = new Catalog(s, root)
+      cat.put("nation_csv", src, format = "csv", options = Map(
+        "header" -> "true", "multiLine" -> "true", "inferSchema" -> "true"))
+      val cols = Seq("n_nationkey", "n_name", "n_regionkey")
+      val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
+      cat.get("nation_csv")
+        .select(cols.map(c => col(c).cast(types(c)).as(c)): _*)
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -56,5 +75,7 @@ object CatalogPack extends QueryPack {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_source_jsonl" ->
       "SELECT doc_id, text FROM documents",
+    "q_source_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
   )
 }

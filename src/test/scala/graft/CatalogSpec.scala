@@ -335,4 +335,26 @@ class CatalogSpec extends AnyFunSuite {
     val want = nasty.collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
     assert(back === want)
   }
+
+  test("entry options persist in the manifest and apply in a fresh session") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-catalog-opts").toString
+    val writer = new Catalog(spark, dir)
+    // values chosen to collide with the manifest's own separators
+    // (tab delimiter, ';' null marker) — the encoding must carry them
+    val df = Seq((1L, "a;b", "x\ty"), (2L, null, "plain"))
+      .toDF("id", "s1", "s2")
+    writer.put("opted_csv", df, format = "csv", options = Map(
+      "header" -> "true", "delimiter" -> "\t", "nullValue" -> ";",
+      "multiLine" -> "true", "inferSchema" -> "true"))
+    // a SECOND instance over the same root knows nothing in-memory:
+    // everything must come back through the manifest
+    val reader = new Catalog(spark, dir)
+    val back = reader.get("opted_csv")
+      .select(col("id").cast("bigint"), col("s1"), col("s2"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getString(2)))
+      .toSet
+    assert(back === Set((1L, Some("a;b"), "x\ty"), (2L, None, "plain")))
+  }
 }
