@@ -459,6 +459,21 @@ object Similarity {
     Seq.fill(bands)(rnd.shuffle((0 until pool).toList).take(r))
   }
 
+  /** The adaptive (bitsPerBand, pool, maxBucket) for corpus size `n`:
+    * r ≈ log2(n / targetBucket) keeps the expected bucket near
+    * `targetBucket` at any corpus size (see [[nearDupPairs]]'s doc).
+    * Extracted so the q_embed_neardup oracle's hardcoded gate
+    * constants can be PINNED against this formula in SimilaritySpec —
+    * if the driver ever regrows sf0.01 past the r = 8 envelope
+    * (n > 8192), the pin fails in sbt test instead of the oracle
+    * silently replaying the wrong band geometry at the gate. */
+  private[graft] def adaptiveBandParams(n: Long, targetBucket: Int)
+      : (Int, Int, Int) = {
+    val r = math.max(8, math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt)
+    (r, math.max(32, 2 * r), math.max(256, 32 * targetBucket))
+  }
+
   def nearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, dim: Int = 64, numBits: Int = 0,
                    bands: Int = 16, bitsPerBand: Int = 0,
@@ -479,11 +494,10 @@ object Similarity {
         col(vecCol).cast("array<double>").as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = base.count()
-    val r = if (bitsPerBand > 0) bitsPerBand
-      else math.max(8, math.ceil(
-        math.log(math.max(n, 1L).toDouble / targetBucket) / math.log(2.0)).toInt)
-    val pool = if (numBits > 0) numBits else math.max(32, 2 * r)
-    val maxB = if (maxBucket > 0) maxBucket else math.max(256, 32 * targetBucket)
+    val (adaptR, adaptPool, adaptMaxB) = adaptiveBandParams(n, targetBucket)
+    val r = if (bitsPerBand > 0) bitsPerBand else adaptR
+    val pool = if (numBits > 0) numBits else adaptPool
+    val maxB = if (maxBucket > 0) maxBucket else adaptMaxB
     log.info(s"nearDupPairs: n=$n bands=$bands bitsPerBand=$r pool=$pool maxBucket=$maxB")
     val bandIdx = bandIndexSets(bands, pool, r, seed)
     // signatures persisted once (id + bits only — vectors stay in

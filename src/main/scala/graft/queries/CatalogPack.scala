@@ -14,6 +14,22 @@ import graft.catalog.Catalog
   */
 object CatalogPack extends QueryPack {
 
+  /** One reusable store root per (store, data dir) per JVM — the bench
+    * invokes each query several times, and a fresh temp dir per
+    * invocation would accumulate table copies under /tmp (round-10
+    * ADVICE; same pattern as SimilarityPack.storeRoot). Re-putting
+    * into the same root keeps disk bounded (writeVersioned swaps and
+    * deletes the prior version); each invocation closes its Catalog so
+    * the next one can take the writer lock. */
+  private val storeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def storeRoot(store: String, dataDir: String): String =
+    storeRoots.computeIfAbsent(s"$store|$dataDir", _ => {
+      val p = Files.createTempDirectory(s"graft-$store")
+      sys.addShutdownHook(Catalog.deleteRecursively(p))
+      p.toString
+    })
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_roundtrip" -> ((s, d) => {
       // fresh root per run: the registered output must outlive this
@@ -42,12 +58,13 @@ object CatalogPack extends QueryPack {
     // JSON carries no integer width.
     "q_source_jsonl" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
-      val root = Files.createTempDirectory("graft-cat-jsonl").toString
-      val cat = new Catalog(s, root)
+      val cat = new Catalog(s, storeRoot("jsonl", d))
       cat.put("docs_jsonl", Tables.documents(s, d).select("doc_id", "text"),
         format = "json")
-      cat.get("docs_jsonl")
+      val out = cat.get("docs_jsonl")
         .select(col("doc_id").cast("bigint").as("doc_id"), col("text"))
+      cat.close()
+      out
     }),
 
     // CSV round trip — the reference's native format: options ride the
@@ -59,14 +76,15 @@ object CatalogPack extends QueryPack {
     "q_source_csv" -> ((s, d) => {
       import org.apache.spark.sql.functions.col
       val src = Tables.nation(s, d)
-      val root = Files.createTempDirectory("graft-cat-csv").toString
-      val cat = new Catalog(s, root)
+      val cat = new Catalog(s, storeRoot("csv", d))
       cat.put("nation_csv", src, format = "csv", options = Map(
         "header" -> "true", "multiLine" -> "true", "inferSchema" -> "true"))
       val cols = Seq("n_nationkey", "n_name", "n_regionkey")
       val types = src.schema.fields.map(f => f.name -> f.dataType).toMap
-      cat.get("nation_csv")
+      val out = cat.get("nation_csv")
         .select(cols.map(c => col(c).cast(types(c)).as(c)): _*)
+      cat.close()
+      out
     }),
   )
 

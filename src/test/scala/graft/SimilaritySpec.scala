@@ -335,4 +335,16 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(own >= 190, s"only $own/200 rows nearest their own center")
   }
+
+  test("q_embed_neardup oracle constants match the adaptive params at the gate corpus") {
+    // the oracle SQL (SimilarityPack.nearDupOracle) hardcodes
+    // (r=8, pool=32, maxBucket=1024); nearDupPairs derives them from
+    // the corpus size. If the driver regrows sf0.01's embeddings past
+    // the r=8 envelope (n > 8192), this fails HERE instead of the
+    // oracle silently replaying the wrong band geometry at the gate.
+    val n = Tables.embeddings(SparkSuite.spark, SparkSuite.sf001).count()
+    assert(Similarity.adaptiveBandParams(n, targetBucket = 32) === ((8, 32, 1024)),
+      s"gate corpus n=$n now resolves different adaptive band params — " +
+        "update SimilarityPack.nearDupOracle to match")
+  }
 }
