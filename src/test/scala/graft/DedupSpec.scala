@@ -268,4 +268,27 @@ class DedupSpec extends AnyFunSuite {
     assert(byCap(1)._2.size === 5 + 3)   // + df-3 boilerplate tier
     assert(byCap(2)._2.size === 5 + 3 + 15) // + df-6 tier; df-20 needs uncapped
   }
+
+  test("minhash-oracle equivalence margin holds on the gate corpus") {
+    // The q_dedup_minhash / drop / cluster / canonical oracles rest on
+    // minhash output == exact pairs at sf0.01, which holds because
+    // every true pair sits FAR above the 0.8 threshold: at jaccard s
+    // the (b=16, r=4) banding miss probability is (1 - s^4)^16 —
+    // ~1e-7 at s=0.9 but 2e-4 at s=0.8. This canary fails BEFORE the
+    // gate can flake if a regenerated corpus ever introduces
+    // borderline pairs; on failure, demote those four oracles to
+    // rows-only (DedupPack) rather than gambling the gate on a coin
+    // with these odds.
+    val pairs = graft.operators.Dedup.exactJaccardPairs(
+        Tables.documents(SparkSuite.spark, SparkSuite.sf001),
+        "doc_id", "text", threshold = 0.8)
+      .select("jaccard").collect().map(_.getDouble(0))
+    assert(pairs.nonEmpty, "gate corpus lost its near-dup pairs entirely")
+    val minJ = pairs.min
+    assert(minJ >= 0.85,
+      f"weakest exact pair at jaccard $minJ%.3f — banding miss odds are no " +
+        "longer negligible; demote the minhash-family oracles to rows-only")
+    assert(pairs.length < 1000,
+      s"${pairs.length} pairs — union-bound on a banding miss is no longer tiny")
+  }
 }
