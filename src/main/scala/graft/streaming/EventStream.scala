@@ -233,6 +233,49 @@ object EventStream {
       }.toDF()
   }
 
+  /** Streaming as-of enrichment: each arriving click is attached the
+    * latest prior purchase from a STATIC reference snapshot — the
+    * streaming twin of the batch as-of join (EventPack q_asof /
+    * [[graft.plans.AsOfJoinNative]]). The static side is
+    * pre-aggregated to one sorted (ts, value) array per key, so the
+    * stream-static join is a plain equi-join and the per-row "latest
+    * ≤ ts" lookup is a codegen'd array filter — no streaming state at
+    * all, and the watermark-less append output needs none.
+    *
+    * Scale shape: this is the broadcast-dimension-lookup pattern —
+    * right when the reference side is dimension-like (its per-key
+    * history fits a row). For unbounded per-key histories use the
+    * batch native plan over the accumulated log instead; a stateful
+    * streaming as-of (purchases as a second stream) would need
+    * flatMapGroupsWithState like [[sessionizeStream]].
+    *
+    * Ties: among purchases sharing the winning (key, ts) the sorted
+    * array's LAST (max value) wins — deterministic, unlike the batch
+    * tie contract (AsOfJoinNative's doc); on tie-free data the two
+    * agree row-for-row (EventStreamSpec pins stream == batch). */
+  def asOfStream(spark: SparkSession, dir: String): DataFrame = {
+    val static = spark.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("pts_us"), col("value")).as("p"))
+      .groupBy("user_id").agg(sort_array(collect_list(col("p"))).as("ps"))
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .join(static, Seq("user_id"), "left")
+      .withColumn("m", expr(
+        // guard the empty case: ANSI element_at(-1) errors on []
+        """CASE WHEN ps IS NULL THEN NULL ELSE
+          |  element_at(filter(ps, p -> p.pts_us <= ts_us),
+          |             CASE WHEN size(filter(ps, p -> p.pts_us <= ts_us)) > 0
+          |                  THEN -1 ELSE null END)
+          |END""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("m.pts_us"), lit(-1L)).as("asof_ts_us"),
+        coalesce(col("m.value"), lit(-1.0)).as("asof_value"))
+  }
+
   /** Streaming exact-duplicate removal on (keyCols, ts): identical
     * re-deliveries of the same event are dropped, while genuine new
     * events for the same key (different ts) pass through. The

@@ -111,4 +111,36 @@ class EventStreamSpec extends AnyFunSuite {
     assert(stream === batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming as-of enrichment equals the batch as-of join on finite input") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sasof").toString
+    Tables.events(spark, SparkSuite.sf0001).write.mode("overwrite").parquet(dir)
+
+    val ev = spark.read.parquet(dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), unix_micros(col("ts")).as("pts_us"),
+        col("value"))
+      .withColumnRenamed("p_user", "user_id")
+    val batch = graft.operators.AsOfJoin
+      .asOf(clicks, purchases, "user_id", "ts_us", "pts_us", Seq("value"))
+      .select(col("event_id"),
+        coalesce(col("asof_ts"), lit(-1L)).as("ats"),
+        coalesce(col("asof_value"), lit(-1.0)).as("av"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val q = EventStream.asOfStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sasof").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_sasof")
+      .select(col("event_id"), col("asof_ts_us"), col("asof_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(streamed === batch)
+    assert(streamed.exists(_._2 == -1L), "expected some no-match rows")
+    assert(streamed.exists(_._2 != -1L), "expected some enriched rows")
+  }
 }
