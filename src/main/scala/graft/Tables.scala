@@ -24,11 +24,20 @@ object Tables {
     * under the UTC session timezone all entry points pin
     * (TablesLayoutSpec asserts nanos and micros fixtures agree). */
   def events(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{LongType, TimestampType}
     // needed to load a NANOS file at all; a no-op for non-NANOS columns
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = load(s, d, "events")
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The layout-adaptive `ts` normalization behind [[events]], exposed
+    * for readers that open an events-shaped parquet directly (e.g.
+    * [[graft.streaming.EventStream.asOfStream]]'s static and streaming
+    * legs). The caller must have set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` before the read if
+    * the file may be NANOS-typed. */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>
         // nanos-as-long: integer division — `/` would promote to double

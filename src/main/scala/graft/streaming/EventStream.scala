@@ -252,25 +252,67 @@ object EventStream {
     * Ties: among purchases sharing the winning (key, ts) the sorted
     * array's LAST (max value) wins — deterministic, unlike the batch
     * tie contract (AsOfJoinNative's doc); on tie-free data the two
-    * agree row-for-row (EventStreamSpec pins stream == batch). */
-  def asOfStream(spark: SparkSession, dir: String): DataFrame = {
-    val static = spark.read.parquet(dir)
+    * agree row-for-row (EventStreamSpec pins stream == batch).
+    *
+    * The static side is capped at `maxHistory` purchases per key
+    * (keep-LATEST-N: the oldest overflow is cut, so only lookups that
+    * reach back past the retained window can differ from batch — a
+    * click at/after the Nth-newest retained purchase is unaffected).
+    * Without the cap one hot key at corpus scale packs its entire
+    * history into a single row and OOMs silently; with it the drop is
+    * counted in the named accumulator
+    * `graft.asOfStream.droppedHistory` (populated once at stream
+    * build, when the snapshot materializes — exact, unlike the
+    * task-retry-overcounting transformation-scope accumulators).
+    * Both legs apply [[graft.Tables.normalizeEventsTs]], so either
+    * physical ts layout the driver has generated (INT64
+    * TIMESTAMP(NANOS) or TIMESTAMP(MICROS)) works unmodified. */
+  @volatile private var asOfDroppedAcc
+      : Option[org.apache.spark.util.LongAccumulator] = None
+  /** Value of the `graft.asOfStream.droppedHistory` accumulator from
+    * the most recent [[asOfStream]] build (test/observability hook;
+    * the accumulator itself is also visible in the Spark UI). */
+  def lastAsOfDroppedHistory: Long =
+    asOfDroppedAcc.map(_.value.longValue).getOrElse(0L)
+
+  def asOfStream(spark: SparkSession, dir: String,
+                 maxHistory: Int = 4096): DataFrame = {
+    require(maxHistory > 0, s"maxHistory=$maxHistory must be positive")
+    val droppedHistory =
+      spark.sparkContext.longAccumulator("graft.asOfStream.droppedHistory")
+    asOfDroppedAcc = Some(droppedHistory)
+    // may be NANOS-typed depending on driver generation — see Tables.events
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir).schema
+    val static = graft.Tables.normalizeEventsTs(spark.read.parquet(dir))
       .filter(col("event_type") === "purchase")
       .select(col("user_id"),
         struct(unix_micros(col("ts")).as("pts_us"), col("value")).as("p"))
-      .groupBy("user_id").agg(sort_array(collect_list(col("p"))).as("ps"))
-    val schema = spark.read.parquet(dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+      .groupBy("user_id").agg(sort_array(collect_list(col("p"))).as("ps_all"))
+      .select(col("user_id"),
+        expr(s"""CASE WHEN size(ps_all) > $maxHistory
+                |     THEN slice(ps_all, -$maxHistory, $maxHistory)
+                |     ELSE ps_all END""".stripMargin).as("ps"),
+        greatest(size(col("ps_all")) - lit(maxHistory), lit(0)).as("cut"))
+      .persist() // snapshot once; stream-static joins re-run the static plan per micro-batch
+    // one k-row action at stream build: materializes the snapshot and
+    // makes the history-drop count exact and observable up front
+    droppedHistory.add(
+      static.agg(sum(col("cut"))).first().getAs[Any](0) match {
+        case null => 0L; case n: Long => n
+      })
+    val lookup = static.drop("cut")
+    graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema).parquet(dir))
       .filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
-      .join(static, Seq("user_id"), "left")
+      .join(lookup, Seq("user_id"), "left")
+      // hoist the prior-purchase scan once — CASE branches are not
+      // guaranteed common-subexpression-eliminated across each other
+      .withColumn("hist", expr("filter(ps, p -> p.pts_us <= ts_us)"))
       .withColumn("m", expr(
         // guard the empty case: ANSI element_at(-1) errors on []
-        """CASE WHEN ps IS NULL THEN NULL ELSE
-          |  element_at(filter(ps, p -> p.pts_us <= ts_us),
-          |             CASE WHEN size(filter(ps, p -> p.pts_us <= ts_us)) > 0
-          |                  THEN -1 ELSE null END)
-          |END""".stripMargin))
+        "CASE WHEN hist IS NULL OR size(hist) = 0 THEN NULL ELSE element_at(hist, -1) END"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         coalesce(col("m.pts_us"), lit(-1L)).as("asof_ts_us"),
         coalesce(col("m.value"), lit(-1.0)).as("asof_value"))

@@ -143,4 +143,81 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 == -1L), "expected some no-match rows")
     assert(streamed.exists(_._2 != -1L), "expected some enriched rows")
   }
+
+  test("asOfStream caps per-key purchase history at maxHistory, counting the cut") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-sasof-cap").toString
+    val t0 = 1700000000L
+    // user 1: six purchases at t0+1..t0+6 (value == offset); cap 4
+    // retains only the LATEST four (offsets 3..6)
+    val purchases = (1 to 6).map(i =>
+      (100L + i, 1L, "purchase", t0 + i, i.toDouble))
+    val clicks = Seq(
+      (900L, 1L, "click", t0 + 100, 0.0), // sees latest retained: value 6
+      (901L, 1L, "click", t0 + 4, 0.0),   // within window: value 4
+      (902L, 1L, "click", t0 + 2, 0.0))   // reaches past the cut: no match
+    (purchases ++ clicks).toDF("event_id", "user_id", "event_type", "tsoff", "value")
+      .withColumn("ts", expr("timestamp_seconds(tsoff)")).drop("tsoff")
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.asOfStream(spark, dir, maxHistory = 4)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sasof_cap").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(EventStream.lastAsOfDroppedHistory === 2L,
+      "two of six purchases fall past the cap")
+    val got = spark.table("graft_sasof_cap")
+      .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("asof_value")).toMap
+    assert(got === Map(900L -> 6.0, 901L -> 4.0, 902L -> -1.0))
+  }
+
+  test("asOfStream reads the INT64 TIMESTAMP(NANOS) events layout on both legs") {
+    // mimic the driver's nanos generator via the low-level writer
+    // (Spark itself cannot emit TIMESTAMP(NANOS)) — the layout that
+    // broke raw readers in earlier rounds; TablesLayoutSpec pins the
+    // batch loader, this pins the stream-static as-of path
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.{BINARY, DOUBLE, INT64}
+    import org.apache.parquet.schema.Types
+    val dir = Files.createTempDirectory("graft-sasof-nanos").toString
+    val schema = Types.buildMessage()
+      .required(INT64).named("event_id")
+      .required(INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts")
+      .required(INT64).named("user_id")
+      .required(BINARY).as(LogicalTypeAnnotation.stringType()).named("event_type")
+      .required(DOUBLE).named("value")
+      .named("events")
+    val factory = new SimpleGroupFactory(schema)
+    val w = ExampleParquetWriter.builder(new Path(s"$dir/part-0.parquet"))
+      .withType(schema).build()
+    val t0us = 1700000000000000L
+    val rows = Seq( // (event_id, ts_us, user_id, type, value)
+      (1L, t0us + 1000000L, 7L, "purchase", 5.5),
+      (2L, t0us + 9000000L, 7L, "click", 0.0),  // after the purchase
+      (3L, t0us - 1000000L, 7L, "click", 0.0),  // before: no match
+      (4L, t0us + 2000000L, 8L, "click", 0.0))  // user with no purchases
+    try rows.foreach { case (id, us, uid, et, v) =>
+      val g = factory.newGroup()
+      g.add("event_id", id); g.add("ts", us * 1000L)
+      g.add("user_id", uid); g.add("event_type", et); g.add("value", v)
+      w.write(g)
+    } finally w.close()
+    val q = EventStream.asOfStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sasof_nanos").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("graft_sasof_nanos")
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("asof_ts_us"), r.getAs[Double]("asof_value")))).toMap
+    assert(got === Map(
+      2L -> ((t0us + 1000000L, 5.5)),
+      3L -> ((-1L, -1.0)),
+      4L -> ((-1L, -1.0))))
+  }
 }
