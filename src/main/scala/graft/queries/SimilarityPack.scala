@@ -81,8 +81,13 @@ object SimilarityPack extends QueryPack {
     // the full IVF index lifecycle end-to-end: kMeans the corpus,
     // write it partitioned BY cluster, probe the re-read store — the
     // nprobe nearest clusters resolve to a partition-pruned scan
-    // (pinned in SimilaritySpec). rows-only like q_kmeans (the
-    // clustering upstream is not SQL-replayable).
+    // (pinned in SimilaritySpec). The kMeans ITERATION is not
+    // SQL-replayable (q_kmeans stays rows-only), but the probe over
+    // its OUTPUT is: the fitted centroids and the stored layout's
+    // per-vector cluster are persisted to [[gateStoreRoot]], and the
+    // oracle replays probe selection (centroid·q, index tie-break)
+    // plus the in-cluster brute force from those artifacts — so this
+    // entry hash-checks everything downstream of the fit.
     "q_ann_ivf_stored" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       val km = Similarity.kMeans(emb, "vec_id", "embedding",
@@ -90,7 +95,9 @@ object SimilarityPack extends QueryPack {
       val cat = new graft.catalog.Catalog(s, storeRoot("ivfstore", d))
       cat.putPartitioned("ann_ivf_store",
         emb.join(km.assignments, "vec_id"), "cluster")
-      val out = Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
+      val stored = cat.get("ann_ivf_store")
+      writeIvfGateArtifacts(s, stored, km.centroids)
+      val out = Similarity.ivfTopKStored(stored, "vec_id",
         "embedding", "cluster", km.centroids, queryVec, k = 10, nprobe = 3)
       cat.close()
       out
@@ -186,6 +193,32 @@ object SimilarityPack extends QueryPack {
     * centroids); the store itself lives in [[storeRoot]]'s temp dir. */
   private val ivfBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[Double]]]()
+
+  /** Fixed root for the q_ann_ivf_stored oracle-replay artifacts.
+    * Deliberately NOT a temp dir and NOT shutdown-deleted: the DuckDB
+    * oracle reads these paths AFTER the Verify JVM has exited (the
+    * temp [[storeRoot]]s are gone by then). Bounded — each run
+    * overwrites the same two small parquets (k centroid rows + one
+    * (vec_id, cluster) row per vector). Single-writer by the same
+    * gate contract as the stores: only the Verify-form query writes
+    * here, immediately before its oracle is replayed. */
+  private val gateStoreRoot = "/tmp/graft-gate-store/ivf"
+
+  /** Persist the two data-dependent inputs the q_ann_ivf_stored
+    * oracle needs: the fitted centroids and the layout's per-vector
+    * cluster (read back from the STORE, so the artifact is exactly
+    * what the probe scans, not a recomputation). */
+  private def writeIvfGateArtifacts(s: SparkSession, stored: DataFrame,
+                                    centroids: IndexedSeq[IndexedSeq[Double]]): Unit = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$gateStoreRoot/centroids.parquet")
+    stored.select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$gateStoreRoot/assignments.parquet")
+  }
 
   /** The LSH probe IS SQL-expressible because the planes are seeded
     * literals: replay bit h = sign(v·plane_h) per row, assemble the
@@ -333,6 +366,37 @@ object SimilarityPack extends QueryPack {
            |                     CAST($lit AS DOUBLE[])) AS sim
            |  FROM embeddings WHERE label IN (SELECT label FROM probed)
            |  ORDER BY sim DESC, vec_id LIMIT 10
+           |)""".stripMargin,
+      // replay from the persisted gate artifacts (see
+      // writeIvfGateArtifacts): probe = top-nprobe clusters by
+      // centroid·q with the index tie-break ivfTopKStored uses, then
+      // exact top-k over the members of the probed clusters — the
+      // layout's own (vec_id, cluster) decides membership, the
+      // registered embeddings view supplies the vectors (float →
+      // double cast, as the Spark side computes). Only the kMeans FIT
+      // stays unreplayed (q_kmeans, rows-only).
+      "q_ann_ivf_stored" ->
+        s"""WITH cent AS (
+           |  SELECT cluster, centroid
+           |  FROM read_parquet('$gateStoreRoot/centroids.parquet/*.parquet')
+           |),
+           |probed AS (
+           |  SELECT cluster FROM cent
+           |  ORDER BY list_dot_product(CAST(centroid AS DOUBLE[]),
+           |                            CAST($lit AS DOUBLE[])) DESC, cluster
+           |  LIMIT 3
+           |),
+           |a AS (
+           |  SELECT vec_id, cluster
+           |  FROM read_parquet('$gateStoreRoot/assignments.parquet/*.parquet')
+           |)
+           |SELECT vec_id, round(sim, 4) AS sim FROM (
+           |  SELECT e.vec_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+           |                     CAST($lit AS DOUBLE[])) AS sim
+           |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+           |  WHERE a.cluster IN (SELECT cluster FROM probed)
+           |  ORDER BY sim DESC, e.vec_id LIMIT 10
            |)""".stripMargin,
       "q_ann_lsh" -> lshOracle(lit),
       "q_ann_quantized" -> lshQuantizedOracle(lit),
