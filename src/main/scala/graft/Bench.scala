@@ -178,7 +178,10 @@ object Bench {
     // canary_start/canary_end remain the drift pair
     val canaryAll = samplesV.map(_._2).sorted
     val canaryMedianAll = canaryAll(canaryAll.size / 2)
-    val canary = s"""{"query":"q_project","median_sec":$canaryMedianAll,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs":5,"healthy_ref_sec_sf01":$healthyRef,"every_n":$canaryEveryN,"samples":$samplesJson}"""
+    // per-sample run counts, not a single "runs" (the old field said 5
+    // while most samples are 3-run interleaved medians): start/end
+    // samples median 5 runs, interleaved samples 3
+    val canary = s"""{"query":"q_project","median_sec":$canaryMedianAll,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs_start_end":5,"runs_interleaved":3,"healthy_ref_sec_sf01":$healthyRef,"every_n":$canaryEveryN,"samples":$samplesJson}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_norm":$qsNorm,"runs":$runsJson,"errors":$errJson,"canary":$canary,"mem":$mem,"sf":"$sfDir"}"""
     println(line)
     // the driver stores only a truncated stdout tail (round 12 lost
