@@ -291,4 +291,33 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.length < 1000,
       s"${pairs.length} pairs — union-bound on a banding miss is no longer tiny")
   }
+
+  test("LSH bucket occupancy on the gate corpus stays far below the maxBucket cap") {
+    // Second leg of the minhash-oracle equivalence argument: besides
+    // banding recall (margin canary above), lshNearDups/
+    // incrementalNearDups PRUNE any (band, sig) bucket with more than
+    // maxBucket=64 members — an over-cap bucket would silently drop
+    // true pairs on the Spark side while the DuckDB exact-pair oracle
+    // keeps them, hash-failing the gate without a code regression.
+    // This canary asserts the gate corpus keeps every bucket (both
+    // shingle universes, the exact lshNearDups/ngramNearDups params)
+    // at <= half the cap, so a regenerated corpus drifting toward
+    // boilerplate-heavy bucket skew trips a spec before the gate.
+    // On failure: demote the minhash-family oracles to rows-only.
+    val docs = Tables.documents(SparkSuite.spark, SparkSuite.sf001)
+    def maxOccupancy(shingler: org.apache.spark.sql.Column): Long = {
+      val sigs = Dedup.signatures(docs, "doc_id", shingler, 64, 42L)
+      Dedup.bandRows(sigs, 16, 4).groupBy("band", "sig").count()
+        .agg(org.apache.spark.sql.functions.max("count")).first().getLong(0)
+    }
+    val wordMax = maxOccupancy(Dedup.shingleHashes("text", 3))
+    val gramMax = maxOccupancy(Dedup.charShingleHashes("text", 5))
+    assert(wordMax <= 32, s"hottest word-shingle band bucket has $wordMax " +
+      "members — within 2x of the maxBucket=64 prune; the minhash/drop/" +
+      "cluster/canonical/incremental oracles can no longer assume no bucket " +
+      "is pruned")
+    assert(gramMax <= 32, s"hottest char-gram band bucket has $gramMax " +
+      "members — within 2x of the maxBucket=64 prune; demote the ngram " +
+      "oracle to rows-only")
+  }
 }

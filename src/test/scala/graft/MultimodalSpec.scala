@@ -26,6 +26,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.getAs[Array[Byte]]("data").nonEmpty)
   }
 
+  test("every gate-corpus document sniffs 'bin' (q_multimodal_features oracle precondition)") {
+    // The q_multimodal_features oracle hardcodes format 'bin' and the
+    // byte-fold checksum for EVERY document, but extractFeatures labels
+    // rows with the sniffed format — a regenerated corpus containing a
+    // text that happens to open with a media magic (ASCII ".snd" for
+    // AU is plausible in plain text) would be labeled 'au' and
+    // hash-mismatch the gate with no code regression. Canary the
+    // precondition at the gate SF; on failure, demote the oracle to
+    // rows-only (EventPack) rather than patching the corpus.
+    val sniffed = Tables.documents(spark, SparkSuite.sf001)
+      .select(col("doc_id"), col("text").cast("binary").as("data"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Multimodal.sniffFormat(r.getAs[Array[Byte]]("data")))
+    assert(sniffed.nonEmpty)
+    val nonBin = sniffed.filterNot(_._2 == "bin")
+    assert(nonBin.isEmpty,
+      s"docs sniffing as media: ${nonBin.take(5).mkString(", ")} — the " +
+        "q_multimodal_features oracle's all-'bin' precondition no longer " +
+        "holds; demote it to rows-only")
+  }
+
   test("resize caps bytes at w*h, keeps order, and rewrites meta") {
     val blobs = Multimodal.asBlobTable(
       Tables.documents(spark, SparkSuite.sf0001), "doc_id", "text")
