@@ -73,6 +73,74 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("minhash pair pipeline: no cartesian, maxBucket prune survives the optimizer") {
+    // feeds q_dedup_minhash / drop / cluster / canonical — the top of
+    // the dedup cost ranking. Two load-bearing shapes: the band
+    // self-join must stay an equi-join on (band, sig), and the
+    // bucket-size cap (count <= 64) must remain a real Filter in the
+    // physical plan — if an optimizer change or refactor dropped it,
+    // one hot bucket at corpus scale would go quadratic.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(graft.operators.Dedup.minhashNearDups(
+      docs, "doc_id", "text", threshold = 0.8))
+    assert(!p.contains("CartesianProduct"),
+      s"band pair join degenerated to a cartesian product:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("count#") && l.contains("<= 64")),
+      s"maxBucket=64 bucket-size filter not found in the physical plan:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("exact gram-Jaccard pair pipeline (bundle family input): count-based, no cartesian") {
+    // feeds q_dedup_bundle and the *_exact trio. The gram equi-join
+    // must never widen to a cartesian, and the count-based rewrite
+    // must hold: no array_intersect on the hot path (the intersection
+    // is COUNTED in the join; re-shuffling dense gram arrays per
+    // candidate pair was 1.7x slower and is the corpus-scale killer).
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(graft.operators.Dedup.exactJaccardPairs(
+      docs, "doc_id", "text", threshold = 0.8))
+    assert(!p.contains("CartesianProduct"),
+      s"gram candidate join degenerated to a cartesian product:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"uncapped exact pairs regressed to the array-shuffling form:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("components: pointer jumping converges in O(log d) rounds; rounds end checkpointed") {
+    // feeds q_components / q_dedup_cluster / q_dedup_canonical. A
+    // 65-node chain (diameter 64) must converge in ~log2 rounds —
+    // plain min-propagation would need ~64 — and the returned labels
+    // plan must be a truncated scan of the last round's checkpoint:
+    // if a refactor dropped the per-round localCheckpoint, the final
+    // plan would embed every round's join cascade (Exchanges growing
+    // with round count, analysis time growing superlinearly at scale).
+    import spark.implicits._
+    val edges = (0L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
+    val res = graft.operators.Components.connectedComponentsWithStats(edges)
+    assert(res.converged, "65-node chain did not converge within maxIter")
+    assert(res.iterations <= 10,
+      s"${res.iterations} rounds for a diameter-64 chain — pointer jumping regressed")
+    val labels = res.labels
+    assert(labels.collect().forall(_.getLong(1) == 0L))
+    val p = plan(labels)
+    assert(!p.contains("Exchange") && p.contains("ExistingRDD"),
+      s"labels plan is not a truncated checkpoint scan:\n$p")
+  }
+
+  test("unigram xent: corpus-totals scalar broadcasts; no cartesian") {
+    // q_unigram_xent multiplies every (doc, term) row by a 1-row
+    // corpus total — that scalar must ride a broadcast, never a flat
+    // cartesian against the term table (same trap class as bm25's
+    // totals and the quality threshold).
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(TextAnalysis.unigramCrossEntropy(docs, "doc_id", "text"))
+    assert(!p.contains("CartesianProduct"),
+      s"totals scalar degenerated to a cartesian product:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"corpus totals do not broadcast:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("stripBoilerplate anti-join broadcasts the bounded boilerplate list") {
     // the 100 TB argument rests on the df>cap list being tiny ⇒ the
     // segs ⋈ boiler LeftAnti must be a BROADCAST hash join, never a
