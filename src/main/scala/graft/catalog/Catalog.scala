@@ -275,10 +275,37 @@ final class Catalog(spark: SparkSession, root: String,
     org.slf4j.LoggerFactory.getLogger(getClass).info(
       s"putCompacted($name): plan estimate $est B × ratio $compressionRatio " +
         s"= $estOnDisk B on disk → $nFiles file(s) of target $targetFileBytes B")
-    writeVersioned(name, format, options) { dir =>
+    val e = writeVersioned(name, format, options) { dir =>
       df.repartition(nFiles).write.format(format).options(options)
         .mode(SaveMode.Overwrite).save(dir)
     }
+    writeEstimates.put(name, est)
+    e
+  }
+
+  /** Plan-statistic estimate recorded at the last [[putCompacted]] of
+    * each name this session — the denominator of [[measureRatio]]. */
+  private val writeEstimates =
+    new java.util.concurrent.ConcurrentHashMap[String, BigInt]()
+
+  /** The calibration feedback loop [[putCompacted]]'s doc describes,
+    * as a helper: the entry's measured compression ratio = bytes it
+    * actually landed on disk ÷ the plan estimate recorded when it was
+    * written. Re-putting with `compressionRatio = measureRatio(name)`
+    * then sizes files against the TRUE on-disk density — CatalogSpec
+    * pins that the calibrated re-put lands mean file size within 2×
+    * of `targetFileBytes`. Same-session only: the estimate is of the
+    * written DataFrame's in-memory plan, which cannot be recovered
+    * from the files later (a parquet read-back's plan statistic IS
+    * the on-disk size, so disk ÷ that would always be ~1). */
+  def measureRatio(name: String): Double = {
+    val est = Option(writeEstimates.get(name)).getOrElse(
+      throw new IllegalStateException(s"measureRatio($name): no write " +
+        "estimate recorded this session — call putCompacted first"))
+    val e = entries.getOrElse(name,
+      throw new NoSuchElementException(s"no such dataset: $name"))
+    val onDisk = Catalog.diskBytes(Paths.get(e.path))
+    math.max(onDisk.toDouble / BigDecimal(est).toDouble, 1e-9)
   }
 
   /** `put` of an opaque binary file (the reference stores arbitrary
@@ -505,6 +532,13 @@ object Catalog {
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     }
+
+  /** Total regular-file bytes under a path (the on-disk side of
+    * [[Catalog.measureRatio]]'s ratio). */
+  private[catalog] def diskBytes(p: Path): Long =
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
 
   /** Bound on concurrent catalog ops — library code must not
     * `Await.result(..., Duration.Inf)`; callers with genuinely longer

@@ -152,15 +152,24 @@ class CatalogSpec extends AnyFunSuite {
     def nFiles(name: String): Int =
       new java.io.File(cat.filetable(name).path).listFiles()
         .count(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
-    // calibrate: one file, measure the table's true on-disk/in-memory
-    // ratio — exactly the "prior version's size ÷ plan estimate"
-    // workflow the docstring recommends
+    // calibrate: one file, then read the table's true on-disk ÷
+    // in-memory ratio back from the catalog — measureRatio packages
+    // the "prior version's size ÷ plan estimate" workflow the
+    // docstring describes
     cat.putCompacted("cal", df, targetFileBytes = 1L << 40)
+    val measured = cat.measureRatio("cal")
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
-    val measured = onDiskBytes("cal").toDouble / est
+    val byHand = onDiskBytes("cal").toDouble / est
+    // measureRatio counts every regular file (checksums, _SUCCESS),
+    // the hand count only part-files — equal to within that overhead
+    assert(measured >= byHand && measured <= byHand * 1.2,
+      s"measureRatio=$measured disagrees with hand-computed $byHand")
     // for in-memory-built frames the plan estimate can undershoot, so
     // the measured ratio may exceed 1 — only positivity is guaranteed
     assert(measured > 0, s"ratio must be positive (ratio=$measured)")
+    // the ratio is derived from the write-time estimate, which cannot
+    // be recovered later: a name never putCompacted must fail fast
+    intercept[IllegalStateException](cat.measureRatio("never_compacted"))
     // with the measured ratio, mean file size must land within 2× of
     // the target (the uncorrected estimate would miss by 1/ratio)
     val target = onDiskBytes("cal") / 4
