@@ -519,14 +519,27 @@ object Dedup {
     * per-bit aggregate would re-split and re-hash the text 64×.
     * Tokenizes via [[TextAnalysis.tokensSql]] (the shared single-space
     * tokenizer), so simhash's token universe matches the gram/stopword
-    * consumers'. */
+    * consumers'.
+    *
+    * The per-token hash is the md5-derived 60-bit mix
+    * ([[Sketch.md5Hash60Sql]], NOT xxhash64, which has no DuckDB
+    * twin): it makes the WHOLE simhash pipeline — per-bit majority,
+    * 16-bit banding, hamming verify — replayable by the
+    * q_dedup_simhash oracle. SimHash needs i.i.d. hash bits, which
+    * md5's avalanche provides; the faster 2^61−1 rolling hash was
+    * tried first and collapsed precision to 0.03 (short tokens hash
+    * to SMALL values, zeroing the high bits of every fingerprint).
+    * One consequence: hashes live in [0, 2^60), so fingerprint bits
+    * 60–63 are majority-of-negatives ⇒ always 0 — a 60-bit effective
+    * simhash, which changes nothing structural (banding and pigeonhole
+    * bounds are per-chunk; chunk 3 simply carries 12 live bits). */
   def tokenHashes(textCol: String): Column =
-    expr(s"transform(${TextAnalysis.tokensSql(textCol)}, t -> xxhash64(t))")
+    expr(s"transform(${TextAnalysis.tokensSql(textCol)}, t -> ${Sketch.md5Hash60Sql("t")})")
 
   /** One-expression convenience form: tokenize+hash feeds the native
     * one-pass fold directly (the old per-bit HOF re-tokenized 64×). */
   def simhash(textCol: String): Column =
-    expr(s"graft_simhash(transform(${TextAnalysis.tokensSql(textCol)}, t -> xxhash64(t)))")
+    expr(s"graft_simhash(transform(${TextAnalysis.tokensSql(textCol)}, t -> ${Sketch.md5Hash60Sql("t")}))")
 
   /** SimHash near-dup pairs: band the 64-bit fingerprint into four
     * 16-bit chunks (pigeonhole: hamming ≤ 3 ⇒ at least one chunk

@@ -146,15 +146,21 @@ object DedupPack extends QueryPack {
       Components.clusters(docs, "doc_id", edges)
     }),
 
-    // HLL sketch cardinality next to the exact answer: the constant-
-    // memory scale path for distinct counts over arbitrary cardinality
-    "q_approx_distinct" -> ((s, d) =>
-      Tables.documents(s, d).agg(
-        org.apache.spark.sql.functions.approx_count_distinct(
-          org.apache.spark.sql.functions.col("text"), rsd = 0.02)
-          .as("approx_docs"),
-        org.apache.spark.sql.functions.countDistinct(
-          org.apache.spark.sql.functions.col("text")).as("exact_docs"))),
+    // sketch cardinality next to the exact answer: the constant-
+    // memory scale path for distinct counts over arbitrary
+    // cardinality. The GATE estimator is KMV (Sketch.kmvDistinct) —
+    // deterministic arithmetic over the rolling hash, so the DuckDB
+    // oracle replays the sketch itself (was rows-only through round
+    // 13, when this slot held HLL: estimates there are
+    // implementation-specific). HLL remains the production default
+    // and keeps its tolerance pin in DedupSpec.
+    "q_approx_distinct" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sketch.kmvDistinct(docs, "text", k = 1024)
+        .crossJoin(docs.agg(
+          org.apache.spark.sql.functions.countDistinct(
+            org.apache.spark.sql.functions.col("text")).as("exact_docs")))
+    }),
   )
 
   /** The Verify form of q_dedup_bundle joins all three derived frames
@@ -427,12 +433,80 @@ object DedupPack extends QueryPack {
          |)
          |SELECT id AS doc_id FROM walk GROUP BY id HAVING min(comp) = id
          |""".stripMargin,
-    // q_dedup_simhash: rows-only — simhash's 64-bit fingerprint
-    // arithmetic rides xxhash64, which has no DuckDB twin. Accuracy
-    // is pinned by DedupSpec/ComponentsSpec instead (and the CC kernel
-    // itself is hash-checked via q_components above).
-    // q_approx_distinct: rows-only — HLL estimates are
-    // implementation-specific; DedupSpec bounds the estimate against
-    // the exact count.
+    // the whole simhash pipeline replayed (rows-only through round
+    // 13, when the token hash was xxhash64 — no DuckDB twin; it now
+    // rides the md5-derived 60-bit mix, Sketch.md5Hash60Sql):
+    // per-token hash, per-bit majority vote, 4×16-bit banding with
+    // the maxBucket=64 prune, pair join, hamming ≤ 3 verify. Bits
+    // are folded over range(60), not 64: token hashes live in
+    // [0, 2^60) so bits 60–63 of every hash are 0 and their majority
+    // (-n_tokens < 0) is always a 0 bit — summing them would only
+    // risk a vectorized 1<<63 overflow for no information.
+    "q_dedup_simhash" -> {
+      val fold = TextPack.hexFoldSql("h", 15)
+      s"""WITH toks0 AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+         |),
+         |toks AS (
+         |  SELECT doc_id, substr(md5(t), 1, 15) AS h FROM toks0
+         |),
+         |th AS (
+         |  SELECT doc_id, $fold AS hv FROM toks
+         |),
+         |bits AS (
+         |  SELECT doc_id, bb.bit,
+         |    CASE WHEN sum(CASE WHEN (hv >> bb.bit) & 1 = 1
+         |                       THEN 1 ELSE -1 END) > 0
+         |         THEN 1 ELSE 0 END AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS bit) bb
+         |  GROUP BY doc_id, bb.bit
+         |),
+         |fp AS (
+         |  SELECT doc_id AS id,
+         |    sum(CASE WHEN s = 1 THEN (CAST(1 AS BIGINT) << bit)
+         |             ELSE CAST(0 AS BIGINT) END) AS fp
+         |  FROM bits GROUP BY doc_id
+         |),
+         |chunks AS (
+         |  SELECT id, fp, jj.band, (fp >> (jj.band * 16)) & 65535 AS sig
+         |  FROM fp CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS band) jj
+         |),
+         |sizes AS (SELECT band, sig, count(*) AS c FROM chunks GROUP BY 1, 2),
+         |pruned AS (
+         |  SELECT ch.id, ch.fp, ch.band, ch.sig FROM chunks ch
+         |  JOIN sizes s ON s.band = ch.band AND s.sig = ch.sig
+         |  WHERE s.c <= 64
+         |)
+         |SELECT DISTINCT l.id AS doc_a, r.id AS doc_b,
+         |  CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+         |FROM pruned l JOIN pruned r
+         |  ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+         |WHERE bit_count(xor(l.fp, r.fp)) <= 3
+         |""".stripMargin
+    },
+    // the KMV sketch replayed: distinct 60-bit md5 hashes, the k
+    // smallest, then the SAME double expression Sketch.kmvDistinct
+    // evaluates — (k−1) / (hk / 2^60) floored — over the identical
+    // hk, so the estimate matches bit-for-bit. Below k distinct
+    // hashes the estimator is the observed count on both sides.
+    "q_approx_distinct" -> {
+      val fold = TextPack.hexFoldSql("h", 15)
+      s"""WITH hx AS (
+         |  SELECT DISTINCT substr(md5(text), 1, 15) AS h FROM documents
+         |),
+         |hvs AS (SELECT DISTINCT $fold AS hv FROM hx),
+         |ks AS (
+         |  SELECT max(hv) AS hk, count(*) AS m
+         |  FROM (SELECT hv FROM hvs ORDER BY hv LIMIT 1024)
+         |)
+         |SELECT
+         |  CASE WHEN m < 1024 THEN m
+         |       ELSE CAST(floor(1023.0 / (CAST(hk AS DOUBLE)
+         |                                 / 1152921504606846976.0)) AS BIGINT)
+         |  END AS approx_docs,
+         |  (SELECT count(DISTINCT text) FROM documents) AS exact_docs
+         |FROM ks
+         |""".stripMargin
+    },
   )
 }

@@ -12,6 +12,34 @@ import graft.operators.TextAnalysis
   */
 object TextPack extends QueryPack {
 
+  /** DuckDB replay of [[graft.functions.RollingHash]] over a
+    * hex-encoded-bytes column `hexCol` (produce it upstream as
+    * `lower(hex(encode(<string>)))` so the encode runs once per row):
+    * fold pairs of hex digits with HUGEINT intermediates — the
+    * 122-bit products RollingHash keeps exact with Math.multiplyHigh
+    * fit a HUGEINT directly; a prepended 0 seeds the fold so empty
+    * strings hash to 0 on both sides. */
+  private[queries] def rollingHashFoldSql(hexCol: String): String =
+    s"""CAST(list_reduce(
+       |    list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(range(len($hexCol) // 2),
+       |        i -> CAST((strpos('0123456789abcdef', $hexCol[2*i+1:2*i+1]) - 1) * 16
+       |               + (strpos('0123456789abcdef', $hexCol[2*i+2:2*i+2]) - 1) AS HUGEINT))),
+       |    (acc, b) -> (acc * 131 + b) % 2305843009213693951) AS BIGINT)""".stripMargin
+
+  /** DuckDB replay of `conv(<hex>, 16, 10)`: fold `n` leading hex
+    * digits of column `hexCol` into a BIGINT (most-significant
+    * first). With `hexCol = substr(md5(x), 1, 15)` this is the
+    * 60-bit mixed hash of [[graft.operators.Sketch.md5Hash60Sql]] —
+    * shared by the q_approx_distinct (KMV) and q_dedup_simhash
+    * oracles. */
+  private[queries] def hexFoldSql(hexCol: String, n: Int): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range($n),
+       |        i -> CAST(strpos('0123456789abcdef', $hexCol[i+1:i+1]) - 1 AS BIGINT))),
+       |    (acc, d) -> acc * 16 + d)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -249,18 +277,13 @@ object TextPack extends QueryPack {
     // to 0 on both sides. Was rows-only through round 12; values were
     // only pinned JVM-side in RollingHashSpec.
     "q_fingerprint" ->
-      """WITH hx AS (
-        |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
-        |)
-        |SELECT doc_id,
-        |  CAST(list_reduce(
-        |    list_prepend(CAST(0 AS HUGEINT),
-        |      list_transform(range(len(h) // 2),
-        |        i -> CAST((strpos('0123456789abcdef', h[2*i+1:2*i+1]) - 1) * 16
-        |               + (strpos('0123456789abcdef', h[2*i+2:2*i+2]) - 1) AS HUGEINT))),
-        |    (acc, b) -> (acc * 131 + b) % 2305843009213693951) AS BIGINT)
-        |    AS fingerprint
-        |FROM hx""".stripMargin,
+      s"""WITH hx AS (
+         |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+         |)
+         |SELECT doc_id,
+         |  ${rollingHashFoldSql("h")}
+         |    AS fingerprint
+         |FROM hx""".stripMargin,
 
     "q_scrub" ->
       """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed

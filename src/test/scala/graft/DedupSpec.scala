@@ -53,9 +53,33 @@ class DedupSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"char-gram LSH recall $recall (${lsh.size}/${truth.size})")
   }
 
-  test("approx_count_distinct lands within its rsd bound of the exact count") {
+  test("KMV gate sketch lands within tolerance of the exact count") {
     val r = graft.queries.DedupPack.queries("q_approx_distinct")(
       spark, SparkSuite.sf0001).head()
+    val approx = r.getAs[Long]("approx_docs").toDouble
+    val exact = r.getAs[Long]("exact_docs").toDouble
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("KMV estimates within ~3/sqrt(k) above the exact-fallback regime") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 20k distinct values with k=256 exercises the ESTIMATOR branch
+    // (m == k), not the m < k exact fallback the gate corpus hits
+    val n = 20000
+    val df = (1 to n).map(i => s"value-$i").toDF("v")
+    val est = graft.operators.Sketch.kmvDistinct(df, "v", k = 256)
+      .head().getAs[Long]("approx_docs").toDouble
+    assert(math.abs(est - n) / n < 3.0 / math.sqrt(256.0),
+      s"KMV estimate $est for $n distinct")
+  }
+
+  test("approx_count_distinct (HLL, the production default) lands within its rsd bound") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, countDistinct}
+    val r = docs.agg(
+      approx_count_distinct(col("text"), rsd = 0.02).as("approx_docs"),
+      countDistinct(col("text")).as("exact_docs")).head()
     val approx = r.getAs[Long]("approx_docs").toDouble
     val exact = r.getAs[Long]("exact_docs").toDouble
     assert(math.abs(approx - exact) / exact < 0.1,
