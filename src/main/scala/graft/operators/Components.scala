@@ -190,4 +190,28 @@ object Components {
       clusters(docs, idCol, pairs).filter(col("cluster_id") === col(idCol))
         .select(col(idCol)),
       Seq(idCol), "left_semi")
+
+  /** SOFT dedup: keep every doc, downweight duplicates — each doc
+    * gets `weight = 1 / |its near-dup cluster|` (round 6), so a
+    * cluster contributes ONE doc's worth of training mass no matter
+    * how many copies exist (the reweighting alternative to
+    * [[canonicalDocs]]'s hard drop — D4 / SemDeDup-style pipelines
+    * use exactly this when duplicates carry distribution signal the
+    * pipeline should attenuate, not delete). Singletons weigh 1.0.
+    *
+    * One extra exchange beyond [[clusters]]: the size is a window
+    * count PARTITIONED BY cluster_id — per-cluster partitions, never
+    * a global window, and no second pass over the pair graph. A
+    * pathological giant cluster lands in one task, but such a
+    * cluster is exactly what the upstream pair generators' bucket
+    * caps bound. */
+  def clusterWeights(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    clusters(docs, idCol, pairs, aCol, bCol)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"))
+  }
 }

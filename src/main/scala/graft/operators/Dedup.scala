@@ -492,6 +492,140 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), first(col(textCol)).as(textCol))
       .drop("content_hash")
 
+  /** Positional char-`k`-gram hashes of `textCol` — one hash per
+    * window START position (NO dedup, document order preserved),
+    * sampled every `stride`-th position. Same short-text clamp as
+    * [[charShingleHashesHof]] (texts shorter than `k` yield ONE
+    * truncated gram), but the FULL 64-bit xxhash64 — NOT reduced mod
+    * P: the mod-P universe exists for minhash permutation arithmetic,
+    * which span profiling never does, and at 31 bits the global
+    * distinct-gram population collides by birthday already at ~10⁵
+    * grams (measured: 2 collisions on the sf0.01 corpus — the
+    * SpanProfileSpec canary caught exactly this). 64 bits puts the
+    * expected corpus-wide collision count at n²/2⁶⁵. Not distinct on
+    * purpose: span PROFILING needs the per-position multiset (how
+    * MUCH of the doc sits under a duplicated window), not the set. */
+  private[graft] def positionalGramHashes(textCol: String, k: Int,
+                                          stride: Int = 1): Column =
+    expr(
+      s"""transform(
+         |  sequence(1, greatest(length($textCol) - ${k - 1}, 1), $stride),
+         |  i -> xxhash64(substring($textCol, i, $k)))""".stripMargin)
+
+  /** Substring-level duplication profile — exact-substring dedup in
+    * the sense of "Deduplicating Training Data Makes Language Models
+    * Better" (Lee et al. 2021): the pass that catches templated /
+    * mid-line overlap that BOTH doc-level dedup ([[exact]] /
+    * [[minhashNearDups]]) and segment-level dedup
+    * ([[TextAnalysis.stripBoilerplate]], which keys on whole `\n`
+    * segments) miss, because the repeated region starts at an
+    * arbitrary character offset.
+    *
+    * For every doc: `n_spans` = number of positional char-`k`-gram
+    * windows (every `stride`-th start position), `n_dup_spans` = how
+    * many of those windows' grams occur in ≥ `minDocs` DISTINCT docs
+    * corpus-wide, `dup_frac` = their ratio (round 6), `flagged` = 1
+    * iff `dup_frac >= flagFrac` (the drop-candidate predicate).
+    * A gram repeated only WITHIN one doc is NOT a dup here (distinct
+    * docs = 1) — within-doc repetition is [[TextAnalysis
+    * .repetitionScore]]'s job; this operator measures CROSS-doc
+    * contamination.
+    *
+    * Scale shape (the suffix-array algorithm of the paper is
+    * single-machine; this is its shuffle-native approximation):
+    *  - The exploded relation is O(total_chars / stride) rows but
+    *    each row is two longs — the 8-byte gram hash rides the
+    *    shuffle, never the substring.
+    *  - Distinct-docs-per-gram is two-phase: the per-doc
+    *    `dropDuplicates` prunes map-side (a doc repeating one gram
+    *    1000× contributes ONE row to the count shuffle), then a
+    *    plain count is exact.
+    *  - `dup` keeps only grams in ≥ `minDocs` docs — the boilerplate
+    *    tail, typically ≪ corpus; AQE converts the count-back join
+    *    to broadcast when it fits.
+    *  - `stride` is the 100 TB knob: cost divides by `stride` while
+    *    any duplicated region of length ≥ k + stride − 1 still
+    *    intersects a sampled window on BOTH sides (stride 1 = exact,
+    *    the gate setting).
+    * Caches release after the first consuming action
+    * ([[MetricListener.releaseAfterFirstAction]]). */
+  /** Shared first half of the span family: the persisted per-doc gram
+    * arrays, the position-indexed explode (`p` = 0-based sample
+    * index), and the corpus-wide duplicated-gram set. */
+  private def spanFrames(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, stride: Int, minDocs: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    require(k >= 1, s"span ops need k >= 1, got $k")
+    require(stride >= 1, s"span ops need stride >= 1, got $stride")
+    require(minDocs >= 2,
+      s"span ops need minDocs >= 2 (1 would mark every span), got $minDocs")
+    val spans = spread(docs)
+      .select(col(idCol).as("id"),
+        positionalGramHashes(textCol, k, stride).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // released by the caller's hook
+    val pos = spans.select(col("id"), posexplode(col("h")).as(Seq("p", "g")))
+    val dup = pos.dropDuplicates("id", "g")
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .select("g")
+    (spans, pos, dup)
+  }
+
+  def spanProfile(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 20, stride: Int = 1, minDocs: Int = 2,
+                  flagFrac: Double = 0.5,
+                  keepCaches: Boolean = false): DataFrame = {
+    val (spans, pos, dup) = spanFrames(docs, idCol, textCol, k, stride, minDocs)
+    val dupCounts = pos.join(dup, "g")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    val result = spans.select(col("id"), size(col("h")).as("n_raw"))
+      .join(dupCounts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_raw"), lit(0)).cast("long").as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_dup_spans") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", (col("dup_frac") >= flagFrac).cast("int"))
+    MetricListener.releaseAfterFirstAction(result, spans,
+      isnotnull(col("h")) && size(col("h")) < 0, Seq(spans), keepCaches)
+  }
+
+  /** Longest duplicated RUN per doc — the gaps-and-islands reading of
+    * the same window universe as [[spanProfile]]: consecutive sample
+    * positions whose grams are corpus-duplicated form islands, the
+    * longest island approximates the doc's longest substring shared
+    * with another doc (`max_run_chars` = (run−1)·stride + k — exact
+    * at stride 1 up to window granularity). `dup_frac` tells you HOW
+    * MUCH of a doc is duplicated; this tells you whether it is one
+    * long lifted passage (remove the span) or scattered boilerplate
+    * (score, don't cut) — the distinction Lee et al. act on.
+    *
+    * The islands window partitions BY DOC and only over that doc's
+    * DUPLICATED positions — per-doc-sized partitions, never a global
+    * window. Docs with no duplicated window report (0, 0). */
+  def spanRuns(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 20, stride: Int = 1, minDocs: Int = 2,
+               keepCaches: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (spans, pos, dup) = spanFrames(docs, idCol, textCol, k, stride, minDocs)
+    val w = Window.partitionBy("id").orderBy("p")
+    val runs = pos.join(dup, "g")
+      .select(col("id"), col("p"))
+      .withColumn("grp", col("p") - row_number().over(w))
+      .groupBy("id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("id").agg(max(col("run")).as("mx"))
+    val result = spans.select(col("id"))
+      .join(runs, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("mx"), lit(0L)).as("max_run_spans"),
+        coalesce((col("mx") - 1) * stride + k, lit(0L))
+          .cast("long").as("max_run_chars"))
+    MetricListener.releaseAfterFirstAction(result, spans,
+      isnotnull(col("h")) && size(col("h")) < 0, Seq(spans), keepCaches)
+  }
+
   /** 64-bit SimHash from a precomputed token-hash array column: bit i
     * is the sign of the sum over tokens of ±1 according to bit i of
     * the token's hash. Near-identical texts differ in few bits. */

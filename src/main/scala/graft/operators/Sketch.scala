@@ -73,4 +73,68 @@ object Sketch {
               (col("hk").cast("double") / lit(M60))))
           .cast("long").as("approx_docs"))
   }
+
+  /** EXACT heavy hitters with sketch-bounded shuffle: every distinct
+    * value of `valueCol` whose frequency is ≥ `support` · N, with its
+    * exact count — the Misra–Gries two-pass (candidates from a
+    * constant-memory per-partition sketch, then an exact recount of
+    * candidates only).
+    *
+    * Why not plain `groupBy(value).count()`: at corpus scale the
+    * full-cardinality aggregate shuffles EVERY distinct value (token
+    * vocabularies run 10⁸⁺ keys) to answer a question whose output is
+    * ≤ 1/support rows. Here the only wide operations ever see
+    * candidate rows:
+    *  - Pass 1 (`mapPartitions`, the sanctioned use: genuinely
+    *    imperative per-partition state): Misra–Gries with c counters
+    *    per partition. Pigeonhole over partition totals N_p: an item
+    *    with global count > N/(c+1) = Σ N_p/(c+1) beats N_p/(c+1)
+    *    somewhere, and MG retains every such local item — so the
+    *    union of per-partition survivor sets is a SUPERSET of the
+    *    true heavy hitters whenever c + 1 ≥ 1/support (enforced;
+    *    default c = ⌈2/support⌉ for margin). ≤ c · numPartitions
+    *    candidate values total, broadcast to pass 2.
+    *  - Pass 2: exact count restricted to candidates (broadcast semi
+    *    filter → map-side partial agg), then the ≥ ⌈support·N⌉ cut.
+    *    False candidates die here, so the OUTPUT is exact and
+    *    sketch-free — fully engine-replayable (q_heavy_hitters), the
+    *    same two-pass trick that made q_approx_distinct gateable.
+    * N counts non-null values; three narrow scans of one column, no
+    * full-cardinality shuffle anywhere. MG decrement-all amortizes:
+    * each decrement burns c+1 prior arrivals, so pass 1 is O(rows). */
+  def heavyHitters(df: DataFrame, valueCol: String, support: Double,
+                   counters: Int = 0): DataFrame = {
+    require(support > 0 && support < 1,
+      s"heavyHitters needs support in (0,1), got $support")
+    val c = if (counters > 0) counters else math.ceil(2.0 / support).toInt
+    require(c + 1 >= 1.0 / support,
+      s"counters=$c cannot guarantee support=$support (need counters + 1 >= ${1.0 / support})")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vals = df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+    val candidates = vals.as[String].mapPartitions { it =>
+      val counts = new java.util.HashMap[String, Long]()
+      it.foreach { v =>
+        val cur = counts.get(v)
+        if (cur != null || counts.size < c) // null unboxes to 0 below
+          counts.put(v, (if (cur == null) 0L else cur.longValue()) + 1L)
+        else {
+          val e = counts.entrySet().iterator()
+          while (e.hasNext) {
+            val kv = e.next()
+            if (kv.getValue == 1L) e.remove() else kv.setValue(kv.getValue - 1L)
+          }
+        }
+      }
+      scala.jdk.CollectionConverters.IteratorHasAsScala(
+        counts.keySet().iterator()).asScala
+    }.toDF("v").distinct()
+    val total = vals.agg(count(lit(1)).as("n"))
+    vals.join(broadcast(candidates), Seq("v"), "left_semi")
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .filter(col("cnt") >= ceil(lit(support) * col("n")))
+      .select(col("v").as(valueCol), col("cnt"))
+  }
 }

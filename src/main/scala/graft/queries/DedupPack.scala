@@ -13,6 +13,20 @@ import graft.operators.{Components, Dedup}
   */
 object DedupPack extends QueryPack {
 
+  /** The gate's synthetic non-transitive pair graph: an edge between
+    * consecutive doc_ids whose texts share a first character —
+    * variable-length CHAINS, so clustering is genuinely the
+    * transitive closure (equality-keyed groups would already be
+    * cliques). Shared by q_components and q_dedup_weights; the
+    * oracle replays it as a self-join + recursive CTE. */
+  private def chainEdges(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, substring}
+    val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 1).as("c1"))
+    keyed.alias("l").join(keyed.alias("r"),
+        col("r.doc_id") === col("l.doc_id") + 1 && col("l.c1") === col("r.c1"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
@@ -137,14 +151,31 @@ object DedupPack extends QueryPack {
     // clustering is genuinely the transitive closure (unlike
     // equality-keyed groups, which are already cliques)
     "q_components" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, substring}
       val docs = Tables.documents(s, d)
-      val keyed = docs.select(col("doc_id"), substring(col("text"), 1, 1).as("c1"))
-      val edges = keyed.alias("l").join(keyed.alias("r"),
-          col("r.doc_id") === col("l.doc_id") + 1 && col("l.c1") === col("r.c1"))
-        .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
-      Components.clusters(docs, "doc_id", edges)
+      Components.clusters(docs, "doc_id", chainEdges(docs))
     }),
+
+    // soft dedup over the same chain-edge closure: weight = 1/|cluster|
+    // — the reweighting alternative to canonical's hard drop, under
+    // the same recursive-CTE oracle plus a size window
+    "q_dedup_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Components.clusterWeights(docs, "doc_id", chainEdges(docs))
+    }),
+
+    // substring-level (positional char-20-gram) duplication profile:
+    // the exact-span dedup pass (Lee et al. 2021) — stride 1 on the
+    // gate (the exact form; stride is the production subsample knob)
+    "q_dedup_spans" -> ((s, d) =>
+      Dedup.spanProfile(Tables.documents(s, d), "doc_id", "text",
+        k = 20, stride = 1, minDocs = 2, flagFrac = 0.5)),
+
+    // gaps-and-islands over the same window universe: the longest
+    // duplicated run per doc (one lifted passage vs scattered
+    // boilerplate)
+    "q_dedup_span_runs" -> ((s, d) =>
+      Dedup.spanRuns(Tables.documents(s, d), "doc_id", "text",
+        k = 20, stride = 1, minDocs = 2)),
 
     // sketch cardinality next to the exact answer: the constant-
     // memory scale path for distinct counts over arbitrary
@@ -225,6 +256,29 @@ object DedupPack extends QueryPack {
       |      / len(list_distinct(ga.g || gb.g)) >= 0.8
       |)""".stripMargin
 
+  /** SQL twin of [[chainEdges]] + the component closure: CTEs ending
+    * in cl(doc_id, cluster_id). Callers prepend WITH RECURSIVE. */
+  private val chainClustersCte: String =
+    """edges AS (
+      |  SELECT a.doc_id AS src, b.doc_id AS dst
+      |  FROM documents a JOIN documents b
+      |    ON b.doc_id = a.doc_id + 1
+      |   AND substr(a.text, 1, 1) = substr(b.text, 1, 1)
+      |),
+      |sym AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT dst AS src, src AS dst FROM edges
+      |),
+      |walk(id, comp) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+      |),
+      |cl AS (
+      |  SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+      |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
@@ -295,24 +349,89 @@ object DedupPack extends QueryPack {
     // walk enumerates every node reachable from each doc through the
     // symmetrized edges; min(reachable ∪ self) is the component label
     "q_components" ->
-      """WITH RECURSIVE
-        |edges AS (
-        |  SELECT a.doc_id AS src, b.doc_id AS dst
-        |  FROM documents a JOIN documents b
-        |    ON b.doc_id = a.doc_id + 1
-        |   AND substr(a.text, 1, 1) = substr(b.text, 1, 1)
+      s"""WITH RECURSIVE $chainClustersCte
+         |SELECT doc_id, cluster_id FROM cl
+         |""".stripMargin,
+    // the closure plus a size window: weight divides exact BIGINT
+    // counts into a round-6 double, same as the Spark side
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE $chainClustersCte
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+         |  round(CAST(1.0 AS DOUBLE)
+         |    / count(*) OVER (PARTITION BY cluster_id), 6) AS weight
+         |FROM cl
+         |""".stripMargin,
+    // positional char-20-gram replay of Dedup.spanProfile: range is
+    // Spark's sequence(1, greatest(len-19, 1)) (inclusive → exclusive
+    // +1), the clamped slice text[i:i+19] is substring(text, i, 20)
+    // truncated the same way at the tail, dup = grams in >= 2 distinct
+    // docs, and the flag compares the ROUNDED dup_frac exactly as the
+    // Spark column does. Gram identity is the raw substring here vs
+    // pmod(xxhash64) on the Spark side — collision-free at gate scale
+    // (SpanProfileSpec pins distinct-substrings == distinct-hashes on
+    // the gate corpus; demote to rows-only if that canary ever trips)
+    "q_dedup_spans" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(text) - 19, 1) + 1),
+        |      i -> text[i:i+19]) AS spans
+        |  FROM documents
         |),
-        |sym AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT dst AS src, src AS dst FROM edges
+        |pos AS (SELECT doc_id, unnest(spans) AS s FROM g),
+        |dup AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS c FROM pos GROUP BY s)
+        |  WHERE c >= 2
         |),
-        |walk(id, comp) AS (
-        |  SELECT doc_id, doc_id FROM documents
-        |  UNION
-        |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+        |cnt AS (
+        |  SELECT doc_id, count(*) AS n_dup
+        |  FROM pos JOIN dup USING (s) GROUP BY doc_id
         |)
-        |SELECT id AS doc_id, min(comp) AS cluster_id FROM walk GROUP BY id
+        |SELECT g.doc_id,
+        |  len(spans) AS n_spans,
+        |  coalesce(cnt.n_dup, 0) AS n_dup_spans,
+        |  round(CAST(coalesce(cnt.n_dup, 0) AS DOUBLE) / len(spans), 6)
+        |    AS dup_frac,
+        |  CASE WHEN round(CAST(coalesce(cnt.n_dup, 0) AS DOUBLE)
+        |                    / len(spans), 6) >= 0.5
+        |       THEN 1 ELSE 0 END AS flagged
+        |FROM g LEFT JOIN cnt USING (doc_id)
+        |""".stripMargin,
+    // same window universe, gaps-and-islands: zipped unnests carry the
+    // 0-based position (the q_embed_quantize alignment trick), islands
+    // are p - row_number() per doc, and the longest island converts to
+    // chars as (run-1)*stride + k (stride 1, k 20 at the gate)
+    "q_dedup_span_runs" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(text) - 19, 1) + 1),
+        |      i -> text[i:i+19]) AS spans
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, unnest(spans) AS s,
+        |    unnest(range(len(spans))) AS p
+        |  FROM g
+        |),
+        |dup AS (
+        |  SELECT s FROM (
+        |    SELECT s, count(DISTINCT doc_id) AS c FROM pos GROUP BY s)
+        |  WHERE c >= 2
+        |),
+        |islands AS (
+        |  SELECT doc_id, p,
+        |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+        |  FROM pos JOIN dup USING (s)
+        |),
+        |runs AS (
+        |  SELECT doc_id, grp, count(*) AS run FROM islands GROUP BY 1, 2
+        |),
+        |mx AS (SELECT doc_id, max(run) AS mx FROM runs GROUP BY doc_id)
+        |SELECT g.doc_id,
+        |  coalesce(mx.mx, 0) AS max_run_spans,
+        |  coalesce((mx.mx - 1) * 1 + 20, 0) AS max_run_chars
+        |FROM g LEFT JOIN mx USING (doc_id)
         |""".stripMargin,
     // q_dedup_minhash under the EXACT-pairs oracle: the operator
     // exact-verifies every banded candidate with set Jaccard, so its

@@ -69,6 +69,22 @@ object SimilarityPack extends QueryPack {
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.40)),
 
+    // SemDeDup-shaped semantic dedup: embedding near-dup pairs →
+    // transitive closure → one survivor (min vec_id) per semantic
+    // cluster. Same pair generation as q_embed_neardup (so the
+    // adaptive-param envelope pin covers both); the closure +
+    // survivor filter ride Components' pointer-jumping kernel, and
+    // the oracle replays pairs AND closure (nd CTEs + recursive walk)
+    "q_semdedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.nearDupPairs(emb, "vec_id", "embedding",
+          threshold = 0.40)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.operators.Components.canonicalDocs(
+        emb.select("vec_id"), "vec_id", pairs)
+    }),
+
     // DataFrame-native k-means (Lloyd's): the in-library producer of
     // ivfTopK's cluster column. The ITERATION's float arithmetic is
     // not SQL-replayable, but the returned assignment IS a pure
@@ -283,7 +299,12 @@ object SimilarityPack extends QueryPack {
     * 12 ("banding not SQL-expressible"); it is expressible — the
     * banding is deterministic given the seed, and the oracle text is
     * generated from the seeds. */
-  private def nearDupOracle: String = {
+  /** CTE chain replaying [[Similarity.nearDupPairs]] end-to-end —
+    * hyperplane bits, band signatures, bucket-cap prune, candidate
+    * join, cosine verify — ending in nd(id_a, id_b, cos). Shared by
+    * the q_embed_neardup and q_semdedup oracles; callers prepend
+    * WITH [RECURSIVE]. */
+  private def nearDupPairsCtes: String = {
     val (pool, r, bands, maxB, threshold) = (32, 8, 16, 1024, 0.40)
     val bitsList = Similarity.hyperplanes(64, pool, 7L).map { p =>
       val pl = p.map(_.toString).mkString("[", ", ", "]")
@@ -297,7 +318,7 @@ object SimilarityPack extends QueryPack {
           .mkString(" + ")
         s"  SELECT id, $j AS band, $sig AS sig FROM bits"
       }.mkString("\n  UNION ALL\n")
-    s"""WITH v0 AS (
+    s"""v0 AS (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
        |),
        |bits AS (SELECT id, v, $bitsList AS b FROM v0),
@@ -314,15 +335,40 @@ object SimilarityPack extends QueryPack {
        |  SELECT DISTINCT l.id AS id_a, r.id AS id_b
        |  FROM pruned l JOIN pruned r
        |    ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
-       |)
-       |SELECT id_a, id_b, round(cos, 4) AS cos FROM (
-       |  SELECT c.id_a, c.id_b, list_dot_product(a.v, b.v) AS cos
-       |  FROM cand c
-       |  JOIN v0 a ON a.id = c.id_a
-       |  JOIN v0 b ON b.id = c.id_b)
-       |WHERE cos >= $threshold
-       |""".stripMargin
+       |),
+       |nd AS (
+       |  SELECT id_a, id_b, cos FROM (
+       |    SELECT c.id_a, c.id_b, list_dot_product(a.v, b.v) AS cos
+       |    FROM cand c
+       |    JOIN v0 a ON a.id = c.id_a
+       |    JOIN v0 b ON b.id = c.id_b)
+       |  WHERE cos >= $threshold
+       |)""".stripMargin
   }
+
+  private def nearDupOracle: String =
+    s"""WITH $nearDupPairsCtes
+       |SELECT id_a, id_b, round(cos, 4) AS cos FROM nd
+       |""".stripMargin
+
+  /** The semantic-canonicalization oracle: the nd pair replay above,
+    * closed transitively (recursive walk over the symmetrized pairs,
+    * exactly the q_components CTE shape) — survivors are the docs
+    * whose component min is themselves. */
+  private def semdedupOracle: String =
+    s"""WITH RECURSIVE $nearDupPairsCtes,
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst FROM nd
+       |  UNION
+       |  SELECT id_b AS src, id_a AS dst FROM nd
+       |),
+       |walk(id, comp) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT w.id, s.dst FROM walk w JOIN sym s ON w.comp = s.src
+       |)
+       |SELECT id AS vec_id FROM walk GROUP BY id HAVING min(comp) = id
+       |""".stripMargin
 
   private def lshOracle(lit: String): String =
     s"""SELECT vec_id, round(sim, 4) AS sim FROM (
@@ -471,6 +517,7 @@ object SimilarityPack extends QueryPack {
       // SimilaritySpec — the oracle pins WHAT the banding computes,
       // the spec pins that it computes ENOUGH
       "q_embed_neardup" -> nearDupOracle,
+      "q_semdedup" -> semdedupOracle,
       // zipped unnests align (pos, q) element-wise; both sides round
       // half-away-from-zero on the identical double product
       "q_embed_quantize" ->

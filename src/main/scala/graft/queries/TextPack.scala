@@ -41,6 +41,16 @@ object TextPack extends QueryPack {
        |    (acc, d) -> acc * 16 + d)""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Misra–Gries two-pass heavy hitters over the corpus token stream:
+    // the candidate pass is a constant-memory sketch, the recount is
+    // exact — so the OUTPUT (all terms at >= 0.5% of corpus tokens,
+    // with exact counts) replays as a plain GROUP BY / HAVING oracle
+    "q_heavy_hitters" -> ((s, d) =>
+      graft.operators.Sketch.heavyHitters(
+        Tables.documents(s, d)
+          .select(explode(expr(TextAnalysis.tokensSql("text"))).as("term")),
+        "term", support = 0.005)),
+
     "q_token_count" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount("text").as("n_tokens"),
@@ -206,6 +216,19 @@ object TextPack extends QueryPack {
   private val stop = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'for', 'on')"
 
   override def oracleSql: Map[String, String] = Map(
+    // the two-pass output is sketch-free: exactly the terms at
+    // >= ceil(0.005 * N) occurrences with their exact counts, N =
+    // non-null corpus tokens under the shared single-space tokenizer
+    "q_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, count(*) AS cnt
+        |FROM toks, tot
+        |GROUP BY term, tot.n
+        |HAVING count(*) >= ceil(0.005 * tot.n)
+        |""".stripMargin,
     "q_token_count" ->
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS n_tokens,

@@ -87,6 +87,29 @@ class ComponentsSpec extends AnyFunSuite {
       "sanity: this is the exact shape where transitive clustering is required")
   }
 
+  test("clusterWeights: weight = 1/|cluster|, singletons weigh 1.0, mass sums to cluster count") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain {1,2,3} (non-transitive pair list), pair {5,6}, singleton 4
+    val pairs = Seq((2L, 3L), (1L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val got = Components.clusterWeights(docs, "doc_id", pairs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Double]("weight"))))
+      .toMap
+    assert(got(1L) == ((1L, 3L, 0.333333)))
+    assert(got(2L) == ((1L, 3L, 0.333333)))
+    assert(got(3L) == ((1L, 3L, 0.333333)))
+    assert(got(4L) == ((4L, 1L, 1.0)))
+    assert(got(5L) == ((5L, 2L, 0.5)))
+    assert(got(6L) == ((5L, 2L, 0.5)))
+    // soft-dedup invariant (up to round-6): total mass ≈ #clusters
+    val mass = got.values.map(_._3).sum
+    assert(math.abs(mass - 3.0) < 1e-4)
+  }
+
   test("random graph: components match union-find (seeded 2000-edge fuzz)") {
     val rnd = new scala.util.Random(12345)
     val edges = Seq.fill(2000)((rnd.nextInt(800).toLong, rnd.nextInt(800).toLong))

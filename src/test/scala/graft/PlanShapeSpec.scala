@@ -158,4 +158,39 @@ class PlanShapeSpec extends AnyFunSuite {
       l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
       s"boilerplate anti-join is not a broadcast LeftAnti:\n$p")
   }
+
+  test("span family: equi-joins only, and runs' islands window partitions by doc") {
+    // q_dedup_spans / q_dedup_span_runs explode O(chars) rows — the
+    // dup-set join back must stay a hash equi-join on the 8-byte gram
+    // hash (a cartesian here is corpus²), and the gaps-and-islands
+    // row_number must never collapse to a global single-partition
+    // window (the trap vocab's scaladoc documents).
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val ps = plan(graft.operators.Dedup.spanProfile(docs, "doc_id", "text"))
+    assert(!ps.contains("CartesianProduct"),
+      s"span profile degenerated to a cartesian:\n$ps")
+    val pr = plan(graft.operators.Dedup.spanRuns(docs, "doc_id", "text"))
+    assert(!pr.contains("CartesianProduct"),
+      s"span runs degenerated to a cartesian:\n$pr")
+    // physical Window prints `Window [fns], [partition cols], [order]`
+    // — a global window would show an EMPTY partition list `], []`
+    assert(pr.linesIterator.exists(l =>
+      l.contains("Window [") && l.contains("], [id#")),
+      s"islands window lost its per-doc partitioning:\n$pr")
+    spark.catalog.clearCache()
+  }
+
+  test("heavy hitters: candidate semi-join broadcasts; totals scalar adds no cartesian") {
+    // pass 2's whole point is that only CANDIDATE rows aggregate: the
+    // vals ⋈ candidates LeftSemi must broadcast the bounded candidate
+    // set, and the 1-row N scalar must ride a broadcast nested loop.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val toks = docs.select(explode(split(col("text"), " ")).as("term"))
+    val p = plan(graft.operators.Sketch.heavyHitters(toks, "term", 0.005))
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"candidate filter is not a broadcast LeftSemi:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"totals scalar degenerated to a cartesian:\n$p")
+  }
 }

@@ -336,6 +336,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(own >= 190, s"only $own/200 rows nearest their own center")
   }
 
+  test("semantic canonicalization keeps the min id of each embedding near-dup group") {
+    val s = spark
+    import s.implicits._
+    // three exact-duplicate groups + one unique vector, 64-dim axis
+    // vectors (cos = 1 within a group, 0 across groups): the closure
+    // over nearDupPairs must keep exactly each group's min vec_id.
+    // Near-identical vectors share every hyperplane bit, so banding
+    // surfaces them deterministically regardless of band geometry.
+    def axis(i: Int): Array[Float] = {
+      val v = Array.fill(64)(0f); v(i) = 1f; v
+    }
+    val df = Seq(
+      (1L, axis(0)), (2L, axis(0)),
+      (10L, axis(1)), (11L, axis(1)), (12L, axis(1)),
+      (20L, axis(2)),
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.9)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val kept = graft.operators.Components
+      .canonicalDocs(df.select("vec_id"), "vec_id", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 20L))
+    spark.catalog.clearCache()
+  }
+
   test("q_embed_neardup oracle constants match the adaptive params at the gate corpus") {
     // the oracle SQL (SimilarityPack.nearDupOracle) hardcodes
     // (r=8, pool=32, maxBucket=1024); nearDupPairs derives them from
