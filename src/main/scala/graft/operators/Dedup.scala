@@ -551,7 +551,9 @@ object Dedup {
     * ([[MetricListener.releaseAfterFirstAction]]). */
   /** Shared first half of the span family: the persisted per-doc gram
     * arrays, the position-indexed explode (`p` = 0-based sample
-    * index), and the corpus-wide duplicated-gram set. */
+    * index), and the corpus-wide duplicated-gram set — each dup gram
+    * carrying its `owner`, the MIN doc id containing it (the copy
+    * [[spanStrip]] preserves; profile/runs ignore it). */
   private def spanFrames(docs: DataFrame, idCol: String, textCol: String,
                          k: Int, stride: Int, minDocs: Int)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -565,9 +567,9 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the caller's hook
     val pos = spans.select(col("id"), posexplode(col("h")).as(Seq("p", "g")))
     val dup = pos.dropDuplicates("id", "g")
-      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"), min(col("id")).as("owner"))
       .filter(col("n_docs") >= minDocs)
-      .select("g")
+      .select("g", "owner")
     (spans, pos, dup)
   }
 
@@ -622,6 +624,51 @@ object Dedup {
         coalesce(col("mx"), lit(0L)).as("max_run_spans"),
         coalesce((col("mx") - 1) * stride + k, lit(0L))
           .cast("long").as("max_run_chars"))
+    MetricListener.releaseAfterFirstAction(result, spans,
+      isnotnull(col("h")) && size(col("h")) < 0, Seq(spans), keepCaches)
+  }
+
+  /** DESTRUCTIVE span dedup — the remove-all-but-one-copy pass of Lee
+    * et al. 2021, keyed deterministically: every corpus-duplicated
+    * window has an OWNER (the min doc id containing its gram); every
+    * OTHER doc loses the characters that window covers. Exactly one
+    * copy of each duplicated region survives corpus-wide, in the
+    * owner, and unshared text is untouched. Output: (id, stripped
+    * text, `dropped_chars`).
+    *
+    * Exact form only (`stride` is pinned at 1 — a strided strip would
+    * cut sampled windows but leave the gap chars between them, a
+    * half-measure with no published semantics; subsample with
+    * [[spanProfile]] + a flag-and-drop policy instead).
+    *
+    * Shape: the per-doc drop-start lists ride one groupBy (sorted
+    * arrays of int starts, bounded by doc length), joined back LEFT to
+    * the docs so untouched docs keep their text without rewriting.
+    * The rebuild is a per-row array expression — O(len · |starts|)
+    * interpreted HOF work only for docs that actually lose text. */
+  def spanStrip(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 20, minDocs: Int = 2,
+                keepCaches: Boolean = false): DataFrame = {
+    val (spans, pos, dup) = spanFrames(docs, idCol, textCol, k, 1, minDocs)
+    val dropStarts = pos.join(dup, "g")
+      .filter(col("id") =!= col("owner"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(col("p") + 1)).as("starts")) // 1-based char starts
+    val rebuilt = expr(
+      s"""concat_ws('', filter(
+         |  transform(sequence(1, length($textCol)),
+         |    i -> CASE WHEN exists(starts, s -> s <= i AND i < s + $k)
+         |              THEN NULL ELSE substring($textCol, i, 1) END),
+         |  x -> x IS NOT NULL))""".stripMargin)
+    val result = docs.select(col(idCol).as("id"), col(textCol))
+      .join(dropStarts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("starts").isNull, col(textCol)).otherwise(rebuilt)
+          .as(textCol),
+        length(col(textCol)).as("__orig_len"))
+      .withColumn("dropped_chars",
+        (col("__orig_len") - length(col(textCol))).cast("long"))
+      .drop("__orig_len")
     MetricListener.releaseAfterFirstAction(result, spans,
       isnotnull(col("h")) && size(col("h")) < 0, Seq(spans), keepCaches)
   }

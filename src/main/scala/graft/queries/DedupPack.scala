@@ -177,6 +177,13 @@ object DedupPack extends QueryPack {
       Dedup.spanRuns(Tables.documents(s, d), "doc_id", "text",
         k = 20, stride = 1, minDocs = 2)),
 
+    // the destructive pass: every duplicated window's chars removed
+    // from all docs but the window's owner (min doc id) — one copy of
+    // each duplicated region survives corpus-wide
+    "q_dedup_span_strip" -> ((s, d) =>
+      Dedup.spanStrip(Tables.documents(s, d), "doc_id", "text",
+        k = 20, minDocs = 2)),
+
     // sketch cardinality next to the exact answer: the constant-
     // memory scale path for distinct counts over arbitrary
     // cardinality. The GATE estimator is KMV (Sketch.kmvDistinct) —
@@ -432,6 +439,49 @@ object DedupPack extends QueryPack {
         |  coalesce(mx.mx, 0) AS max_run_spans,
         |  coalesce((mx.mx - 1) * 1 + 20, 0) AS max_run_chars
         |FROM g LEFT JOIN mx USING (doc_id)
+        |""".stripMargin,
+    // destructive replay: owner = min doc per dup gram, drop starts =
+    // this doc's positions of non-owned dup grams (1-based), rebuild =
+    // keep char i unless a dropped window [s, s+20) covers it —
+    // exactly the Spark-side HOF, lambda for lambda. The coalesce
+    // exists because DuckDB array_to_string([]) is NULL where Spark
+    // concat_ws is '' (a fully-stripped doc must yield '')
+    "q_dedup_span_strip" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |    list_transform(range(1, greatest(len(text) - 19, 1) + 1),
+        |      i -> text[i:i+19]) AS spans
+        |  FROM documents
+        |),
+        |pos AS (
+        |  SELECT doc_id, unnest(spans) AS s,
+        |    unnest(range(len(spans))) AS p
+        |  FROM g
+        |),
+        |own AS (
+        |  SELECT s, min(doc_id) AS owner FROM pos
+        |  GROUP BY s HAVING count(DISTINCT doc_id) >= 2
+        |),
+        |drops AS (
+        |  SELECT doc_id, list_sort(list(p + 1)) AS starts
+        |  FROM pos JOIN own USING (s)
+        |  WHERE doc_id != owner
+        |  GROUP BY doc_id
+        |)
+        |SELECT doc_id, stripped AS text,
+        |  len(text0) - len(stripped) AS dropped_chars
+        |FROM (
+        |  SELECT g.doc_id, g.text AS text0,
+        |    CASE WHEN drops.starts IS NULL THEN g.text ELSE
+        |      coalesce(array_to_string(list_filter(
+        |        list_transform(range(1, len(g.text) + 1),
+        |          i -> CASE WHEN len(list_filter(drops.starts,
+        |                       s -> s <= i AND i < s + 20)) > 0
+        |                    THEN NULL ELSE g.text[i:i] END),
+        |        x -> x IS NOT NULL), ''), '')
+        |    END AS stripped
+        |  FROM g LEFT JOIN drops USING (doc_id)
+        |)
         |""".stripMargin,
     // q_dedup_minhash under the EXACT-pairs oracle: the operator
     // exact-verifies every banded candidate with set Jaccard, so its

@@ -104,6 +104,38 @@ class SpanProfileSpec extends AnyFunSuite {
     assert(out(1L) == ((5L, 12L)))
   }
 
+  test("spanStrip: owners keep their text, non-owners lose exactly the shared region") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      1L -> "abcdefghij",    // owner of the shared grams (min id)
+      2L -> "abcdefghij",    // full duplicate: stripped to ''
+      3L -> "0123456789",    // unshared: untouched
+      4L -> "XXabcdefghYY",  // loses the mid-string copy only
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanStrip(df, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("dropped_chars"))))
+      .toMap
+    assert(out(1L) == (("abcdefghij", 0L)), "the owner copy must survive")
+    assert(out(2L) == (("", 10L)), "a full duplicate strips to empty")
+    assert(out(3L) == (("0123456789", 0L)))
+    assert(out(4L) == (("XXYY", 8L)), "only the shared abcdefgh region is cut")
+    // exactly one copy of the duplicated region survives corpus-wide
+    val survivors = out.values.count(_._1.contains("abcdefgh"))
+    assert(survivors == 1)
+  }
+
+  test("spanStrip: short-text clamp strips whole sub-k duplicates from non-owners") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(1L -> "ab", 2L -> "ab", 3L -> "cd").toDF("doc_id", "text")
+    val out = Dedup.spanStrip(df, "doc_id", "text", k = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    assert(out == Map(1L -> "ab", 2L -> "", 3L -> "cd"))
+  }
+
   test("gate-corpus canary: the hashed gram universe is collision-free at sf0.01") {
     // The q_dedup_spans oracle identifies grams by raw substring while
     // spanProfile identifies them by the full 64-bit xxhash64; they
