@@ -63,6 +63,14 @@ object Components {
   // removed as read; a metric that arrives after its deadline leaves
   // at most one stale long per timed-out call (observeBroken stops
   // further observes).
+  /** Below this many edge rows, per-round convergence is counted
+    * explicitly against the round's checkpoint instead of observed:
+    * the count is a tens-of-ms scan of a cached two-long frame,
+    * cheaper than waiting out async listener-bus metric delivery.
+    * Above it, the one-action observe path wins (its whole point is
+    * avoiding an extra pass that actually costs something). */
+  private[graft] val observeMinEdges = 1L << 20
+
   private val ccObsId = new java.util.concurrent.atomic.AtomicLong(0)
   private val ccMetrics =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
@@ -71,6 +79,20 @@ object Components {
     MetricListener.ensure(spark, "graft_cc_lowered_") { (name, row) =>
       ccMetrics.put(name, row.getAs[Long]("lowered"))
     }
+
+  /** Edge count at or below which the transitive closure is solved
+    * ON THE DRIVER (union-find over the collected edge list) instead
+    * of by the iterative distributed loop. Near-dup pair graphs are
+    * tiny relative to their corpus — pairs are the OUTPUT of banded
+    * LSH, already bounded by bucket caps — while each distributed
+    * round costs a fixed ~0.5 s of job scheduling + codegen no matter
+    * how few labels move (measured: 249 edges, 6 rounds, ~4 s of
+    * pure round overhead). 2^20 edges collect to ≤ ~16 MB of longs —
+    * bounded, like the k-row k-means centroid reads — and union-find
+    * finishes in milliseconds; past the bound the loop runs and the
+    * collect never happens. Callers that must exercise the
+    * distributed kernel (specs) pass `localSolveMaxEdges = 0`. */
+  private[graft] val defaultLocalSolveMaxEdges = 1L << 20
 
   /** (id, comp) for every node in `edges`: comp = min node id in the
     * node's connected component. Input columns `src`, `dst`
@@ -83,9 +105,38 @@ object Components {
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame =
     connectedComponentsWithStats(edges, maxIter).labels
 
+  /** Driver-side union-find with path compression over a collected
+    * edge array; labels = min member id per root, matching the
+    * distributed fixpoint exactly (ComponentsSpec pins equality on a
+    * seeded fuzz graph). */
+  private def localComponents(edgeArr: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeArr.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(ra) = rb
+    }
+    val nodes = parent.keys.toArray
+    val minOfRoot = scala.collection.mutable.LongMap.empty[Long]
+    nodes.foreach { n =>
+      val r = find(n)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, n), n)
+    }
+    nodes.map(n => n -> minOfRoot(find(n))).toMap
+  }
+
   /** [[connectedComponents]] plus the convergence signal. */
   def connectedComponentsWithStats(edges: DataFrame,
-                                   maxIter: Int = 25): ComponentsResult = {
+                                   maxIter: Int = 25,
+                                   localSolveMaxEdges: Long =
+                                     defaultLocalSolveMaxEdges): ComponentsResult = {
     // `edges` is typically the OUTPUT of an LSH near-dup pipeline —
     // symmetrizing by unioning two selects of it would execute that
     // whole upstream pipeline twice (band self-join + verify joins,
@@ -95,7 +146,21 @@ object Components {
     // partitions inside one stage, re-running upstream anyway.
     val e1 = edges.select(col("src"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e1.count()
+    val edgeRows = e1.count()
+    if (edgeRows <= localSolveMaxEdges) {
+      // small-graph fast path: the closure over a bounded edge list is
+      // driver arithmetic, not a job per round. The labels come back
+      // as a local relation — downstream cluster joins broadcast it.
+      val sp = edges.sparkSession
+      import sp.implicits._
+      val edgeArr = e1.select(col("src").cast("long"), col("dst").cast("long"))
+        .as[(Long, Long)].collect()
+      e1.unpersist()
+      log.info(s"connectedComponents: $edgeRows edges <= $localSolveMaxEdges — " +
+        "solved driver-side (union-find); distributed loop not entered")
+      val labels = localComponents(edgeArr).toSeq.toDF("id", "comp")
+      return ComponentsResult(labels, converged = true, iterations = 0)
+    }
     val sym = e1
       .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
@@ -111,8 +176,16 @@ object Components {
     var iter = 0
     // once a single metric misses its deadline, stop observing (the
     // delivery path is evidently broken in this session) and use the
-    // explicit count for the remaining rounds
-    var observeBroken = false
+    // explicit count for the remaining rounds. SMALL graphs start on
+    // the count path outright: the observe trick saves a full pass
+    // over the labels, which only pays once that pass is expensive —
+    // below ~1M edges a count of the round's CHECKPOINTED two-long
+    // frame is tens of ms, while metric delivery rides the async
+    // listener bus at 100s of ms per round (measured: the embedding
+    // near-dup graph at sf0.1, 249 edges, spent most of each ~0.9 s
+    // round waiting on delivery). Same labels, same convergence —
+    // only the convergence COUNTER's mechanism switches.
+    var observeBroken = edgeRows < observeMinEdges
     while (!converged && iter < maxIter) {
       // neighbor-min: smallest label among my neighbors
       val nbrMin = sym

@@ -25,7 +25,18 @@ class ComponentsSpec extends AnyFunSuite {
     nodes.map(n => n -> minOfRoot(find(n))).toMap
   }
 
+  /** Runs the DISTRIBUTED kernel (localSolveMaxEdges = 0) — these
+    * tests pin the pointer-jumping loop itself; the driver fast path
+    * is pinned separately against it below. */
   private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Components.connectedComponentsWithStats(edges.toDF("src", "dst"),
+        localSolveMaxEdges = 0L).labels
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+  }
+
+  private def ccLocal(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val s = spark
     import s.implicits._
     Components.connectedComponents(edges.toDF("src", "dst"))
@@ -55,14 +66,16 @@ class ComponentsSpec extends AnyFunSuite {
     import s.implicits._
     // a 64-link chain needs ~log2(64) rounds; one round cannot finish
     val edges = (1L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
-    val r = Components.connectedComponentsWithStats(edges, maxIter = 1)
+    val r = Components.connectedComponentsWithStats(edges, maxIter = 1,
+      localSolveMaxEdges = 0L)
     assert(!r.converged, "one round on a 64-chain must not claim convergence")
     assert(r.iterations === 1)
     // labels are still valid partial state (monotone lowering): ≤ own id
     r.labels.collect().foreach(row =>
       assert(row.getAs[Long]("comp") <= row.getAs[Long]("id")))
     // and the same graph WITH enough rounds converges, with the flag set
-    val full = Components.connectedComponentsWithStats(edges)
+    val full = Components.connectedComponentsWithStats(edges,
+      localSolveMaxEdges = 0L)
     assert(full.converged && full.iterations > 1)
     assert(full.labels.select("comp").distinct().count() === 1L)
   }
@@ -116,6 +129,16 @@ class ComponentsSpec extends AnyFunSuite {
       .filter(e => e._1 != e._2)
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     assert(ccOf(edges) === unionFind(nodes, edges))
+  }
+
+  test("driver fast path equals the distributed kernel on the fuzz graph") {
+    // below localSolveMaxEdges the closure is solved driver-side; the
+    // two paths must be indistinguishable in output (including the
+    // min-id label convention) — only the mechanism differs
+    val rnd = new scala.util.Random(54321)
+    val edges = Seq.fill(1500)((rnd.nextInt(600).toLong, rnd.nextInt(600).toLong))
+      .filter(e => e._1 != e._2)
+    assert(ccLocal(edges) === ccOf(edges))
   }
 
   test("canonicalDocs survivors contain no pair from the input pair list") {

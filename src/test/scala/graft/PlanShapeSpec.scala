@@ -116,7 +116,8 @@ class PlanShapeSpec extends AnyFunSuite {
     // with round count, analysis time growing superlinearly at scale).
     import spark.implicits._
     val edges = (0L until 64L).map(i => (i, i + 1)).toDF("src", "dst")
-    val res = graft.operators.Components.connectedComponentsWithStats(edges)
+    val res = graft.operators.Components.connectedComponentsWithStats(edges,
+      localSolveMaxEdges = 0L)
     assert(res.converged, "65-node chain did not converge within maxIter")
     assert(res.iterations <= 10,
       s"${res.iterations} rounds for a diameter-64 chain — pointer jumping regressed")
