@@ -628,6 +628,54 @@ object Dedup {
       isnotnull(col("h")) && size(col("h")) < 0, Seq(spans), keepCaches)
   }
 
+  /** The standing corpus's side of incremental span dedup: its
+    * DISTINCT positional-gram hashes, one `g` column — persist this
+    * via the catalog once, reuse per batch ([[spanProfileIncremental]]).
+    * Distinct keeps the index at vocabulary size, not corpus size. */
+  def spanGramIndex(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 20, stride: Int = 1): DataFrame = {
+    require(k >= 1 && stride >= 1, s"spanGramIndex needs k, stride >= 1")
+    spread(docs)
+      .select(explode(positionalGramHashes(textCol, k, stride)).as("g"))
+      .distinct()
+  }
+
+  /** Incremental [[spanProfile]]: profile only an incoming BATCH
+    * against a standing corpus's gram index ([[spanGramIndex]]) — a
+    * batch window is duplicated iff its gram already exists in the
+    * corpus. Per-batch cost scales with the batch (the corpus
+    * contributes a build side the join can broadcast or shuffle by
+    * hash); within-batch duplication is deliberately NOT counted —
+    * that is the full [[spanProfile]]'s job on the batch alone, and
+    * conflating the two would double-count when both passes run (the
+    * same batch-vs-corpus split as [[incrementalNearDups]]). */
+  def spanProfileIncremental(batch: DataFrame, corpusGrams: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 20, stride: Int = 1,
+                             flagFrac: Double = 0.5,
+                             keepCaches: Boolean = false): DataFrame = {
+    require(k >= 1 && stride >= 1, s"spanProfileIncremental needs k, stride >= 1")
+    val spans = spread(batch)
+      .select(col(idCol).as("id"),
+        positionalGramHashes(textCol, k, stride).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
+    val pos = spans.select(col("id"), explode(col("h")).as("g"))
+    val dupCounts = pos.join(corpusGrams.select(col("g")).distinct(), "g")
+      .groupBy("id").agg(count(lit(1)).as("n_dup"))
+    val result = spans.select(col("id"), size(col("h")).as("n_raw"))
+      .join(dupCounts, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_raw"), lit(0)).cast("long").as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") > 0,
+          round(col("n_dup_spans") / col("n_spans"), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("flagged", (col("dup_frac") >= flagFrac).cast("int"))
+    MetricListener.releaseAfterFirstAction(result, spans,
+      isnotnull(col("h")) && size(col("h")) < 0, Seq(spans), keepCaches)
+  }
+
   /** DESTRUCTIVE span dedup — the remove-all-but-one-copy pass of Lee
     * et al. 2021, keyed deterministically: every corpus-duplicated
     * window has an OWNER (the min doc id containing its gram); every

@@ -184,6 +184,19 @@ object DedupPack extends QueryPack {
       Dedup.spanStrip(Tables.documents(s, d), "doc_id", "text",
         k = 20, minDocs = 2)),
 
+    // incremental shape, same odd/even split as q_dedup_incremental:
+    // even ids stand in for the standing corpus (its gram index), odd
+    // ids for the incoming batch — batch windows are dup iff the gram
+    // already exists in the corpus
+    "q_dedup_spans_incremental" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(s, d)
+      val corpus = Dedup.spanGramIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", k = 20)
+      Dedup.spanProfileIncremental(docs.filter(col("doc_id") % 2 === 1),
+        corpus, "doc_id", "text", k = 20)
+    }),
+
     // sketch cardinality next to the exact answer: the constant-
     // memory scale path for distinct counts over arbitrary
     // cardinality. The GATE estimator is KMV (Sketch.kmvDistinct) —
@@ -394,6 +407,36 @@ object DedupPack extends QueryPack {
         |cnt AS (
         |  SELECT doc_id, count(*) AS n_dup
         |  FROM pos JOIN dup USING (s) GROUP BY doc_id
+        |)
+        |SELECT g.doc_id,
+        |  len(spans) AS n_spans,
+        |  coalesce(cnt.n_dup, 0) AS n_dup_spans,
+        |  round(CAST(coalesce(cnt.n_dup, 0) AS DOUBLE) / len(spans), 6)
+        |    AS dup_frac,
+        |  CASE WHEN round(CAST(coalesce(cnt.n_dup, 0) AS DOUBLE)
+        |                    / len(spans), 6) >= 0.5
+        |       THEN 1 ELSE 0 END AS flagged
+        |FROM g LEFT JOIN cnt USING (doc_id)
+        |""".stripMargin,
+    // the incremental split replayed: corpus = distinct grams of even
+    // docs, batch = positional grams of odd docs, dup = membership
+    "q_dedup_spans_incremental" ->
+      """WITH corpus AS (
+        |  SELECT DISTINCT unnest(list_transform(
+        |    range(1, greatest(len(text) - 19, 1) + 1),
+        |    i -> text[i:i+19])) AS s
+        |  FROM documents WHERE doc_id % 2 = 0
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(len(text) - 19, 1) + 1),
+        |      i -> text[i:i+19]) AS spans
+        |  FROM documents WHERE doc_id % 2 = 1
+        |),
+        |pos AS (SELECT doc_id, unnest(spans) AS s FROM g),
+        |cnt AS (
+        |  SELECT doc_id, count(*) AS n_dup
+        |  FROM pos JOIN corpus USING (s) GROUP BY doc_id
         |)
         |SELECT g.doc_id,
         |  len(spans) AS n_spans,

@@ -136,6 +136,29 @@ class SpanProfileSpec extends AnyFunSuite {
     assert(out == Map(1L -> "ab", 2L -> "", 3L -> "cd"))
   }
 
+  test("incremental profile: batch windows dup iff the gram is in the corpus index") {
+    val s = spark
+    import s.implicits._
+    val corpusDocs = Seq(10L -> "abcdefghij").toDF("doc_id", "text")
+    val idx = Dedup.spanGramIndex(corpusDocs, "doc_id", "text", k = 4)
+    val batch = Seq(
+      1L -> "abcdefghij",   // fully known to the corpus
+      2L -> "0123456789",   // novel
+      3L -> "abcd4567",     // one corpus window (abcd), rest novel
+      4L -> "0123 0123 01", // repeats WITHIN the batch only: NOT dup here
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanProfileIncremental(batch, idx, "doc_id", "text", k = 4)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"))))
+      .toMap
+    assert(out(1L) == ((7L, 7L)))
+    assert(out(2L) == ((7L, 0L)))
+    assert(out(3L) == ((5L, 1L)))
+    assert(out(4L)._2 == 0L,
+      "within-batch repetition must not count — that is spanProfile's job")
+  }
+
   test("gate-corpus canary: the hashed gram universe is collision-free at sf0.01") {
     // The q_dedup_spans oracle identifies grams by raw substring while
     // spanProfile identifies them by the full 64-bit xxhash64; they
