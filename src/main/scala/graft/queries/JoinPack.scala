@@ -67,6 +67,30 @@ object JoinPack extends QueryPack {
         .agg(count(lit(1)).as("cnt"),
              round(sum(col("o_totalprice")), 2).as("revenue"))
     }),
+
+    // RANGE join via RangeJoin's binned equi-join (a bare non-equi
+    // condition would plan BroadcastNestedLoop — quadratic scan work):
+    // how many lineitems shipped inside each sampled order's first
+    // week. Dates quantized to epoch DAYS up front (the gate compares
+    // no timestamps), binWidth = the 7-day interval length.
+    "q_range_join" -> ((s, d) => {
+      // datediff, not unix_micros: the parquet dates are TIMESTAMP_NTZ
+      // (unix_micros rejects NTZ) and midnight-aligned, so epoch days
+      // == calendar-day diff on both engines
+      val iv = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"), lit("1970-01-01"))
+            .cast("long").as("lo_day"))
+        .withColumn("hi_day", col("lo_day") + 6)
+      val pts = Tables.lineitem(s, d)
+        .select(datediff(col("l_shipdate"), lit("1970-01-01"))
+          .cast("long").as("ship_day"))
+      graft.operators.RangeJoin
+        .pointsInIntervals(pts, "ship_day", iv, "lo_day", "hi_day", binWidth = 7)
+        .groupBy(col("o_orderkey"), col("lo_day"), col("hi_day"))
+        .agg(count(lit(1)).as("n_points"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -99,5 +123,22 @@ object JoinPack extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+    // the binning is an implementation detail — the oracle replays the
+    // SEMANTICS as a plain BETWEEN join (exact at gate scale)
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS lo_day,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 6 AS hi_day
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |),
+        |pts AS (
+        |  SELECT CAST(floor(epoch(l_shipdate) / 86400) AS BIGINT) AS ship_day
+        |  FROM lineitem
+        |)
+        |SELECT o_orderkey, lo_day, hi_day, count(*) AS n_points
+        |FROM iv JOIN pts ON ship_day BETWEEN lo_day AND hi_day
+        |GROUP BY 1, 2, 3
+        |""".stripMargin,
   )
 }
