@@ -35,6 +35,13 @@ object RangeJoin {
 
   private def bin(c: Column, w: Long): Column = floor(c / lit(w)).cast("long")
 
+  private def binned(df: DataFrame, loCol: String, hiCol: String,
+                     w: Long): DataFrame =
+    df.filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__graft_bin",
+        explode(sequence(bin(col(loCol), w), bin(col(hiCol), w))))
+
   def pointsInIntervals(points: DataFrame, pCol: String,
                         intervals: DataFrame, loCol: String, hiCol: String,
                         binWidth: Long): DataFrame = {
@@ -42,13 +49,29 @@ object RangeJoin {
     require(points.columns.toSet.intersect(intervals.columns.toSet).isEmpty,
       "points and intervals must not share column names — rename before joining")
     val p = points.withColumn("__graft_bin", bin(col(pCol), binWidth))
-    val iv = intervals
-      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
-        col(loCol) <= col(hiCol))
-      .withColumn("__graft_bin",
-        explode(sequence(bin(col(loCol), binWidth), bin(col(hiCol), binWidth))))
-    p.join(iv, Seq("__graft_bin"))
+    p.join(binned(intervals, loCol, hiCol, binWidth), Seq("__graft_bin"))
       .filter(col(pCol) >= col(loCol) && col(pCol) <= col(hiCol))
+      .drop("__graft_bin")
+  }
+
+  /** Interval×interval OVERLAP join — pairs where
+    * `[loA,hiA] ∩ [loB,hiB] ≠ ∅` (`loA <= hiB && loB <= hiA`), same
+    * binning strategy. Overlapping intervals can share MANY bins, so
+    * exactly-once pairing needs a tie-break instead of a dedup pass:
+    * a pair is emitted only from the bin of `greatest(loA, loB)` —
+    * the later start, which any overlapping pair contains in both
+    * covered-bin lists exactly once. No dropDuplicates, so the output
+    * never re-shuffles on the (wide) pair key. */
+  def intervalsOverlap(a: DataFrame, loA: String, hiA: String,
+                       b: DataFrame, loB: String, hiB: String,
+                       binWidth: Long): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
+      "the two interval frames must not share column names — rename before joining")
+    binned(a, loA, hiA, binWidth)
+      .join(binned(b, loB, hiB, binWidth), Seq("__graft_bin"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA) &&
+        col("__graft_bin") === bin(greatest(col(loA), col(loB)), binWidth))
       .drop("__graft_bin")
   }
 }

@@ -91,6 +91,28 @@ object JoinPack extends QueryPack {
         .groupBy(col("o_orderkey"), col("lo_day"), col("hi_day"))
         .agg(count(lit(1)).as("n_points"))
     }),
+
+    // interval×interval overlap via the same binning (exactly-once by
+    // later-start-bin tie-break, no dedup shuffle): which of one
+    // sample's order weeks overlap which of a disjoint sample's
+    "q_range_overlap" -> ((s, d) => {
+      def weeks(mod: Int, key: String, lo: String, hi: String) =
+        Tables.orders(s, d)
+          .filter(col("o_orderkey") % 97 === mod)
+          .select(col("o_orderkey").as(key),
+            datediff(col("o_orderdate"), lit("1970-01-01"))
+              .cast("long").as(lo))
+          .withColumn(hi, col(lo) + 6)
+      graft.operators.RangeJoin.intervalsOverlap(
+          weeks(0, "a_key", "a_lo", "a_hi"),
+          "a_lo", "a_hi",
+          weeks(1, "b_key", "b_lo", "b_hi"),
+          "b_lo", "b_hi", binWidth = 7)
+        .select(col("a_key"), col("a_lo"), col("a_hi"),
+          col("b_key"), col("b_lo"), col("b_hi"),
+          (least(col("a_hi"), col("b_hi")) -
+            greatest(col("a_lo"), col("b_lo")) + 1).as("overlap_days"))
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -139,6 +161,23 @@ object JoinPack extends QueryPack {
         |SELECT o_orderkey, lo_day, hi_day, count(*) AS n_points
         |FROM iv JOIN pts ON ship_day BETWEEN lo_day AND hi_day
         |GROUP BY 1, 2, 3
+        |""".stripMargin,
+    "q_range_overlap" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS a_key,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS a_lo,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 6 AS a_hi
+        |  FROM orders WHERE o_orderkey % 97 = 0
+        |),
+        |b AS (
+        |  SELECT o_orderkey AS b_key,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS b_lo,
+        |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) + 6 AS b_hi
+        |  FROM orders WHERE o_orderkey % 97 = 1
+        |)
+        |SELECT a_key, a_lo, a_hi, b_key, b_lo, b_hi,
+        |  least(a_hi, b_hi) - greatest(a_lo, b_lo) + 1 AS overlap_days
+        |FROM a JOIN b ON a_lo <= b_hi AND b_lo <= a_hi
         |""".stripMargin,
   )
 }

@@ -77,6 +77,31 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("intervalsOverlap equals the brute-force overlap join, exactly once per pair") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(777)
+    val as = (1L to 60L).map { id =>
+      val lo = rnd.nextInt(1000).toLong; (id, lo, lo + rnd.nextInt(90)) }
+    val bs = (1L to 70L).map { id =>
+      val lo = rnd.nextInt(1000).toLong; (id, lo, lo + rnd.nextInt(90)) }
+    val truth = (for {
+      (ai, alo, ahi) <- as
+      (bi, blo, bhi) <- bs
+      if alo <= bhi && blo <= ahi
+    } yield (ai, bi)).toSet
+    assert(truth.nonEmpty)
+    for (w <- Seq(1L, 13L, 200L)) {
+      val rows = graft.operators.RangeJoin.intervalsOverlap(
+          as.toDF("a_id", "a_lo", "a_hi"), "a_lo", "a_hi",
+          bs.toDF("b_id", "b_lo", "b_hi"), "b_lo", "b_hi", w)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.length === rows.toSet.size,
+        s"binWidth=$w emitted duplicate pairs — the later-start tie-break failed")
+      assert(rows.toSet === truth, s"binWidth=$w")
+    }
+  }
+
   test("plan is a hash equi-join on the bin — never a nested-loop over all pairs") {
     val s = spark
     import s.implicits._
