@@ -4,6 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, max, min}
 
 /** One catalog entry: where a named dataset lives and (simulated)
   * which hosts replicate it. On a real cluster the path would sit on
@@ -257,6 +258,41 @@ final class Catalog(spark: SparkSession, root: String,
     * uncorrected behavior. Ratios above 1 are legal: for frames built
     * in memory (range/localRelation) the plan estimate can UNDERSHOOT
     * the written bytes, and a measured ratio then exceeds 1. */
+  /** `put` with a Z-ORDERED layout over two numeric/date columns —
+    * the multi-dimensional pruning layout (Delta `OPTIMIZE ZORDER`,
+    * Iceberg sort orders): rows are range-partitioned and sorted by
+    * the Morton interleave of the two columns' bit-normalized values
+    * ([[graft.functions.ZOrder]]), so every parquet file covers a
+    * TILE of the 2-D space and its footer min/max statistics are
+    * tight on BOTH columns. Range predicates on either column then
+    * skip whole files/row-groups at scan time, where a single-column
+    * sort skips only on its one column. The bounds used for
+    * normalization come from one 1-row aggregate (bounded driver
+    * read, the centroid-stats class); the z column itself never
+    * lands on disk. */
+  def putZOrdered(name: String, df: DataFrame, colA: String, colB: String,
+                  numFiles: Int = 0, bits: Int = 16,
+                  format: String = "parquet",
+                  options: Map[String, String] = Map.empty): CatalogEntry = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
+    val a = col(colA)
+    val b = col(colB)
+    val st = df.agg(min(a).as("alo"), max(a).as("ahi"),
+      min(b).as("blo"), max(b).as("bhi")).first()
+    val z = graft.functions.ZOrder.zValue(
+      a, lit(st.get(0)), lit(st.get(1)),
+      b, lit(st.get(2)), lit(st.get(3)), bits)
+    val n = if (numFiles > 0) numFiles
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    writeVersioned(name, format, options) { dir =>
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(n, col("__graft_z"))
+        .sortWithinPartitions("__graft_z")
+        .drop("__graft_z")
+        .write.format(format).options(options).mode(SaveMode.Overwrite).save(dir)
+    }
+  }
+
   def putCompacted(name: String, df: DataFrame,
                    targetFileBytes: Long = 128L << 20,
                    format: String = "parquet",
