@@ -32,6 +32,22 @@ object EventPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the Z-order curve arithmetic under the hash gate: per-event
+    // Morton value of (value, user_id) over corpus min/max bounds —
+    // the same expression putZOrdered lays files out by, replayed
+    // bit-for-bit in DuckDB (16-term interleave over the identical
+    // double normalization)
+    "q_zorder" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, min, max}
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(min(col("value")).as("alo"), max(col("value")).as("ahi"),
+        min(col("user_id")).as("blo"), max(col("user_id")).as("bhi"))
+      ev.crossJoin(bounds)
+        .select(col("event_id"),
+          graft.functions.ZOrder.zValue(
+            col("value"), col("alo"), col("ahi"),
+            col("user_id"), col("blo"), col("bhi"), bits = 16).as("z"))
+    }),
     // hourly tumbling window per event_type; same expressions as the
     // streaming query (EventStreamSpec asserts stream == batch)
     "q_event_window" -> ((s, d) =>
@@ -136,7 +152,39 @@ object EventPack extends QueryPack {
     }),
   )
 
+  /** 16-term Morton interleave in SQL, generated to match
+    * [[graft.functions.ZOrder.interleave]] term for term. */
+  private def zInterleaveSql(na: String, nb: String): String =
+    (0 until 16).map { i =>
+      s"((($na >> $i) & 1) << ${2 * i}) | ((($nb >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+
+  /** [[graft.functions.ZOrder.normalized]] in SQL: identical double
+    * arithmetic — (v − lo) / span × maxI, floored, clamped. */
+  private def zNormSql(v: String, lo: String, hi: String): String =
+    s"""CASE WHEN $v IS NULL OR (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) <= 0
+       |     THEN 0
+       |     ELSE least(65535, greatest(0, CAST(floor(
+       |       (CAST($v AS DOUBLE) - CAST($lo AS DOUBLE))
+       |         / (CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) * 65535)
+       |       AS BIGINT)))
+       |END""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q_zorder" ->
+      s"""WITH b AS (
+         |  SELECT min(value) AS alo, max(value) AS ahi,
+         |         min(user_id) AS blo, max(user_id) AS bhi
+         |  FROM events
+         |),
+         |n AS (
+         |  SELECT event_id,
+         |    ${zNormSql("value", "b.alo", "b.ahi")} AS na,
+         |    ${zNormSql("user_id", "b.blo", "b.bhi")} AS nb
+         |  FROM events, b
+         |)
+         |SELECT event_id, ${zInterleaveSql("na", "nb")} AS z FROM n
+         |""".stripMargin,
     "q_event_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
