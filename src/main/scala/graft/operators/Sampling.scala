@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic exact-size sampling.
+  *
+  * The corpus-pipeline gap these close: `df.sample(fraction)` gives a
+  * BINOMIAL row count (different every run, and per partition), which
+  * is wrong for "exactly n eval docs per source" manifests, and its
+  * seed interacts with partitioning — a repartitioned rerun samples
+  * different rows. Hash-rank sampling fixes both: the selection key is
+  * md5 of row CONTENT, so the sample is a pure function of the data —
+  * stable under repartitioning, stage retries, and incremental reruns
+  * (the same doc is always in or always out), the same
+  * determinism-over-randomness trade every split/mix operator here
+  * makes (`TextAnalysis.hashSplit`, `sourceMix`).
+  *
+  * Scale shapes:
+  *  - [[uniformSample]]: global top-n by hash = TakeOrderedAndProject
+  *    — each task keeps n rows, the driver merges n·tasks, no full
+  *    sort, no shuffle of the data.
+  *  - [[stratifiedSample]]: n per stratum via [[Skew.saltedTopK]] —
+  *    WindowGroupLimit bounds the per-stratum exchange for small n,
+  *    the salted two-phase takes over for large n, so a hot stratum
+  *    never funnels through one task.
+  *
+  * Both replay in an engine as `row_number() OVER (ORDER BY md5(...))`
+  * (q_sample_stratified hash-checks the stratified form in DuckDB).
+  */
+object Sampling {
+
+  /** The selection key: md5 over stratum + id. Strings, not the faster
+    * xxhash64, because md5 hex compares identically in every engine —
+    * the ORDER is the contract, and it must survive an oracle replay.
+    * Nulls coalesce to '' so both engines order null strata the same
+    * way. */
+  private def selectionKey(stratumCol: String, idCol: String) =
+    md5(concat(coalesce(col(stratumCol).cast("string"), lit("")), lit("#"),
+      col(idCol).cast("string")))
+
+  /** Exactly `n` rows (fewer iff the input is smaller), uniformly by
+    * content hash of `idCol`, deterministic under any partitioning. */
+  def uniformSample(df: DataFrame, idCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"uniformSample needs n >= 1, got $n")
+    val keyed = df.withColumn("__sk",
+      md5(concat(lit("#"), col(idCol).cast("string"))))
+    keyed.orderBy(col("__sk"), col(idCol)).limit(n).drop("__sk")
+  }
+
+  /** Exactly `n` rows per distinct value of `stratumCol` (fewer iff a
+    * stratum is smaller), by per-stratum content-hash rank. `idCol`
+    * must be unique per row (it is the hash input and the tiebreak —
+    * a total order, as [[Skew.saltedTopK]] requires). */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    require(n >= 1, s"stratifiedSample needs n >= 1, got $n")
+    require(!df.columns.contains("__sk"),
+      "stratifiedSample: input already has a __sk column")
+    val keyed = df.withColumn("__sk", selectionKey(stratumCol, idCol))
+    Skew.saltedTopK(keyed, Seq(stratumCol), Seq(col("__sk"), col(idCol)),
+        n, rankCol = "__rn", saltCols = Seq(col("__sk"), col(idCol)))
+      .drop("__sk", "__rn")
+  }
+}

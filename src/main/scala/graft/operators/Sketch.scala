@@ -74,6 +74,57 @@ object Sketch {
           .cast("long").as("approx_docs"))
   }
 
+  /** Bucket of `valueExpr` in row `rowExpr` of a width-`width`
+    * count-min sketch: the 60-bit md5 hash of the value,
+    * domain-separated per row by a '#row' suffix, mod width. Pure
+    * builtin arithmetic — DuckDB replays it digit-for-digit
+    * (q_cms_freq). */
+  def cmsBucketSql(valueExpr: String, rowExpr: String, width: Int): String =
+    s"pmod(${md5Hash60Sql(s"concat($valueExpr, '#', cast($rowExpr as string))")}, $width)"
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over the stream
+    * of `valueCol` values: `depth` rows of `width` counters,
+    * counter(i, b) = number of rows whose row-i hash lands in bucket
+    * b. The 100 TB property: the aggregate has at most depth·width
+    * distinct keys REGARDLESS of the value cardinality — where an
+    * exact `groupBy(value).count()` over a 10⁸-key token vocabulary
+    * shuffles every key, the sketch's shuffle is bounded by two small
+    * parameters, and the per-partition partials are mergeable by
+    * plain addition (pinned in CmsSpec). Output: (i, bucket, cnt). */
+  def cmsCounters(df: DataFrame, valueCol: String,
+                  width: Int, depth: Int): DataFrame = {
+    require(width >= 2, s"cms width must be >= 2, got $width")
+    require(depth >= 1, s"cms depth must be >= 1, got $depth")
+    df.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .select(explode(array((0 until depth).map(lit): _*)).as("i"), col("v"))
+      .select(col("i"), expr(cmsBucketSql("v", "i", width)).as("bucket"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch: for every distinct probe value, the
+    * count-min estimate min_i counter(i, bucket_i(v)) — an upper
+    * bound on the true frequency (collisions only ADD), exact when no
+    * probe collides in some row. Standard error bound: overestimate
+    * ≤ 2N/width with probability ≥ 1 − 2^−depth. Absent buckets read
+    * as 0, so never-seen values estimate 0, not null. */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, valueCol: String,
+                  width: Int, depth: Int): DataFrame =
+    probes.select(col(valueCol).cast("string").as("v"))
+      .filter(col("v").isNotNull).distinct()
+      .select(col("v"), explode(array((0 until depth).map(lit): _*)).as("i"))
+      .select(col("v"), col("i"), expr(cmsBucketSql("v", "i", width)).as("bucket"))
+      .join(counters, Seq("i", "bucket"), "left")
+      .groupBy(col("v"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+      .select(col("v").as(valueCol), col("est"))
+
+  /** Build + probe in one call (the q_cms_freq composition). */
+  def cmsFreq(df: DataFrame, valueCol: String, probes: DataFrame,
+              width: Int = 4096, depth: Int = 4): DataFrame =
+    cmsEstimate(cmsCounters(df, valueCol, width, depth), probes, valueCol,
+      width, depth)
+
   /** EXACT heavy hitters with sketch-bounded shuffle: every distinct
     * value of `valueCol` whose frequency is ≥ `support` · N, with its
     * exact count — the Misra–Gries two-pass (candidates from a

@@ -68,6 +68,24 @@ object JoinPack extends QueryPack {
              round(sum(col("o_totalprice")), 2).as("revenue"))
     }),
 
+    // Bloom-pruned semi-join: lineitems of suppliers from one nation.
+    // The dim (a few % of suppliers) builds a 2^16-bit bloom; the
+    // fact side drops non-matching rows MAP-SIDE (codegen'd
+    // xxhash64+mask filter) before the join sees them; an exact
+    // left-semi behind the probe makes the output sketch-free, so the
+    // oracle is a plain EXISTS. At 100 TB this is the "prune before
+    // you shuffle" path for selective dims too big to broadcast.
+    "q_bloom_semi" -> ((s, d) => {
+      val dim = Tables.supplier(s, d)
+        .filter(col("s_nationkey") === 3).select(col("s_suppkey"))
+      graft.operators.BloomFilter.prunedSemiJoin(
+          Tables.lineitem(s, d), "l_suppkey", dim, "s_suppkey",
+          numBits = 1 << 16)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
     // RANGE join via RangeJoin's binned equi-join (a bare non-equi
     // condition would plan BroadcastNestedLoop — quadratic scan work):
     // how many lineitems shipped inside each sampled order's first
@@ -145,6 +163,16 @@ object JoinPack extends QueryPack {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
+    // the bloom probe is a pure pruning step — the oracle replays the
+    // SEMANTICS (an exact semi-join) with no sketch in sight
+    "q_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM supplier
+        |  WHERE s_suppkey = l_suppkey AND s_nationkey = 3)
+        |GROUP BY 1""".stripMargin,
+
     // the binning is an implementation detail — the oracle replays the
     // SEMANTICS as a plain BETWEEN join (exact at gate scale)
     "q_range_join" ->

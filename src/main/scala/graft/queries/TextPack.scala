@@ -12,6 +12,23 @@ import graft.operators.TextAnalysis
   */
 object TextPack extends QueryPack {
 
+  /** One temp store root per (store, sfDir), shared across Verify's
+    * build+probe and cleaned at JVM exit (the SimilarityPack
+    * pattern). */
+  private val storeRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def storeRoot(store: String, dataDir: String): String =
+    storeRoots.computeIfAbsent(s"$store|$dataDir", _ => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-$store")
+      sys.addShutdownHook(graft.catalog.Catalog.deleteRecursively(p))
+      p.toString
+    })
+
+  /** The conjunctive search probe shared by q_index_search (scan
+    * form) and q_index_stored (posting-index form) — same terms, so
+    * the two plans must return identical rows under one oracle. */
+  private val searchTerms = Seq("spark", "hash", "window")
+
   /** DuckDB replay of [[graft.functions.RollingHash]] over a
     * hex-encoded-bytes column `hexCol` (produce it upstream as
     * `lower(hex(encode(<string>)))` so the encode runs once per row):
@@ -211,6 +228,49 @@ object TextPack extends QueryPack {
         .groupBy("bigram").agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
+
+    // count-min sketch frequency estimation: depth×width counters
+    // (bounded shuffle regardless of vocabulary size), point-queried
+    // for the terms of every 101st doc. The md5-derived bucket
+    // arithmetic is engine-replayable, so the gate hash-checks an
+    // actual sketch — same trick as q_approx_distinct's KMV
+    "q_cms_freq" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(explode(expr(TextAnalysis.tokensSql("text"))).as("term"))
+      val probes = Tables.documents(s, d).filter(col("doc_id") % 101 === 0)
+        .select(explode(expr(TextAnalysis.tokensSql("text"))).as("term"))
+      graft.operators.Sketch.cmsFreq(toks, "term", probes,
+        width = 4096, depth = 4)
+    }),
+
+    // deterministic exact-size stratified sample: 5 docs per source,
+    // selected by content-hash rank — stable under repartitioning,
+    // unlike df.sample's binomial per-partition draw
+    "q_sample_stratified" -> ((s, d) =>
+      graft.operators.Sampling.stratifiedSample(
+          Tables.documents(s, d), "source", "doc_id", n = 5)
+        .select("source", "doc_id")),
+
+    // conjunctive keyword search, scan form: substring prefilter
+    // (StringContains pushdown) + exact token membership, one narrow
+    // pass, no shuffle
+    "q_index_search" -> ((s, d) =>
+      graft.operators.Search.searchAllTerms(
+        Tables.documents(s, d), "doc_id", "text", searchTerms)),
+
+    // the same query through a stored posting index partitioned by
+    // term-hash bucket: the probe reads only the matching bucket
+    // directories (planning-time PartitionFilters, pinned in
+    // SearchSpec) and intersects posting rows of the probed terms only
+    "q_index_stored" -> ((s, d) => {
+      val cat = new graft.catalog.Catalog(s, storeRoot("idxstore", d))
+      graft.operators.Search.storePostings(cat, "postings",
+        Tables.documents(s, d), "doc_id", "text", buckets = 64)
+      val out = graft.operators.Search.searchPostings(
+        cat.get("postings"), searchTerms, buckets = 64, docCol = "doc_id")
+      cat.close()
+      out
+    }),
   )
 
   private val stop = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'for', 'on')"
@@ -574,5 +634,62 @@ object TextPack extends QueryPack {
         |SELECT doc_id, array_to_string(list(seg ORDER BY p), ' ')
         |  AS deduped
         |FROM firsts GROUP BY doc_id""".stripMargin,
+
+    // the sketch itself is replayed: identical md5-derived buckets,
+    // identical depth×width counters, identical min-over-rows read —
+    // both sides of pmod are nonnegative so DuckDB's % matches
+    "q_cms_freq" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS v FROM documents
+         |),
+         |probes AS (
+         |  SELECT DISTINCT unnest(string_split(text, ' ')) AS v
+         |  FROM documents WHERE doc_id % 101 = 0
+         |),
+         |grid AS (SELECT unnest(range(4)) AS i),
+         |th AS (
+         |  SELECT i, md5(v || '#' || CAST(i AS VARCHAR)) AS h
+         |  FROM toks CROSS JOIN grid
+         |),
+         |counters AS (
+         |  SELECT i, ${hexFoldSql("h", 15)} % 4096 AS bucket,
+         |    count(*) AS cnt
+         |  FROM th GROUP BY 1, 2
+         |),
+         |ph AS (
+         |  SELECT v, i, md5(v || '#' || CAST(i AS VARCHAR)) AS h
+         |  FROM probes CROSS JOIN grid
+         |),
+         |pb AS (
+         |  SELECT v, i, ${hexFoldSql("h", 15)} % 4096 AS bucket FROM ph
+         |)
+         |SELECT pb.v AS term, min(coalesce(cnt, CAST(0 AS BIGINT))) AS est
+         |FROM pb LEFT JOIN counters USING (i, bucket)
+         |GROUP BY 1""".stripMargin,
+
+    // the hash-rank selection replayed literally: same md5 string,
+    // same per-stratum rank, same cut
+    "q_sample_stratified" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(coalesce(CAST(source AS VARCHAR), '')
+        |                   || '#' || CAST(doc_id AS VARCHAR)),
+        |               doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 5""".stripMargin,
+
+    // both search plans answer the same conjunctive predicate — the
+    // index and the prefilter are pruning detail, not semantics
+    "q_index_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'spark')
+        |  AND list_contains(string_split(text, ' '), 'hash')
+        |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+    "q_index_stored" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(string_split(text, ' '), 'spark')
+        |  AND list_contains(string_split(text, ' '), 'hash')
+        |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
   )
 }

@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sketch
+
+class CmsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def zipfStream = {
+    val spark2 = spark
+    import spark2.implicits._
+    // value v appears ~ 2000/v times: a few heavy keys, a long tail
+    (1 to 60).flatMap(v => Seq.fill(2000 / v)(s"w$v")).toDF("term")
+  }
+
+  test("count-min estimates are one-sided: est >= true count, never under") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = zipfStream
+    val truth = df.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = truth.keys.toSeq.toDF("term")
+    // deliberately narrow sketch so collisions actually occur
+    val est = Sketch.cmsFreq(df, "term", probes, width = 16, depth = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === truth.keySet)
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"underestimate for $t: ${est(t)} < $c")
+    }
+  }
+
+  test("a wide-enough sketch is exact; unseen probes estimate 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = zipfStream
+    val truth = df.groupBy("term").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val probes = (truth.keys.toSeq :+ "never-seen").toDF("term")
+    // 60 distinct keys in 2^14 buckets, depth 4: collision odds in
+    // EVERY row are negligible; the min picks a collision-free row
+    val est = Sketch.cmsFreq(df, "term", probes, width = 1 << 14, depth = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (t, c) => assert(est(t) === c) }
+    assert(est("never-seen") === 0L)
+  }
+
+  test("counters merge by addition: sketch(a ++ b) == sketch(a) + sketch(b)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val a = (1 to 500).map(i => s"w${i % 17}").toDF("term")
+    val b = (1 to 700).map(i => s"w${i % 23}").toDF("term")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      Sketch.cmsCounters(df, "term", width = 64, depth = 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val merged = {
+      val ma = m(a); val mb = m(b)
+      (ma.keySet ++ mb.keySet).map(k =>
+        k -> (ma.getOrElse(k, 0L) + mb.getOrElse(k, 0L))).toMap
+    }
+    assert(m(a.union(b)) === merged)
+  }
+
+  test("shuffle stays parameter-bounded: counter rows <= depth * width") {
+    val counters = Sketch.cmsCounters(zipfStream, "term", width = 32, depth = 3)
+    assert(counters.count() <= 3L * 32)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Sampling
+
+class SamplingSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def corpus = {
+    val spark2 = spark
+    import spark2.implicits._
+    // strata of very different sizes, incl. one smaller than n
+    ((1 to 400).map(i => ("big", i.toLong)) ++
+      (401 to 430).map(i => ("mid", i.toLong)) ++
+      Seq(("tiny", 431L), ("tiny", 432L)) :+ ((null: String), 433L))
+      .toDF("src", "id")
+  }
+
+  test("exactly n per stratum; smaller strata return whole") {
+    val got = Sampling.stratifiedSample(corpus, "src", "id", n = 10)
+    val sizes = got.groupBy("src").count().collect()
+      .map(r => Option(r.getString(0)).getOrElse("NULL") -> r.getLong(1)).toMap
+    assert(sizes === Map("big" -> 10L, "mid" -> 10L, "tiny" -> 2L, "NULL" -> 1L))
+  }
+
+  test("deterministic and partition-invariant: same rows after repartition") {
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, "src", "id", n = 7)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val base = ids(corpus)
+    assert(base === ids(corpus.repartition(13)))
+    assert(base === ids(corpus.repartition(3).sortWithinPartitions("id")))
+  }
+
+  test("incremental stability: a sampled row stays sampled when unrelated rows arrive") {
+    val spark2 = spark
+    import spark2.implicits._
+    // hash-rank selection is content-determined, but the CUT moves as
+    // a stratum grows: rows can fall OUT of the top-n, never jump
+    // over a still-present better-ranked row. The sample of a grown
+    // corpus must be a subset-compatible re-rank: every kept row of
+    // the old sample that is still in the new sample keeps its
+    // relative order, and the new sample never contains a row the old
+    // corpus had but ranked below an evicted old member.
+    val grown = corpus.union(
+      (5000 to 5100).map(i => ("big", i.toLong)).toDF("src", "id"))
+    val oldBig = Sampling.stratifiedSample(corpus, "src", "id", n = 10)
+      .filter(col("src") === "big").select("id").collect().map(_.getLong(0)).toSet
+    val newBig = Sampling.stratifiedSample(grown, "src", "id", n = 10)
+      .filter(col("src") === "big").select("id").collect().map(_.getLong(0)).toSet
+    // new members are either old members or newly-arrived rows —
+    // an untouched old row can't ENTER the sample by someone else arriving
+    assert(newBig.forall(id => oldBig.contains(id) || id >= 5000))
+  }
+
+  test("uniformSample: exact size, deterministic, bounded by input") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 1000).map(_.toLong).toDF("id")
+    val a = Sampling.uniformSample(df, "id", 50).collect().map(_.getLong(0)).toSet
+    assert(a.size === 50)
+    val b = Sampling.uniformSample(df.repartition(17), "id", 50)
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+    assert(Sampling.uniformSample(df.limit(5), "id", 50).count() === 5)
+  }
+
+  test("roughly uniform: the sample is not clustered at the id extremes") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = (1 to 10000).map(_.toLong).toDF("id")
+    val mean = Sampling.uniformSample(df, "id", 400)
+      .agg(avg(col("id"))).collect()(0).getDouble(0)
+    // a hash-ordered draw of 400 of 10k: mean ~ 5000 ± a few hundred
+    assert(mean > 4000 && mean < 6000, s"suspicious sample mean $mean")
+  }
+}

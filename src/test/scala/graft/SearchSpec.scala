@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Search
+
+class SearchSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def docs = {
+    val spark2 = spark
+    import spark2.implicits._
+    Seq(
+      (1L, "spark hash window join"),
+      (2L, "spark hash"),                  // missing 'window'
+      (3L, "window hash spark"),           // all three, different order
+      (4L, "sparkle hashes windows"),      // substrings only, no tokens
+      (5L, "spark spark window window hash hash"), // repeats
+      (6L, ""),
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+  }
+
+  test("scan form: exact conjunctive token match, not substring match") {
+    val got = Search.searchAllTerms(docs, "doc_id", "text",
+      Seq("spark", "hash", "window")).collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 5L))
+  }
+
+  test("single term, duplicate terms in the query collapse") {
+    val got = Search.searchAllTerms(docs, "doc_id", "text", Seq("hash"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L, 3L, 5L))
+    val idx = Search.searchPostings(
+      Search.buildPostings(docs, "doc_id", "text", buckets = 8),
+      Seq("hash", "hash"), buckets = 8, docCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(idx === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("index form equals scan form equals brute force on the corpus table") {
+    val real = Tables.documents(spark, SparkSuite.sf0001)
+    val terms = Seq("spark", "hash", "window")
+    val scan = Search.searchAllTerms(real, "doc_id", "text", terms)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Search.searchPostings(
+      Search.buildPostings(real, "doc_id", "text", buckets = 16),
+      terms, buckets = 16, docCol = "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val brute = real.filter(terms.map(t =>
+        array_contains(split(col("text"), " "), t)).reduce(_ && _))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(scan === brute)
+    assert(idx === brute)
+    assert(brute.nonEmpty, "probe terms match nothing — dead test")
+  }
+
+  test("stored index probe is a partition-pruned read") {
+    val real = Tables.documents(spark, SparkSuite.sf0001)
+    val root = java.nio.file.Files.createTempDirectory("graft-searchspec")
+    try {
+      val cat = new graft.catalog.Catalog(spark, root.toString)
+      Search.storePostings(cat, "postings", real, "doc_id", "text",
+        buckets = 16)
+      val probe = Search.searchPostings(cat.get("postings"), Seq("spark"),
+        buckets = 16, docCol = "doc_id")
+      val p = probe.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters") && p.contains("tb"),
+        s"posting probe does not prune partitions:\n$p")
+      cat.close()
+    } finally graft.catalog.Catalog.deleteRecursively(root)
+  }
+
+  test("requires reject empty and multi-word terms") {
+    intercept[IllegalArgumentException] {
+      Search.searchAllTerms(docs, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Search.searchAllTerms(docs, "doc_id", "text", Seq("two words"))
+    }
+  }
+}
