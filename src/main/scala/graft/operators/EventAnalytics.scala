@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the `events` stream: inter-arrival
+  * gaps, ordered-stage funnels, and retention cohorts — the product-
+  * analytics triple every event pipeline grows sooner or later
+  * (beyond-reference surface; the reference's only event handling is
+  * grep/wc over log lines, SURVEY.md §2.2/§2.4).
+  *
+  * Determinism discipline (the oracle contract for all three): every
+  * intermediate is exact integer arithmetic — epoch microseconds,
+  * date diffs in days, counts. No double crosses a shuffle, so
+  * results are bit-stable under any partitioning and DuckDB-replayable
+  * (q_event_gaps / q_funnel / q_retention).
+  */
+object EventAnalytics {
+
+  /** Per-user inter-arrival gap histogram on power-of-two second
+    * buckets: bucket b holds gaps with 2^(b−1) ≤ gap_seconds < 2^b
+    * (b = 0 for zero-second gaps). The log-2 bucket is computed as
+    * the BIT LENGTH of the integer gap (`length(bin(gap))`) — exact
+    * integer arithmetic, where `floor(log2(x))` on doubles wobbles at
+    * exact powers of two and can put a boundary gap in different
+    * buckets on different engines.
+    *
+    * Shape at scale: one exchange on `userCol` feeds both the lag
+    * window and nothing else; the histogram is a map-side-partial
+    * count over ≤ 64 buckets. A user's first event has no
+    * predecessor and is excluded (lag = null). Ties in `tsCol` order
+    * by `idCol`, making the lag total-ordered and the result unique. */
+  def interArrivalHistogram(events: DataFrame, userCol: String,
+                            tsCol: String, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(userCol)).orderBy(col("ts_us"), col(idCol))
+    events
+      .select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("ts_us"))
+      .withColumn("gap_s",
+        ((col("ts_us") - lag(col("ts_us"), 1).over(w)) / lit(1000000L))
+          .cast("long"))
+      .filter(col("gap_s").isNotNull)
+      .withColumn("bucket", length(bin(col("gap_s"))) - lit(1))
+      .withColumn("bucket",
+        when(col("gap_s") === 0, lit(0)).otherwise(col("bucket") + lit(1)))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Ordered-stage funnel: how many users completed stage 1, stages
+    * 1→2 in order, 1→2→3 in order, … — "in order" meaning each later
+    * stage's event must be STRICTLY AFTER the earliest completion of
+    * the previous stage (the standard sequential-funnel semantics —
+    * a purchase logged before the first view does not convert).
+    *
+    * One chained aggregate per stage, each a shuffle on `userCol`
+    * with map-side partial mins — stages.size small (3-5), so the
+    * chain is a handful of narrow user-keyed aggregates; no
+    * per-user event list is ever collected. Output: (stage, stage_name,
+    * users), stage 1-indexed, users non-increasing. */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             stageCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got $stages")
+    val base = events.select(col(userCol).as("u"),
+      unix_micros(col(tsCol)).as("t"), col(stageCol).as("s"))
+    // reached(i): per-user earliest completion time of stage i given
+    // reached(i-1); each step is a user-keyed join + aggregate that
+    // only ever sees users still in the funnel. The whole funnel is
+    // ONE lazy plan (a union of the per-stage counts) — stage i's
+    // chain has depth i, fine for the 3-5 stages funnels have.
+    val reachedPerStage = stages.drop(1).scanLeft(
+      base.filter(col("s") === stages.head)
+        .groupBy(col("u")).agg(min(col("t")).as("t0"))) { (prev, stage) =>
+      base.filter(col("s") === stage)
+        .join(prev, Seq("u"))
+        .filter(col("t") > col("t0"))
+        .groupBy(col("u")).agg(min(col("t")).as("t0"))
+    }
+    reachedPerStage.zip(stages).zipWithIndex.map { case ((reached, name), i) =>
+      reached.agg(count(lit(1)).as("users"))
+        .select(lit(i + 1).as("stage"), lit(name).as("stage_name"),
+          col("users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Retention cohorts: users grouped by their first-activity day
+    * (the cohort), counted per day-offset of each later active day.
+    * Output (cohort_date, offset_days, users): of the users whose
+    * first event fell on `cohort_date`, `users` were active
+    * `offset_days` days later (offset 0 = the cohort day itself, so
+    * its count is the cohort size).
+    *
+    * Two shuffles at scale: min-date per user (map-side partial
+    * min), then the (user, day) distinct + cohort join re-uses the
+    * same user-keyed partitioning (co-located join, no third
+    * exchange under AQE). All date arithmetic in exact days. */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val days = events.select(col(userCol).as("u"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val cohorts = days.groupBy(col("u")).agg(min(col("day")).as("cohort_date"))
+    days.join(cohorts, Seq("u"))
+      .select(col("cohort_date"),
+        datediff(col("day"), col("cohort_date")).as("offset_days"))
+      .groupBy(col("cohort_date"), col("offset_days"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

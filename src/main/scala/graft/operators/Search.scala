@@ -51,6 +51,69 @@ object Search {
     df.filter(prefilter && exact).select(col(idCol))
   }
 
+  /** BM25-ranked retrieval: the top-`k` documents for a bag-of-terms
+    * query, scored by Okapi BM25 (same formula and constants as
+    * `TextAnalysis.bm25Top`, which ranks terms WITHIN a doc — this
+    * ranks DOCS for a query).
+    *
+    * Shuffle discipline at corpus scale: everything wide is bounded
+    * by the CANDIDATE set (docs containing ≥1 query term — found by
+    * a substring-prefilter scan whose `contains` pushes down), never
+    * the corpus. The corpus-wide inputs are two scalar aggregates
+    * (doc count N, total token count — map-side partials, 1-row
+    * result); tf/df/dl are all computed on candidates only. No
+    * full-vocabulary explode-shuffle happens anywhere — compare
+    * `termStatsJoined`, which must pay it because it scores every
+    * term.
+    *
+    * Determinism (the oracle contract): tf, df, dl, N, Σdl are exact
+    * integers, so each per-(doc,term) score is one deterministic
+    * double expression; the per-doc sum runs over fixed-point BIGINT
+    * contributions (round(score·10⁹)) exactly like
+    * `unigramCrossEntropy`, so no double ever crosses a shuffle —
+    * bit-stable under any partitioning, and DuckDB replays it
+    * (q_search_ranked). Terms absent from the corpus contribute
+    * nothing (no tf rows), matching the oracle's inner joins. */
+  def bm25Search(df: DataFrame, idCol: String, textCol: String,
+                 queryTerms: Seq[String], k: Int = 10,
+                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Search needs at least one term")
+    require(queryTerms.forall(t => t.nonEmpty && !t.contains(" ")),
+      s"terms must be non-empty single tokens, got $queryTerms")
+    require(k >= 1, s"bm25Search needs k >= 1, got $k")
+    val terms = queryTerms.distinct
+    val base = df.filter(col(textCol).isNotNull)
+    // corpus-wide scalars: one narrow map-side agg, no explode
+    val totals = base.agg(
+      count(lit(1)).as("n"),
+      sum(size(tokenArr(textCol)).cast("long")).as("total_tokens"))
+    val cand = base
+      .filter(terms.map(t => col(textCol).contains(t)).reduce(_ || _))
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val tf = cand
+      .select(col("doc_id"), explode(tokenArr("__text")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dl = cand.select(col("doc_id"),
+      size(tokenArr("__text")).cast("long").as("dl"))
+    val contrib = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n").cast("double"))
+      .withColumn("idf", log(lit(1d) +
+        (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("c", round(col("idf") * (col("tf") * lit(k1 + 1d)) /
+        (col("tf") + lit(k1) *
+          (lit(1d - b) + lit(b) * col("dl") / col("avgdl"))) * lit(1e9))
+        .cast("bigint"))
+    contrib.groupBy("doc_id")
+      .agg(round(sum(col("c")).cast("double") / lit(1e9), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** Distinct (term, doc) postings with the term-hash partition
     * column `tb` the index layout partitions by. */
   def buildPostings(df: DataFrame, idCol: String, textCol: String,

@@ -150,6 +150,39 @@ object EventPack extends QueryPack {
                 coalesce(col("asof_ts"), lit(-1L)).as("asof_ts_us"),
                 coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
     }),
+
+    // inter-arrival gap histogram on power-of-two second buckets —
+    // the bucket is integer bit-length arithmetic, not floor(log2):
+    // exact on both engines at bucket boundaries
+    "q_event_gaps" -> ((s, d) =>
+      graft.operators.EventAnalytics.interArrivalHistogram(
+        Tables.events(s, d), "user_id", "ts", "event_id")),
+
+    // ordered-stage funnel view → click → purchase: each stage must
+    // strictly follow the user's earliest completion of the previous
+    "q_funnel" -> ((s, d) =>
+      graft.operators.EventAnalytics.funnel(
+        Tables.events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // retention cohorts: first-activity day × day offset → users
+    // (cohort emitted as epoch DAYS — the gate compares no date/
+    // timestamp values, same convention as q_range_join)
+    "q_retention" -> ((s, d) =>
+      graft.operators.EventAnalytics.retention(
+          Tables.events(s, d), "user_id", "ts")
+        .select(datediff(col("cohort_date"), lit("1970-01-01"))
+            .as("cohort_day"),
+          col("offset_days"), col("users"))),
+
+    // semi-structured props column: JSON field extraction + integer
+    // aggregation (sums stay exact — no double crosses the shuffle)
+    "q_json_extract" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(col("k")).as("cnt_k"))),
   )
 
   /** 16-term Morton interleave in SQL, generated to match
@@ -287,5 +320,61 @@ object EventPack extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    // gap bucket = bit length of the integer second gap — both
+    // engines' bin() agree digit-for-digit, so boundary gaps (exact
+    // powers of two) can't straddle buckets the way floor(log2)
+    // doubles can
+    "q_event_gaps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+        |),
+        |g AS (
+        |  SELECT (ts_us - lag(ts_us) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000000
+        |    AS gap_s
+        |  FROM e
+        |)
+        |SELECT CAST(CASE WHEN gap_s = 0 THEN 0
+        |                 ELSE len(bin(gap_s)) END AS INT) AS bucket,
+        |  count(*) AS cnt
+        |FROM g WHERE gap_s IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q_funnel" ->
+      """WITH base AS (
+        |  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS s
+        |  FROM events
+        |),
+        |r1 AS (SELECT u, min(t) AS t0 FROM base WHERE s = 'view' GROUP BY 1),
+        |r2 AS (
+        |  SELECT base.u, min(t) AS t0 FROM base JOIN r1 USING (u)
+        |  WHERE s = 'click' AND t > r1.t0 GROUP BY 1
+        |),
+        |r3 AS (
+        |  SELECT base.u, min(t) AS t0 FROM base JOIN r2 USING (u)
+        |  WHERE s = 'purchase' AND t > r2.t0 GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INT) AS stage, 'view' AS stage_name,
+        |  (SELECT count(*) FROM r1) AS users
+        |UNION ALL SELECT CAST(2 AS INT), 'click', (SELECT count(*) FROM r2)
+        |UNION ALL SELECT CAST(3 AS INT), 'purchase',
+        |  (SELECT count(*) FROM r3)""".stripMargin,
+
+    "q_retention" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events
+        |),
+        |coh AS (SELECT u, min(day) AS cohort_date FROM days GROUP BY 1)
+        |SELECT CAST(cohort_date - DATE '1970-01-01' AS INT) AS cohort_day,
+        |  CAST(day - cohort_date AS INT) AS offset_days,
+        |  count(*) AS users
+        |FROM days JOIN coh USING (u)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

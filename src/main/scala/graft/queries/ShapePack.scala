@@ -93,6 +93,17 @@ object ShapePack extends QueryPack {
                 coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
                 col("cnt"))),
 
+    // CUBE: all 2^2 grouping sets in one pass (Expand + one shuffle,
+    // not four scans) — same sentinel trick as q_rollup
+    "q_cube" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+                col("cnt"), col("sum_qty"))),
+
     // set ops beyond union: INTERSECT / EXCEPT (distinct semantics)
     "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -171,6 +182,12 @@ object ShapePack extends QueryPack {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

@@ -258,6 +258,14 @@ object TextPack extends QueryPack {
       graft.operators.Search.searchAllTerms(
         Tables.documents(s, d), "doc_id", "text", searchTerms)),
 
+    // ranked retrieval: top-10 docs for the same bag-of-terms query
+    // by Okapi BM25 — corpus stats are two scalar aggs, everything
+    // wide is candidate-bounded, contributions fixed-point so the
+    // doubles hash-match the replay
+    "q_search_ranked" -> ((s, d) =>
+      graft.operators.Search.bm25Search(
+        Tables.documents(s, d), "doc_id", "text", searchTerms, k = 10)),
+
     // the same query through a stored posting index partitioned by
     // term-hash bucket: the probe reads only the matching bucket
     // directories (planning-time PartitionFilters, pinned in
@@ -691,5 +699,47 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the BM25 scoring replayed with the identical expression shape:
+    // exact-integer tf/df/dl/N, one double expression per (doc,term),
+    // fixed-point BIGINT contributions before the per-doc sum (the
+    // unigram-xent determinism trick), round(…,6) at the end
+    "q_search_ranked" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+        |),
+        |tot AS (
+        |  SELECT count(*) AS n,
+        |    sum(len(string_split(text, ' '))) AS total_tokens
+        |  FROM base
+        |),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM base)
+        |  WHERE term IN ('spark', 'hash', 'window')
+        |  GROUP BY 1, 2
+        |),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |dl AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS dl FROM base
+        |),
+        |contrib AS (
+        |  SELECT tf.doc_id,
+        |    CAST(round(
+        |      ln(1.0 + (n - df + 0.5) / (df + 0.5))
+        |        * (tf * 2.2)
+        |        / (tf + 1.2 * (0.25 + 0.75 * dl
+        |            / (CAST(total_tokens AS DOUBLE) / CAST(n AS DOUBLE))))
+        |        * 1e9) AS BIGINT) AS c
+        |  FROM tf
+        |  JOIN dfreq USING (term)
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN tot
+        |)
+        |SELECT doc_id, round(CAST(sum(c) AS DOUBLE) / 1e9, 6) AS score
+        |FROM contrib GROUP BY 1
+        |ORDER BY score DESC, doc_id ASC
+        |LIMIT 10""".stripMargin,
   )
 }

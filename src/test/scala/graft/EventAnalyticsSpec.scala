@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSuite.spark
+
+  private def ev(rows: (Long, Long, String, String)*) = {
+    val spark2 = spark
+    import spark2.implicits._
+    rows.toSeq.toDF("event_id", "t_s", "user_id", "event_type")
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+      .withColumn("user_id", col("user_id").cast("long"))
+  }
+
+  test("interArrivalHistogram: bit-length buckets, first events excluded") {
+    // user 7: events at 0,0,1,3,6,10,1034 s → gaps 0,1,2,3,4,1024
+    //   buckets: 0, 1, 2, 2, 3, 11
+    val df = ev((1, 0, "7", "x"), (2, 0, "7", "x"), (3, 1, "7", "x"),
+        (4, 3, "7", "x"), (5, 6, "7", "x"), (6, 10, "7", "x"),
+        (7, 1034, "7", "x"))
+    val got = EventAnalytics
+      .interArrivalHistogram(df, "user_id", "ts", "event_id")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 1L, 11 -> 1L))
+  }
+
+  test("interArrivalHistogram: gaps never cross users; ties order by id") {
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq((1L, 100L, 1L), (2L, 200L, 2L), (3L, 100L, 1L))
+      .toDF("event_id", "t_s", "user_id")
+      .withColumn("ts", timestamp_seconds(col("t_s")))
+    val got = EventAnalytics
+      .interArrivalHistogram(df, "user_id", "ts", "event_id")
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    // user 1 has two events (one zero gap), user 2 has one (no gap)
+    assert(got === 1L)
+  }
+
+  test("funnel: strict ordering — an early purchase does not convert") {
+    val df = ev(
+      // u1: clean view(10) -> click(20) -> purchase(30)
+      (1, 10, "1", "view"), (2, 20, "1", "click"), (3, 30, "1", "purchase"),
+      // u2: purchase(5) BEFORE view(10) -> click(20); no later purchase
+      (4, 5, "2", "purchase"), (5, 10, "2", "view"), (6, 20, "2", "click"),
+      // u3: view only
+      (7, 10, "3", "view"),
+      // u4: click then view — never enters stage 2
+      (8, 10, "4", "click"), (9, 20, "4", "view"))
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 4L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("funnel: same-timestamp stage does not count (strictly after)") {
+    val df = ev((1, 10, "1", "view"), (2, 10, "1", "click"))
+    val got = EventAnalytics.funnel(df, "user_id", "ts", "event_type",
+        Seq("view", "click"))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(got === Map(1 -> 1L, 2 -> 0L))
+  }
+
+  test("funnel is non-increasing on the corpus table") {
+    val counts = EventAnalytics.funnel(
+        Tables.events(spark, SparkSuite.sf0001), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+      .orderBy("stage").collect().map(_.getLong(2))
+    assert(counts.length === 3 && counts(0) > 0)
+    assert(counts.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("retention: offset 0 equals cohort size; conservation of user-days") {
+    val df = ev(
+      (1, 0, "1", "x"), (2, 86400, "1", "x"), (3, 3 * 86400, "1", "x"),
+      (4, 0, "2", "x"),
+      (5, 86400, "3", "x"), (6, 86400 + 100, "3", "x")) // same day twice
+    val got = EventAnalytics.retention(df, "user_id", "ts")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got === Map(
+      ("1970-01-01", 0) -> 2L, // users 1 and 2
+      ("1970-01-01", 1) -> 1L, ("1970-01-01", 3) -> 1L, // user 1 returns
+      ("1970-01-02", 0) -> 1L)) // user 3's cohort; dup day collapsed
+  }
+}

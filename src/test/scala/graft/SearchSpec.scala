@@ -71,6 +71,57 @@ class SearchSpec extends AnyFunSuite {
     } finally graft.catalog.Catalog.deleteRecursively(root)
   }
 
+  test("bm25Search matches a driver-side reference on a tiny corpus") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tiny = Seq(
+      (1L, "spark spark spark pad pad pad"),
+      (2L, "spark hash pad pad pad pad"),
+      (3L, "hash hash hash hash pad pad"),
+      (4L, "pad pad pad pad pad pad pad pad"),
+      (5L, "spark hash spark hash")
+    ).toDF("doc_id", "text")
+    val got = Search.bm25Search(tiny, "doc_id", "text", Seq("spark", "hash"),
+      k = 5).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // reference: same formula, computed directly
+    val docs = Map(1L -> "spark spark spark pad pad pad",
+      2L -> "spark hash pad pad pad pad",
+      3L -> "hash hash hash hash pad pad",
+      4L -> "pad pad pad pad pad pad pad pad",
+      5L -> "spark hash spark hash").view.mapValues(_.split(" ").toSeq).toMap
+    val n = docs.size
+    val avgdl = docs.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = {
+      val toks = docs(id)
+      val contribs = Seq("spark", "hash").flatMap { t =>
+        val tf = toks.count(_ == t)
+        if (tf == 0) None else {
+          val df = docs.values.count(_.contains(t))
+          val idf = math.log(1d + (n - df + 0.5) / (df + 0.5))
+          Some(math.round(idf * (tf * 2.2) /
+            (tf + 1.2 * (0.25 + 0.75 * toks.size / avgdl)) * 1e9))
+        }
+      }
+      BigDecimal(contribs.sum.toDouble / 1e9)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got.keySet === Set(1L, 2L, 3L, 5L)) // doc 4 matches nothing
+    got.foreach { case (id, s) => assert(s === score(id), s"doc $id") }
+    // the balanced short doc should rank first
+    assert(got(5L) === got.values.max)
+  }
+
+  test("bm25Search: absent terms contribute nothing; stable under repartition") {
+    val real = Tables.documents(spark, SparkSuite.sf0001)
+    def run(df: org.apache.spark.sql.DataFrame, terms: Seq[String]) =
+      Search.bm25Search(df, "doc_id", "text", terms, k = 8)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val baseline = run(real, Seq("spark", "hash"))
+    assert(baseline === run(real, Seq("spark", "hash", "zzz-not-a-term")))
+    assert(baseline === run(real.repartition(13), Seq("spark", "hash")))
+    assert(baseline.nonEmpty)
+  }
+
   test("requires reject empty and multi-word terms") {
     intercept[IllegalArgumentException] {
       Search.searchAllTerms(docs, "doc_id", "text", Seq.empty)
