@@ -31,19 +31,30 @@ object EventAnalytics {
     * predecessor and is excluded (lag = null). Ties in `tsCol` order
     * by `idCol`, making the lag total-ordered and the result unique. */
   def interArrivalHistogram(events: DataFrame, userCol: String,
-                            tsCol: String, idCol: String): DataFrame = {
+                            tsCol: String, idCol: String): DataFrame =
+    gaps(events, userCol, tsCol, idCol, horizonS = Long.MaxValue)
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+
+  /** Row-level gap extraction behind [[interArrivalHistogram]], with
+    * the horizon bound the streaming twin
+    * ([[graft.streaming.EventStream.gapStream]]) needs for bounded
+    * state: gaps > `horizonS` seconds are dropped on both sides.
+    * Output (user_id, gap_s, bucket). */
+  def gaps(events: DataFrame, userCol: String, tsCol: String,
+           idCol: String, horizonS: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(userCol)).orderBy(col("ts_us"), col(idCol))
     events
-      .select(col(userCol), col(idCol), unix_micros(col(tsCol)).as("ts_us"))
+      .select(col(userCol).as("user_id"), col(idCol),
+        unix_micros(col(tsCol)).as("ts_us"))
       .withColumn("gap_s",
         ((col("ts_us") - lag(col("ts_us"), 1).over(w)) / lit(1000000L))
           .cast("long"))
-      .filter(col("gap_s").isNotNull)
-      .withColumn("bucket", length(bin(col("gap_s"))) - lit(1))
+      .filter(col("gap_s").isNotNull && col("gap_s") <= horizonS)
       .withColumn("bucket",
-        when(col("gap_s") === 0, lit(0)).otherwise(col("bucket") + lit(1)))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        when(col("gap_s") === 0, lit(0))
+          .otherwise(length(bin(col("gap_s")))))
+      .select(col("user_id"), col("gap_s"), col("bucket"))
   }
 
   /** Ordered-stage funnel: how many users completed stage 1, stages

@@ -32,6 +32,19 @@ case class BandState(docs: List[BandEntry])
   * min(dup_of) by doc_id downstream for the per-doc verdict). */
 case class NearDupHit(doc_id: Long, dup_of: Long)
 
+/** Event row for streaming gap extraction (`ts` carries the watermark,
+  * [[WatermarkedEvent]] convention; microseconds — not ms — because
+  * the batch twin floors µs differences and flooring ms views first
+  * shifts second boundaries). */
+case class GapEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
+
+/** Per-user gap state: the last seen event time. */
+case class GapState(last_us: Long)
+
+/** One inter-arrival gap: `gap_s` whole seconds, `bucket` its
+  * power-of-two histogram bucket (bit length of gap_s; 0 for 0). */
+case class GapHit(user_id: Long, gap_s: Long, bucket: Int)
+
 object EventStream {
 
   /** Shared aggregation: hourly tumbling window per event_type. */
@@ -325,6 +338,61 @@ object EventStream {
     * trade: exact within the watermark horizon). For per-key
     * first-occurrence-only semantics use
     * `dropDuplicatesWithinWatermark(keyCols)` instead. */
+  /** Streaming inter-arrival gap extraction — the stateful twin of
+    * [[graft.operators.EventAnalytics.gaps]]: per-user state is ONE
+    * long (the last event time), each arriving event emits its gap to
+    * the previous one, and gaps longer than `horizonS` are excluded
+    * on BOTH sides — which is exactly what lets the state die: once
+    * the watermark clears last + horizon, no future event can emit an
+    * in-horizon gap, so the timeout reaps the entry and state size is
+    * bounded by the active-user count, never the stream length.
+    *
+    * Divergence contract (the [[nearDupStream]] convention): events
+    * arriving out of order ACROSS batches (later batch, earlier event
+    * time beyond the watermark delay) see the already-advanced state —
+    * the stream cannot retract an emitted gap. Negative chains are
+    * dropped rather than emitted. In-order feeds match batch
+    * pair-for-pair (EventStreamSpec). */
+  def gapStream(spark: SparkSession, dir: String, horizonS: Long = 86400L,
+                delay: String = "10 minutes"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(dir).schema
+    val events = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", delay)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[GapEvent]
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GapState, GapHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[GapEvent], state: GroupState[GapState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.map(_.ts_us).toArray.sorted
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              val chain = state.getOption.map(_.last_us).toSeq ++ sorted
+              val hits = chain.sliding(2).collect {
+                case scala.collection.Seq(a, b) if b >= a =>
+                  val gapS = (b - a) / 1000000L
+                  GapHit(uid, gapS, if (gapS == 0L) 0
+                    else 64 - java.lang.Long.numberOfLeadingZeros(gapS))
+              }.filter(_.gap_s <= horizonS).toVector
+              state.update(GapState(sorted.last))
+              // alive until no in-horizon successor is possible (and
+              // always ahead of the current watermark, which Spark
+              // requires of timeout timestamps)
+              state.setTimeoutTimestamp(math.max(
+                sorted.last / 1000L + (horizonS + 1L) * 1000L,
+                state.getCurrentWatermarkMs() + 1L))
+              hits.iterator
+            }
+          }
+      }.toDF()
+  }
+
   def dedupStream(spark: SparkSession, dir: String, keyCols: Seq[String],
                   tsCol: String, watermark: String = "1 hour"): DataFrame = {
     val schema = spark.read.parquet(dir).schema

@@ -53,6 +53,43 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("gapStream equals batch gaps pair-for-pair, including across batches") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sgaps").toString
+    val events = Tables.events(spark, SparkSuite.sf0001)
+      .select("event_id", "user_id", "ts")
+    val cut = events.agg(
+      expr("percentile_approx(unix_micros(ts), 0.5)")).collect()(0).getLong(0)
+    val horizonS = 7200L
+    // feed in two event-time-ordered halves so per-user state
+    // genuinely crosses the batch boundary
+    events.filter(unix_micros(col("ts")) < cut)
+      .write.mode("overwrite").parquet(dir)
+    val q = EventStream.gapStream(spark, dir, horizonS = horizonS,
+        delay = "1 second")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sgaps").start()
+    try {
+      q.processAllAvailable()
+      events.filter(unix_micros(col("ts")) >= cut)
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("user_id", "gap_s", "bucket").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getLong(3))
+        .toMap
+    val streamed = multiset(spark.table("graft_sgaps"))
+    val batch = multiset(graft.operators.EventAnalytics.gaps(
+      spark.read.parquet(dir), "user_id", "ts", "event_id", horizonS))
+    assert(batch.nonEmpty, "fixture produced no gaps — dead test")
+    assert(streamed === batch)
+    // and the horizon really excludes: an unbounded batch run has more
+    val unbounded = graft.operators.EventAnalytics.gaps(
+      spark.read.parquet(dir), "user_id", "ts", "event_id", Long.MaxValue)
+    assert(unbounded.count() >= batch.values.sum)
+  }
+
   test("nearDupStream overflow bucket: caps matching, then reopens after horizon aging") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-sneardup-cap").toString
