@@ -102,10 +102,10 @@ object EventAnalytics {
     * `offset_days` days later (offset 0 = the cohort day itself, so
     * its count is the cohort size).
     *
-    * Two shuffles at scale: min-date per user (map-side partial
-    * min), then the (user, day) distinct + cohort join re-uses the
-    * same user-keyed partitioning (co-located join, no third
-    * exchange under AQE). All date arithmetic in exact days. */
+    * Three narrow user-keyed exchanges at scale — the (user, day)
+    * distinct, the per-user min, and the join — each over two small
+    * columns with map-side partial aggregation; nothing is ever wider
+    * than (user, day). All date arithmetic in exact days. */
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val days = events.select(col(userCol).as("u"),
       to_date(col(tsCol)).as("day")).distinct()

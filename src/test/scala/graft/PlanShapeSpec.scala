@@ -194,4 +194,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"),
       s"totals scalar degenerated to a cartesian:\n$p")
   }
+
+  test("bm25Search: df stats broadcast; totals scalar adds no cartesian") {
+    // q_search_ranked's contract is candidate-bounded shuffles: the
+    // per-term df table (≤ |query| rows) must broadcast into the tf
+    // join, and the 1-row corpus totals must ride a broadcast nested
+    // loop — a cartesian or shuffled df join here would re-shuffle
+    // the candidate table per stage at corpus scale.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(graft.operators.Search.bm25Search(docs, "doc_id", "text",
+      Seq("spark", "hash", "window")))
+    assert(p.contains("BroadcastHashJoin"),
+      s"df-stats join is not a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"totals scalar degenerated to a cartesian:\n$p")
+  }
+
+  test("funnel and retention: user-keyed equi-joins only, no cartesian") {
+    // each funnel stage is a join on the user key against the shrunk
+    // reached-set; retention joins (user, day) against per-user mins.
+    // Neither may widen to a cartesian under optimizer changes.
+    val ev = Tables.events(spark, SparkSuite.sf0001)
+    val pf = plan(graft.operators.EventAnalytics.funnel(ev, "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase")))
+    assert(!pf.contains("CartesianProduct"),
+      s"funnel stage join degenerated to a cartesian:\n$pf")
+    val pr = plan(graft.operators.EventAnalytics.retention(ev, "user_id", "ts"))
+    assert(!pr.contains("CartesianProduct"),
+      s"retention cohort join degenerated to a cartesian:\n$pr")
+  }
 }
