@@ -51,6 +51,32 @@ object Search {
     df.filter(prefilter && exact).select(col(idCol))
   }
 
+  /** Exact phrase search: `idCol` of every row whose space-tokenized
+    * `textCol` contains the words of `phrase` CONSECUTIVELY. Same
+    * two-phase shape as [[searchAllTerms]]: the raw-substring
+    * `contains(phrase)` prefilter pushes to the scan (a superset —
+    * "xspark hash" contains the chars but not the token sequence),
+    * then the exact check slides an n-word window over the token
+    * array (`transform(sequence(...))`, codegen'd, zero shuffle). */
+  def searchPhrase(df: DataFrame, idCol: String, textCol: String,
+                   phrase: String): DataFrame = {
+    val words = phrase.trim.split("\\s+").toSeq
+    require(words.nonEmpty && words.forall(_.nonEmpty),
+      s"searchPhrase needs a non-empty phrase, got '$phrase'")
+    if (words.size == 1) searchAllTerms(df, idCol, textCol, words)
+    else {
+      val n = words.size
+      val joined = words.mkString(" ")
+      val grams = expr(graft.functions.Let.let1(s"split($textCol, ' ')", "toks")(
+        s"""CASE WHEN size(toks) < $n THEN cast(array() as array<string>)
+           |ELSE transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n))) END""".stripMargin))
+      df.filter(col(textCol).contains(joined) &&
+          array_contains(grams, lit(joined)))
+        .select(col(idCol))
+    }
+  }
+
   /** BM25-ranked retrieval: the top-`k` documents for a bag-of-terms
     * query, scored by Okapi BM25 (same formula and constants as
     * `TextAnalysis.bm25Top`, which ranks terms WITHIN a doc — this

@@ -74,6 +74,32 @@ object Sketch {
           .cast("long").as("approx_docs"))
   }
 
+  /** Per-group KMV: [[kmvDistinct]] with the k-smallest cut taken
+    * WITHIN each group — "approx distinct texts per source" without a
+    * per-group exact aggregate. The distinct() still shuffles (group,
+    * 8-byte hash) pairs — same shape as the global form — and the
+    * per-group top-k runs through [[Skew.saltedTopK]], so a hot group
+    * never funnels one task. Output (groupCol, approx_distinct).
+    * Same estimator, same engine-replayability (q_approx_distinct_
+    * grouped replays the window rank in DuckDB). */
+  def kmvDistinctGrouped(df: DataFrame, groupCol: String, valueCol: String,
+                         k: Int = 1024): DataFrame = {
+    require(k >= 3, s"kmvDistinctGrouped needs k >= 3, got $k")
+    val hv = df.select(col(groupCol).as("g"),
+        expr(md5Hash60Sql(valueCol)).as("hv"))
+      .filter(col("hv").isNotNull).distinct()
+    Skew.saltedTopK(hv, Seq("g"), Seq(col("hv").asc), k,
+        rankCol = "__kmv_rn", saltCols = Seq(col("g"), col("hv")))
+      .groupBy(col("g"))
+      .agg(max(col("hv")).as("hk"), count(lit(1)).as("m"))
+      .select(col("g").as(groupCol),
+        when(col("m") < k, col("m"))
+          .otherwise(floor(
+            lit((k - 1).toDouble) /
+              (col("hk").cast("double") / lit(M60))))
+          .cast("long").as("approx_distinct"))
+  }
+
   /** Bucket of `valueExpr` in row `rowExpr` of a width-`width`
     * count-min sketch: the 60-bit md5 hash of the value,
     * domain-separated per row by a '#row' suffix, mod width. Pure

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit, upper, when}
 import graft.{QueryPack, Tables}
 import graft.operators.{Components, Dedup}
 
@@ -211,6 +211,29 @@ object DedupPack extends QueryPack {
         .crossJoin(docs.agg(
           org.apache.spark.sql.functions.countDistinct(
             org.apache.spark.sql.functions.col("text")).as("exact_docs")))
+    }),
+
+    // the grouped sketch: approx distinct texts PER SOURCE, k=16 so
+    // the estimator genuinely estimates (each source holds ~25
+    // distinct texts at gate scale) — exact twin joined for the gate
+    "q_approx_distinct_grouped" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.operators.Sketch.kmvDistinctGrouped(docs, "source", "text", k = 16)
+        .join(docs.groupBy(col("source")).agg(
+          org.apache.spark.sql.functions.countDistinct(col("text"))
+            .as("exact_docs")), Seq("source"))
+    }),
+
+    // incremental-run bookkeeping: diff two corpus versions derived
+    // deterministically from the gate table (docs dropped on each
+    // side, a third of the survivors rewritten)
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldV = docs.filter(col("doc_id") % 7 =!= 0)
+      val newV = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          upper(col("text"))).otherwise(col("text")))
+      graft.operators.CorpusDiff.diff(oldV, newV, "doc_id", "text")
     }),
   )
 
@@ -720,5 +743,54 @@ object DedupPack extends QueryPack {
          |FROM ks
          |""".stripMargin
     },
+
+    // the grouped estimator replayed: same per-source window rank,
+    // same max/count read, same double expression
+    "q_approx_distinct_grouped" -> {
+      val fold = TextPack.hexFoldSql("h", 15)
+      s"""WITH hx AS (
+         |  SELECT DISTINCT source, substr(md5(text), 1, 15) AS h
+         |  FROM documents WHERE text IS NOT NULL
+         |),
+         |hv AS (SELECT DISTINCT source, $fold AS hv FROM hx),
+         |topk AS (
+         |  SELECT source, hv, row_number() OVER (
+         |    PARTITION BY source ORDER BY hv) AS rn
+         |  FROM hv
+         |),
+         |ks AS (
+         |  SELECT source, max(hv) AS hk, count(*) AS m
+         |  FROM topk WHERE rn <= 16 GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT source, count(DISTINCT text) AS exact_docs
+         |  FROM documents GROUP BY 1
+         |)
+         |SELECT ks.source,
+         |  CASE WHEN m < 16 THEN m
+         |       ELSE CAST(floor(15.0 / (CAST(hk AS DOUBLE)
+         |                               / 1152921504606846976.0)) AS BIGINT)
+         |  END AS approx_distinct,
+         |  exact_docs
+         |FROM ks JOIN ex USING (source)""".stripMargin
+    },
+
+    "q_corpus_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id, md5(coalesce(text, '')) AS oh
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |),
+        |n AS (
+        |  SELECT doc_id, md5(coalesce(
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END,
+        |    '')) AS nh
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN oh IS NULL THEN 'added'
+        |       WHEN nh IS NULL THEN 'removed'
+        |       WHEN oh = nh THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
   )
 }

@@ -258,6 +258,12 @@ object TextPack extends QueryPack {
       graft.operators.Search.searchAllTerms(
         Tables.documents(s, d), "doc_id", "text", searchTerms)),
 
+    // exact phrase search: consecutive-token match via a sliding
+    // n-word window, substring prefilter pushed to the scan
+    "q_phrase_search" -> ((s, d) =>
+      graft.operators.Search.searchPhrase(
+        Tables.documents(s, d), "doc_id", "text", "slow hash batch")),
+
     // ranked retrieval: top-10 docs for the same bag-of-terms query
     // by Okapi BM25 — corpus stats are two scalar aggs, everything
     // wide is candidate-bounded, contributions fixed-point so the
@@ -699,6 +705,17 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the sliding trigram window replayed with the q_top_bigrams
+    // n-gram idiom
+    "q_phrase_search" ->
+      """SELECT doc_id FROM documents
+        |WHERE list_contains(list_transform(
+        |  range(len(string_split(text, ' ')) - 2),
+        |  i -> string_split(text, ' ')[i + 1] || ' '
+        |    || string_split(text, ' ')[i + 2] || ' '
+        |    || string_split(text, ' ')[i + 3]),
+        |  'slow hash batch')""".stripMargin,
 
     // the BM25 scoring replayed with the identical expression shape:
     // exact-integer tf/df/dl/N, one double expression per (doc,term),

@@ -65,4 +65,22 @@ class CmsSpec extends AnyFunSuite {
     val counters = Sketch.cmsCounters(zipfStream, "term", width = 32, depth = 3)
     assert(counters.count() <= 3L * 32)
   }
+
+  test("grouped KMV: exact below k, within tolerance above, matches global on one group") {
+    val spark2 = spark
+    import spark2.implicits._
+    // group a: 10 distinct values (< k) — estimator must be exact;
+    // group b: 2000 distinct — estimate within the ~1/sqrt(k-2) band
+    val df = ((1 to 10).map(i => ("a", s"v$i")) ++
+      (1 to 2000).map(i => ("b", s"w$i"))).toDF("g", "v")
+    val got = Sketch.kmvDistinctGrouped(df, "g", "v", k = 256)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a") === 10L)
+    assert(math.abs(got("b") - 2000.0) / 2000.0 < 0.25,
+      s"group estimate ${got("b")} too far from 2000")
+    // degenerate single group == the global estimator
+    val globalEst = Sketch.kmvDistinct(df.filter(col("g") === "b"), "v",
+      k = 256).collect()(0).getLong(0)
+    assert(got("b") === globalEst)
+  }
 }

@@ -71,6 +71,39 @@ class SearchSpec extends AnyFunSuite {
     } finally graft.catalog.Catalog.deleteRecursively(root)
   }
 
+  test("searchPhrase: consecutive tokens only, not scattered or substring") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = Seq(
+      (1L, "slow hash batch works"),     // exact phrase
+      (2L, "slow fast hash batch"),      // scattered — no
+      (3L, "a slow hash batch"),         // mid-sentence
+      (4L, "xslow hash batch"),          // substring token — no ('xslow')
+      (5L, "slow hash"),                 // incomplete
+      (6L, "slow hash batch slow hash batch"), // repeated
+      (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Search.searchPhrase(d, "doc_id", "text", "slow hash batch")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 3L, 6L))
+    // single-word phrase degrades to term search
+    val one = Search.searchPhrase(d, "doc_id", "text", "hash")
+      .collect().map(_.getLong(0)).toSet
+    assert(one === Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("searchPhrase equals the scan-the-tokens brute force on the corpus") {
+    val real = Tables.documents(spark, SparkSuite.sf0001)
+    val phrase = "slow hash batch"
+    val got = Search.searchPhrase(real, "doc_id", "text", phrase)
+      .collect().map(_.getLong(0)).toSet
+    val brute = real.collect().filter { r =>
+      Option(r.getAs[String]("text")).exists(
+        _.split(" ").sliding(3).exists(_.mkString(" ") == phrase))
+    }.map(_.getAs[Long]("doc_id")).toSet
+    assert(got === brute)
+  }
+
   test("bm25Search matches a driver-side reference on a tiny corpus") {
     val spark2 = spark
     import spark2.implicits._
