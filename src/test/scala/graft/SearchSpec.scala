@@ -94,7 +94,7 @@ class SearchSpec extends AnyFunSuite {
 
   test("searchPhrase equals the scan-the-tokens brute force on the corpus") {
     val real = Tables.documents(spark, SparkSuite.sf0001)
-    val phrase = "slow hash batch"
+    val phrase = "a agg batch"
     val got = Search.searchPhrase(real, "doc_id", "text", phrase)
       .collect().map(_.getLong(0)).toSet
     val brute = real.collect().filter { r =>
