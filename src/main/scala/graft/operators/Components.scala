@@ -287,4 +287,36 @@ object Components {
       .select(col(idCol), col("cluster_id"), col("cluster_size"),
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
   }
+
+  /** Degree histogram of an undirected pair graph: how many nodes
+    * have k neighbors, for each observed k — the dup-graph shape
+    * summary that tells a pipeline whether its near-dup universe is
+    * scattered pairs or a few megaclusters (the thing that decides
+    * whether canonical-keep or cluster-reweighting is the right
+    * dedup application). One union + two narrow aggregates; the
+    * second groups on ≤ max-degree keys. */
+  def degreeHistogram(pairs: DataFrame, aCol: String = "doc_a",
+                      bCol: String = "doc_b"): DataFrame =
+    pairs.select(col(aCol).as("doc"))
+      .unionAll(pairs.select(col(bCol).as("doc")))
+      .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("docs"))
+
+  /** Triangle count of an undirected pair graph given as canonical
+    * a < b edges: the classic two-path + closing-edge join. Both
+    * joins are hash equi-joins on node ids — with canonical edges
+    * each triangle {a<b<c} is counted exactly once (as p1=(a,b),
+    * p2=(b,c), closed by (a,c)). At corpus scale the standard
+    * degree-ordering refinement bounds the two-path fan-out; for the
+    * near-dup graphs this feeds (bucket-capped LSH pairs), the
+    * per-node fan-out is already bounded by the band cap upstream. */
+  def triangleCount(pairs: DataFrame, aCol: String = "doc_a",
+                    bCol: String = "doc_b"): DataFrame = {
+    val e = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+    val p1 = e.select(col("a").as("x"), col("b").as("y"))
+    val p2 = e.select(col("a").as("y"), col("b").as("z"))
+    val p3 = e.select(col("a").as("x"), col("b").as("z"))
+    p1.join(p2, Seq("y")).join(p3, Seq("x", "z"))
+      .agg(count(lit(1)).as("triangles"))
+  }
 }

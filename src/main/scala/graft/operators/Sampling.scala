@@ -48,6 +48,42 @@ object Sampling {
     keyed.orderBy(col("__sk"), col(idCol)).limit(n).drop("__sk")
   }
 
+  /** Token-budget mixing: per stratum, keep documents in
+    * content-hash order until the stratum's TOKEN budget is spent —
+    * the epoch-composition step of training-data pipelines ("2B
+    * tokens of web, 500M of code"), where [[stratifiedSample]]'s
+    * row-count cut is the wrong unit. A doc is kept iff the
+    * cumulative token count up to AND INCLUDING it stays ≤ the
+    * budget (a prefix rule: token sums are non-negative, so the kept
+    * set is a prefix of the hash order — deterministic and
+    * incremental-stable like every hash-rank sampler here).
+    *
+    * Scale shape: one exchange for the per-stratum cumulative-sum
+    * window (same accepted shape as `TextAnalysis.sourceCap` — a
+    * stratum's running sum is inherently sequential; budgets
+    * normally bind long before a stratum's tail is scanned).
+    * `tokensCol` is any non-negative expression (nulls read as 0). */
+  def tokenBudgetSample(df: DataFrame, stratumCol: String, idCol: String,
+                        tokensCol: org.apache.spark.sql.Column,
+                        budgets: Map[String, Long],
+                        defaultBudget: Long): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "tokenBudgetSample budgets must be non-negative")
+    Seq("__sk", "__tok", "__cum", "__budget").foreach(c =>
+      require(!df.columns.contains(c),
+        s"tokenBudgetSample: input already has a '$c' column"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__sk"), col(idCol))
+    val budgetCol = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.withColumn("__sk", selectionKey(stratumCol, idCol))
+      .withColumn("__tok", coalesce(tokensCol.cast("long"), lit(0L)))
+      .withColumn("__cum", sum(col("__tok")).over(w))
+      .filter(col("__cum") <= budgetCol)
+      .drop("__sk", "__tok", "__cum")
+  }
+
   /** Exactly `n` rows per distinct value of `stratumCol` (fewer iff a
     * stratum is smaller), by per-stratum content-hash rank. `idCol`
     * must be unique per row (it is the hash input and the tiebreak —

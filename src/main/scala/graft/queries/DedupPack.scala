@@ -224,6 +224,21 @@ object DedupPack extends QueryPack {
             .as("exact_docs")), Seq("source"))
     }),
 
+    // dup-graph shape summary: degree histogram of the minhash
+    // near-dup graph (scattered pairs vs megaclusters — decides the
+    // dedup application strategy)
+    "q_dup_degree" -> ((s, d) =>
+      graft.operators.Components.degreeHistogram(
+        Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8))),
+
+    // triangle count of the same graph (clustering-coefficient
+    // numerator) — two hash equi-joins over canonical a<b edges
+    "q_dup_triangles" -> ((s, d) =>
+      graft.operators.Components.triangleCount(
+        Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          threshold = 0.8))),
+
     // incremental-run bookkeeping: diff two corpus versions derived
     // deterministically from the gate table (docs dropped on each
     // side, a third of the survivors rewritten)
@@ -774,6 +789,25 @@ object DedupPack extends QueryPack {
          |  exact_docs
          |FROM ks JOIN ex USING (source)""".stripMargin
     },
+
+    // same pair universe as q_dedup_minhash's oracle (banding-margin
+    // canary covers the equivalence), aggregated to degrees/triangles
+    "q_dup_degree" ->
+      s"""WITH $exactPairsCte,
+         |deg AS (
+         |  SELECT doc, count(*) AS degree FROM (
+         |    SELECT doc_a AS doc FROM pairs
+         |    UNION ALL SELECT doc_b FROM pairs)
+         |  GROUP BY 1
+         |)
+         |SELECT degree, count(*) AS docs FROM deg GROUP BY 1""".stripMargin,
+
+    "q_dup_triangles" ->
+      s"""WITH $exactPairsCte
+         |SELECT count(*) AS triangles
+         |FROM pairs p1
+         |JOIN pairs p2 ON p2.doc_a = p1.doc_b
+         |JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b""".stripMargin,
 
     "q_corpus_diff" ->
       """WITH o AS (

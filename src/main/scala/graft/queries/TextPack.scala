@@ -278,6 +278,15 @@ object TextPack extends QueryPack {
           Tables.documents(s, d), "source", "doc_id", n = 5)
         .select("source", "doc_id")),
 
+    // epoch composition: per-source TOKEN budgets (not row counts) —
+    // keep docs in content-hash order until the budget is spent
+    "q_token_budget_mix" -> ((s, d) =>
+      graft.operators.Sampling.tokenBudgetSample(
+          Tables.documents(s, d), "source", "doc_id",
+          TextAnalysis.tokenCount("text"),
+          Map("src0" -> 500L, "src1" -> 800L), defaultBudget = 300L)
+        .select("doc_id", "source")),
+
     // conjunctive keyword search, scan form: substring prefilter
     // (StringContains pushdown) + exact token membership, one narrow
     // pass, no shuffle
@@ -732,6 +741,27 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the prefix rule replayed: same md5 order, same inclusive
+    // cumulative sum (ROWS frame == Spark's RANGE frame because the
+    // (sk, doc_id) order is unique), same per-source budget CASE
+    "q_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    coalesce(len(string_split_regex(text, '\s+')), 0) AS tok,
+        |    md5(coalesce(CAST(source AS VARCHAR), '')
+        |        || '#' || CAST(doc_id AS VARCHAR)) AS sk
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, source,
+        |    sum(tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source FROM c
+        |WHERE cum <= CASE source WHEN 'src0' THEN 500
+        |                         WHEN 'src1' THEN 800 ELSE 300 END""".stripMargin,
 
     // the sliding trigram window replayed with the q_top_bigrams
     // n-gram idiom

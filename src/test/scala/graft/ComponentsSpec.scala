@@ -177,4 +177,23 @@ class ComponentsSpec extends AnyFunSuite {
     // labels are cluster minima: a label is always ≤ its member ids
     assert(cl.forall { case (id, c) => c <= id })
   }
+
+  test("degreeHistogram and triangleCount on known graphs") {
+    val spark2 = SparkSuite.spark
+    import spark2.implicits._
+    // triangle {1,2,3} with pendant 4: degrees 2,2,3,1
+    val g1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val hist = Components.degreeHistogram(g1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hist === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(Components.triangleCount(g1).collect()(0).getLong(0) === 1L)
+    // 4-clique: C(4,3) = 4 triangles, each counted exactly once
+    val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+      .toDF("doc_a", "doc_b")
+    assert(Components.triangleCount(k4).collect()(0).getLong(0) === 4L)
+    // edgeless graph: zero triangles, empty histogram
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Components.triangleCount(empty).collect()(0).getLong(0) === 0L)
+    assert(Components.degreeHistogram(empty).count() === 0L)
+  }
 }
