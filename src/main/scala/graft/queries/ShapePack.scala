@@ -104,6 +104,38 @@ object ShapePack extends QueryPack {
                 coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
                 col("cnt"), col("sum_qty"))),
 
+    // PIVOT: long→wide with an explicit value list (one Expand-free
+    // aggregate — each value becomes a conditional-agg column, the
+    // same single shuffle a plain groupBy pays)
+    "q_pivot" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("user_mod"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))),
+
+    // UNPIVOT (wide→long): per-flag aggregates melted to
+    // (flag, metric, value) rows — map-side Expand, no shuffle beyond
+    // the upstream aggregate
+    "q_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+             round(sum(col("l_extendedprice")), 2).as("sum_price"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")),
+
+    // NTILE: equal-depth length quartiles WITHIN each source (the
+    // window partitions by source — never a global single-task sort),
+    // deterministic via the doc_id tiebreak
+    "q_ntile" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          coalesce(length(col("text")), lit(0)).as("n_chars2"))
+        .withColumn("quartile", ntile(4).over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars2"), col("doc_id"))))
+        .groupBy(col("source"), col("quartile"))
+        .agg(count(lit(1)).as("docs"), max(col("n_chars2")).as("max_chars"))),
+
     // set ops beyond union: INTERSECT / EXCEPT (distinct semantics)
     "q_intersect" -> ((s, d) => {
       val o = Tables.orders(s, d)
@@ -182,6 +214,38 @@ object ShapePack extends QueryPack {
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+
+    // conditional aggregation IS the pivot semantics; column names
+    // match Spark's single-agg pivot naming (the bare value)
+    "q_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |    round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem GROUP BY 1
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM agg""".stripMargin,
+
+    "q_ntile" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, coalesce(length(text), 0) AS n_chars2,
+        |    ntile(4) OVER (PARTITION BY source
+        |      ORDER BY coalesce(length(text), 0), doc_id) AS quartile
+        |  FROM documents
+        |)
+        |SELECT source, quartile, count(*) AS docs,
+        |  max(n_chars2) AS max_chars
+        |FROM t GROUP BY 1, 2""".stripMargin,
 
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
