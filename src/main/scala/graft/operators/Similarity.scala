@@ -325,6 +325,59 @@ object Similarity {
     lshTopKBucketed(withLshBucket(emb, vecCol, query.size, numBits, seed),
       idCol, vecCol, query, k, numBits, probeFlips, seed)
 
+  /** Batch kNN JOIN: for EVERY query row, its top-`k` corpus
+    * neighbors by dot product — the retrieval shape of RAG indexing,
+    * label propagation, and eval-set contamination scoring, where
+    * [[lshTopKBucketed]]'s one-vector-at-a-time probe would mean one
+    * job per query row.
+    *
+    * Plan: both sides get the SAME seeded hyperplane bucket
+    * ([[withLshBucket]]'s signature); the query side explodes to its
+    * multi-probe set — bucket XOR mask for every mask of popcount
+    * ≤ `probeFlips` (the literal mask list is tiny: C(numBits,≤f)) —
+    * and candidates come from ONE hash equi-join on the probed
+    * bucket, exact-scored and cut to k per query via
+    * [[Skew.saltedTopK]] (WindowGroupLimit bounds the exchange for
+    * small k). Each (query, corpus) candidate pair arises from
+    * exactly one mask (mask = qBucket XOR cBucket), so no dedup pass
+    * is needed. Probe fan-out is the mask count, never the corpus;
+    * the join shuffles on the bucket key — the same distribution the
+    * partitioned ANN layout already stores. Candidates only — never
+    * all-pairs; recall is the multi-probe recall of [[lshTopK]] with
+    * the same (numBits, probeFlips).
+    *
+    * Deterministic end-to-end (seeded planes, `graft_dot`, c-id
+    * tiebreak), so q_knn_join replays the bucketing, the mask
+    * expansion, and the per-query rank in DuckDB. */
+  def knnJoin(queries: DataFrame, qIdCol: String, qVecCol: String,
+              corpus: DataFrame, cIdCol: String, cVecCol: String,
+              dim: Int, k: Int, numBits: Int = 4, probeFlips: Int = 2,
+              seed: Long = 7L): DataFrame = {
+    require(k >= 1, s"knnJoin needs k >= 1, got $k")
+    require(numBits >= 1 && numBits <= 62 && probeFlips >= 0,
+      s"bad numBits=$numBits / probeFlips=$probeFlips")
+    graft.functions.DotProduct.register(queries.sparkSession)
+    val masks: List[Long] = (0L until (1L << numBits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeFlips).toList
+    val q = withLshBucket(
+        queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("__qv")),
+        "__qv", dim, numBits, seed)
+      .withColumn("__mask", explode(typedlit(masks)))
+      .select(col("q_id"), col("__qv"),
+        (col("bucket").bitwiseXOR(col("__mask"))).as("bucket"))
+    val c = withLshBucket(
+      corpus.select(col(cIdCol).as("c_id"), col(cVecCol).as("__cv")),
+      "__cv", dim, numBits, seed)
+    val scored = q.join(c, Seq("bucket"))
+      .select(col("q_id"), col("c_id"),
+        call_function("graft_dot", col("__qv"), col("__cv")).as("__sim"))
+    Skew.saltedTopK(scored, Seq("q_id"),
+        Seq(col("__sim").desc, col("c_id").asc), k, rankCol = "rn",
+        saltCols = Seq(col("q_id"), col("c_id")))
+      .select(col("q_id"), col("c_id"), round(col("__sim"), 4).as("sim"),
+        col("rn"))
+  }
+
   /** Dense random projection to `outDim` dimensions — the
     * Johnson–Lindenstrauss dimensionality-reduction step of an
     * embedding pipeline (shrink 1024-dim vectors to a cheap sketch

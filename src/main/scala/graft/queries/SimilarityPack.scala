@@ -48,6 +48,19 @@ object SimilarityPack extends QueryPack {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryVec, k = 10, numBits = 4, probeFlips = 2)),
 
+    // batch kNN JOIN: every 50th vector retrieves its top-3 corpus
+    // neighbors in ONE bucket equi-join (mask-exploded multi-probe,
+    // per-query top-k) — the RAG/batch-retrieval shape, vs the
+    // one-vector probes above
+    "q_knn_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      Similarity.knnJoin(
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        emb, "vec_id", "embedding",
+        dim = 64, k = 3, numBits = 4, probeFlips = 2)
+    }),
+
     // same probe, but THROUGH the storage layout: the bucketed table
     // is written partitioned by the LSH bucket and re-read, so the
     // probe is a partition-pruned scan — identical results to
@@ -507,6 +520,38 @@ object SimilarityPack extends QueryPack {
            |  FROM scored)
            |WHERE rn = 1""".stripMargin,
       "q_ann_lsh" -> lshOracle(lit),
+
+      // the kNN join replayed end-to-end: same seeded buckets on both
+      // sides, same popcount<=2 mask set (every candidate pair arises
+      // from exactly one mask, so the join can't double-count), same
+      // dot + rank
+      "q_knn_join" ->
+        s"""WITH masks AS (
+           |  SELECT unnest([0, 1, 2, 3, 4, 5, 6, 8, 9, 10, 12]) AS m
+           |),
+           |qb AS (
+           |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+           |    ($bucketSql) AS qbucket
+           |  FROM embeddings WHERE vec_id % 50 = 0
+           |),
+           |cb AS (
+           |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv,
+           |    ($bucketSql) AS cbucket
+           |  FROM embeddings
+           |),
+           |scored AS (
+           |  SELECT q_id, c_id, list_dot_product(qv, cv) AS sim
+           |  FROM qb CROSS JOIN masks
+           |  JOIN cb ON cb.cbucket = xor(qb.qbucket, CAST(m AS BIGINT))
+           |),
+           |ranked AS (
+           |  SELECT q_id, c_id, sim, row_number() OVER (
+           |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn
+           |  FROM scored
+           |)
+           |SELECT q_id, c_id, round(sim, 4) AS sim, rn
+           |FROM ranked WHERE rn <= 3""".stripMargin,
+
       "q_ann_quantized" -> lshQuantizedOracle(lit),
       // the storage-routed variant must produce the identical result —
       // same oracle, so any divergence introduced by the partitioned

@@ -372,4 +372,41 @@ class SimilaritySpec extends AnyFunSuite {
       s"gate corpus n=$n now resolves different adaptive band params — " +
         "update SimilarityPack.nearDupOracle to match")
   }
+
+  test("knnJoin equals the driver-side multi-probe reference per query") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, SparkSuite.sf0001)
+    val queries = e.filter(col("vec_id") % 50 === 0)
+    val k = 3
+    val got = Similarity.knnJoin(queries, "vec_id", "embedding",
+        e, "vec_id", "embedding", dim = 64, k = k,
+        numBits = 4, probeFlips = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rn")) ->
+        (r.getAs[Long]("c_id"), r.getAs[Double]("sim"))).toMap
+    // reference: same buckets (sign of the seeded-plane dot), same
+    // hamming<=2 candidate rule, same dot + (sim desc, id) rank
+    val vecs = e.collect().map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Float](r.fieldIndex("embedding")).toSeq.map(_.toDouble)).toMap
+    val planes = Similarity.hyperplanes(64, 4, 7L)
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    def sig(v: Seq[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (dot(p, v) >= 0) 1L << i else 0L }.sum
+    val sigs = vecs.view.mapValues(sig).toMap
+    val expect = vecs.keys.filter(_ % 50 == 0).flatMap { q =>
+      val cands = vecs.keys.filter(c =>
+        java.lang.Long.bitCount(sigs(q) ^ sigs(c)) <= 2)
+      cands.map(c => (c, dot(vecs(q), vecs(c))))
+        .toSeq.sortBy { case (c, s) => (-s, c) }.take(k)
+        .zipWithIndex.map { case ((c, s), i) =>
+          (q, i + 1) -> (c, BigDecimal(s).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.toMap
+    assert(got.nonEmpty && got === expect)
+    // a query always finds itself among the candidates (mask 0)
+    val self = got.collect { case ((q, _), (c, _)) if q == c => q }.toSet
+    assert(self.nonEmpty, "no query retrieved itself — probe set broken?")
+  }
 }
