@@ -210,6 +210,20 @@ class PlanShapeSpec extends AnyFunSuite {
       s"totals scalar degenerated to a cartesian:\n$p")
   }
 
+  test("knnJoin: candidates come from a bucket equi-join, never a loop join") {
+    // the whole point of the mask-explode design is that the
+    // (query × corpus) candidate generation is ONE hash equi-join on
+    // the probed bucket — a nested-loop or cartesian here is the
+    // corpus² trap the operator exists to avoid.
+    val e = Tables.embeddings(spark, SparkSuite.sf0001)
+    val p = plan(Similarity.knnJoin(
+      e.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+      e, "vec_id", "embedding", dim = 64, k = 3))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"knnJoin candidate generation is not an equi-join:\n$p")
+  }
+
   test("funnel and retention: user-keyed equi-joins only, no cartesian") {
     // each funnel stage is a join on the user key against the shrunk
     // reached-set; retention joins (user, day) against per-user mins.
