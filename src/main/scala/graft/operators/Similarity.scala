@@ -37,7 +37,7 @@ object Similarity {
   def cosine(a: String, b: String): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def vecLiteral(v: Seq[Double]): String =
+  private[graft] def vecLiteral(v: Seq[Double]): String =
     v.map(x => s"${x}D").mkString("array(", ", ", ")")
 
   /** Deterministic unit query vector (seeded), shared by Spark and

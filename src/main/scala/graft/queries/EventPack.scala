@@ -151,6 +151,24 @@ object EventPack extends QueryPack {
                 coalesce(col("asof_value"), lit(-1.0)).as("asof_value"))
     }),
 
+    // trailing 7-day moving aggregates over daily counts: the RANGE
+    // frame is on the integer day VALUE (missing days shrink the
+    // window on both engines identically); avg is one deterministic
+    // division per row, never a cross-row double sum
+    "q_moving_avg" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cnt7", sum(col("cnt")).over(w))
+        .withColumn("avg7",
+          round(col("cnt7").cast("double") / lit(7.0), 4))
+    }),
+
     // inter-arrival gap histogram on power-of-two second buckets —
     // the bucket is integer bit-length arithmetic, not floor(log2):
     // exact on both engines at bucket boundaries
@@ -320,6 +338,21 @@ object EventPack extends QueryPack {
         |FROM (SELECT * FROM events WHERE event_type = 'click') l
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
         |  ON l.user_id = r.user_id AND r.ts <= l.ts""".stripMargin,
+
+    "q_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day, cnt,
+        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt7,
+        |  round(CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 4)
+        |    AS avg7
+        |FROM daily""".stripMargin,
 
     // gap bucket = bit length of the integer second gap — both
     // engines' bin() agree digit-for-digit, so boundary gaps (exact

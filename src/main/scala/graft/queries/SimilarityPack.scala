@@ -48,6 +48,22 @@ object SimilarityPack extends QueryPack {
       Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         queryVec, k = 10, numBits = 4, probeFlips = 2)),
 
+    // late-interaction (MaxSim) retrieval: a "document" is its GROUP
+    // of vectors (label stands in for doc here), scored by the max
+    // per-vector dot with the query — one map-side dot + one grouped
+    // max, no per-doc vector list ever materializes
+    "q_maxsim" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, expr, lit, max, round}
+      graft.functions.DotProduct.register(s)
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          expr(s"graft_dot(embedding, ${Similarity.vecLiteral(queryVec)})")
+            .as("sim"))
+        .groupBy(col("label"))
+        .agg(round(max(col("sim")), 4).as("maxsim"),
+             count(lit(1)).as("n_vecs"))
+    }),
+
     // batch kNN JOIN: every 50th vector retrieves its top-3 corpus
     // neighbors in ONE bucket equi-join (mask-exploded multi-probe,
     // per-query top-k) — the RAG/batch-retrieval shape, vs the
@@ -519,6 +535,16 @@ object SimilarityPack extends QueryPack {
            |                       ORDER BY score DESC, cluster) AS rn
            |  FROM scored)
            |WHERE rn = 1""".stripMargin,
+      // grouped max over exact per-row dots — max is order-free, so
+      // no fixed-point trick is needed
+      "q_maxsim" ->
+        s"""SELECT label,
+           |  round(max(list_dot_product(CAST(embedding AS DOUBLE[]),
+           |                             CAST($lit AS DOUBLE[]))), 4)
+           |    AS maxsim,
+           |  count(*) AS n_vecs
+           |FROM embeddings GROUP BY 1""".stripMargin,
+
       "q_ann_lsh" -> lshOracle(lit),
 
       // the kNN join replayed end-to-end: same seeded buckets on both
