@@ -288,6 +288,26 @@ object Components {
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
   }
 
+  /** Leakage-safe train/val/test split: every near-dup CLUSTER is
+    * assigned wholly to one split, so a document and its near
+    * duplicates can never straddle the train/eval boundary (the
+    * standard eval-contamination failure of row-level hash splits —
+    * a doc in train and its 0.95-Jaccard twin in test leaks the
+    * answer). The split is [[TextAnalysis.hashSplit]] keyed on the
+    * CLUSTER label instead of the doc id: deterministic, seedless,
+    * and stable under corpus growth for unchanged clusters.
+    *
+    * Cost = [[clusters]] (the pointer-jumping closure over the pair
+    * graph; payload never enters the loop) + one map-side md5 CASE —
+    * no extra shuffle beyond the closure itself. Output:
+    * (idCol, cluster_id, split). */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Double)] =
+                         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                       aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame =
+    TextAnalysis.hashSplit(clusters(docs, idCol, pairs, aCol, bCol),
+      "cluster_id", splits)
+
   /** Degree histogram of an undirected pair graph: how many nodes
     * have k neighbors, for each observed k — the dup-graph shape
     * summary that tells a pipeline whether its near-dup universe is

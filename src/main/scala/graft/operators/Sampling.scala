@@ -84,6 +84,45 @@ object Sampling {
       .drop("__sk", "__tok", "__cum")
   }
 
+  /** Deterministic epoch shuffle: the global random-looking ordering
+    * a training run reads the corpus in, as a pure function of
+    * (doc id, epoch) — no RNG state, so any worker (or a rerun, or a
+    * resumed job) recomputes the identical permutation, and each
+    * epoch is a fresh decorrelated order (the epoch number salts the
+    * hash). This is the materialized-manifest alternative to
+    * `df.orderBy(rand(seed))`, whose sample is partitioning-dependent
+    * and whose seed must be re-plumbed per epoch.
+    *
+    * Output = input + (`sort_key` md5 hex, `shard` in [0, shards)),
+    * repartitioned BY shard and sorted by sort_key WITHIN each shard
+    * — the exact layout a sharded dataset writer consumes
+    * (`partitionBy(shard)`, rows already in read order). The global
+    * order is (shard, sort_key): shard is a prefix of the same hash,
+    * so concatenating shards in order IS the hash order restricted
+    * to equal-shard prefixes — each shard is an unbiased 1/shards
+    * subsample, the property epoch-sharded training loaders assume.
+    *
+    * Scale shape: one hash-partition exchange on `shard` + an
+    * in-partition sort — no global sort, no driver state. The
+    * permutation is fully determined by the emitted (shard,
+    * sort_key) columns, which is what the gate oracle replays. */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+                   shards: Int): DataFrame = {
+    require(shards >= 1, s"epochShuffle needs shards >= 1, got $shards")
+    require(epoch >= 0, s"epochShuffle needs epoch >= 0, got $epoch")
+    Seq("sort_key", "shard").foreach(c =>
+      require(!df.columns.contains(c),
+        s"epochShuffle: input already has a '$c' column"))
+    val keyed = df
+      .withColumn("sort_key",
+        md5(concat(lit(s"$epoch#"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        pmod(expr("cast(conv(substr(sort_key, 1, 15), 16, 10) as bigint)"),
+          lit(shards.toLong)))
+    keyed.repartition(shards, col("shard"))
+      .sortWithinPartitions(col("sort_key"), col(idCol))
+  }
+
   /** Exactly `n` rows per distinct value of `stratumCol` (fewer iff a
     * stratum is smaller), by per-stratum content-hash rank. `idCol`
     * must be unique per row (it is the hash input and the tiebreak —

@@ -163,6 +163,16 @@ object DedupPack extends QueryPack {
       Components.clusterWeights(docs, "doc_id", chainEdges(docs))
     }),
 
+    // leakage-safe split over the same chain-edge closure: whole
+    // clusters assigned to train/val/test by md5(cluster_id) — a doc
+    // and its near-dups can never straddle the train/eval boundary
+    // (the eval-contamination failure of row-level splits); oracle =
+    // the recursive-CTE closure + the q_hash_split CASE on cluster_id
+    "q_split_leakage" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Components.leakageSafeSplit(docs, "doc_id", chainEdges(docs))
+    }),
+
     // substring-level (positional char-20-gram) duplication profile:
     // the exact-span dedup pass (Lee et al. 2021) — stride 1 on the
     // gate (the exact form; stride is the production subsample knob)
@@ -446,6 +456,22 @@ object DedupPack extends QueryPack {
          |    / count(*) OVER (PARTITION BY cluster_id), 6) AS weight
          |FROM cl
          |""".stripMargin,
+    // the closure plus the q_hash_split CASE keyed on cluster_id —
+    // thresholds generated by the same code the operator uses
+    "q_split_leakage" -> {
+      val Seq(t1, t2) = graft.operators.TextAnalysis.splitThresholds(
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      s"""WITH RECURSIVE $chainClustersCte
+         |SELECT doc_id, cluster_id, CASE
+         |  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '$t1'
+         |    THEN 'train'
+         |  WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '$t2'
+         |    THEN 'val'
+         |  ELSE 'test' END AS split
+         |FROM cl
+         |""".stripMargin
+    },
+
     // positional char-20-gram replay of Dedup.spanProfile: range is
     // Spark's sequence(1, greatest(len-19, 1)) (inclusive → exclusive
     // +1), the clamped slice text[i:i+19] is substring(text, i, 20)

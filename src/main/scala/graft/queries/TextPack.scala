@@ -278,6 +278,16 @@ object TextPack extends QueryPack {
           Tables.documents(s, d), "source", "doc_id", n = 5)
         .select("source", "doc_id")),
 
+    // deterministic epoch shuffle: the training-read permutation as a
+    // pure function of (doc_id, epoch) — md5 sort key + 8-way shard
+    // from the same hash; the emitted (shard, sort_key) pair fully
+    // determines the order the loader reads, and the oracle replays
+    // both columns byte-for-byte
+    "q_epoch_shuffle" -> ((s, d) =>
+      graft.operators.Sampling.epochShuffle(
+          Tables.documents(s, d), "doc_id", epoch = 1, shards = 8)
+        .select("doc_id", "shard", "sort_key")),
+
     // epoch composition: per-source TOKEN budgets (not row counts) —
     // keep docs in content-hash order until the budget is spent
     "q_token_budget_mix" -> ((s, d) =>
@@ -741,6 +751,20 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the permutation replayed byte-for-byte: same md5 hex sort key,
+    // same 15-nibble fold (hexFoldSql == Spark's conv(...,16,10)) mod
+    // the shard count — the fold is non-negative, so % == pmod
+    "q_epoch_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT doc_id,
+         |    md5('1#' || CAST(doc_id AS VARCHAR)) AS sort_key
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  ${hexFoldSql("sort_key", 15)} % 8 AS shard,
+         |  sort_key
+         |FROM k""".stripMargin,
 
     // the prefix rule replayed: same md5 order, same inclusive
     // cumulative sum (ROWS frame == Spark's RANGE frame because the

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.operators.{Components, Dedup}
+import graft.operators.{Components, Dedup, TextAnalysis}
 
 /** Connected-components kernel pinned against a union-find reference,
   * plus the transitive-dedup application semantics. */
@@ -121,6 +121,32 @@ class ComponentsSpec extends AnyFunSuite {
     // soft-dedup invariant (up to round-6): total mass ≈ #clusters
     val mass = got.values.map(_._3).sum
     assert(math.abs(mass - 3.0) < 1e-4)
+  }
+
+  test("leakageSafeSplit: clusters never straddle splits; split = hashSplit of the cluster label") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 400L).toDF("doc_id")
+    // chains of length 3 over every third id: {1,2,3},{4,5,6},… plus
+    // isolated singletons in between — plenty of multi-doc clusters
+    val pairs = (1L to 398L by 3L).flatMap(a => Seq((a, a + 1), (a + 1, a + 2)))
+      .toDF("doc_a", "doc_b")
+    val split = Components.leakageSafeSplit(docs, "doc_id", pairs).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[String]("split")))
+    assert(split.length === 400, "every doc assigned")
+    // the leakage guarantee: one split per cluster
+    val perCluster = split.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(perCluster.values.forall(_.size == 1),
+      "a near-dup cluster must land wholly in one split")
+    // the assignment IS hashSplit keyed on the cluster label
+    val expected = TextAnalysis.hashSplit(
+        split.map(t => t._2).distinct.toSeq.toDF("cluster_id"), "cluster_id")
+      .collect().map(r => r.getAs[Long]("cluster_id") -> r.getAs[String]("split"))
+      .toMap
+    assert(split.forall { case (_, cl, sp) => expected(cl) == sp })
+    // all three splits are populated at this size (134 clusters)
+    assert(split.map(_._3).toSet === Set("train", "val", "test"))
   }
 
   test("random graph: components match union-find (seeded 2000-edge fuzz)") {

@@ -83,6 +83,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("epochShuffle: deterministic, partition-invariant, epoch-decorrelated, shard = key prefix") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 500L).toDF("id")
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int) =
+      Sampling.epochShuffle(df, "id", epoch, shards = 8)
+        .select("shard", "sort_key", "id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).map(_._3).toSeq
+    val e1 = order(docs, 1)
+    assert(e1.toSet === (1L to 500L).toSet, "a permutation: every doc exactly once")
+    assert(e1 === order(docs.repartition(13), 1),
+      "the permutation is a pure function of the data, not the partitioning")
+    val e2 = order(docs, 2)
+    assert(e2.toSet === e1.toSet && e2 != e1,
+      "a different epoch is a different permutation of the same corpus")
+    // decorrelated, not shifted: agreement at each position is ~random
+    assert(e1.zip(e2).count { case (a, b) => a == b } < 15)
+    val rows = Sampling.epochShuffle(docs, "id", 1, shards = 8)
+      .select("shard", "sort_key").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // shard is the 60-bit fold of the SAME key mod 8 — each shard an
+    // unbiased subsample; at n=500, k=8 every shard is populated
+    assert(rows.map(_._1).toSet === (0L until 8L).toSet)
+    assert(rows.forall { case (sh, k) =>
+      sh == java.lang.Long.parseLong(k.substring(0, 15), 16) % 8 })
+  }
+
   test("uniformSample: exact size, deterministic, bounded by input") {
     val spark2 = spark
     import spark2.implicits._
