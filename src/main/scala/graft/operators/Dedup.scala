@@ -448,6 +448,57 @@ object Dedup {
       isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
   }
 
+  /** Asymmetric CONTAINMENT pairs — the quote/subset detector exact
+    * Jaccard cannot express: containment(A→B) = |A∩B| / |A| over
+    * distinct word n-grams. A 100-word passage lifted verbatim into
+    * a 10k-word page has near-zero Jaccard (the union is huge) but
+    * containment ≈ 1.0 from the quote's side — exactly the shape of
+    * license boilerplate, press-release reprints, and train→eval
+    * quote leakage. Output is DIRECTED: (doc_inner, doc_outer,
+    * containment) with containment ≥ threshold, one row per
+    * direction that qualifies (mutual near-copies emit both).
+    *
+    * Same count-based gram equi-join as [[exactJaccardPairs]]'s
+    * uncapped path — |A∩B| is counted in the candidate join itself
+    * (gram arrays are distinct, so count(*) per pair IS the
+    * intersection; nothing wider than (gram, id, id) shuffles), and
+    * each direction divides by ITS side's set size. The two
+    * direction branches project the same joined frame, so the
+    * exchange is planned once and reused. Cost is Σ_gram freq² like
+    * the exact-Jaccard audit; at corpus scale screen with the LSH
+    * path first and run this on survivors. threshold > 0 keeps
+    * candidate generation by shared gram exact. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, n: Int = 3,
+                       keepCaches: Boolean = false): DataFrame = {
+    require(threshold > 0, "containmentPairs needs threshold > 0 " +
+      "(candidate generation by shared gram is only exact above 0)")
+    val grams = docs.select(col(idCol).as("id"),
+        TextAnalysis.stringShingles(textCol, n).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ex = grams.select(col("id"), explode(col("g")).as("gram"))
+    val inter = ex.alias("l")
+      .join(ex.alias("r"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(grams.select(col("id").as("doc_a"), size(col("g")).as("na")),
+        Seq("doc_a"))
+      .join(grams.select(col("id").as("doc_b"), size(col("g")).as("nb")),
+        Seq("doc_b"))
+    val dirs = inter.select(col("doc_a").as("doc_inner"),
+        col("doc_b").as("doc_outer"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .unionAll(inter.select(col("doc_b").as("doc_inner"),
+        col("doc_a").as("doc_outer"),
+        (col("inter").cast("double") / col("nb")).as("containment")))
+    val out = dirs.filter(col("containment") >= threshold)
+      .select(col("doc_inner"), col("doc_outer"),
+        round(col("containment"), 4).as("containment"))
+    MetricListener.releaseAfterFirstAction(out, grams,
+      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
+  }
+
   /** Brute-force exact Jaccard pairs over an arbitrary shingler
     * (all-pairs — test oracle for LSH recall at small scale; never
     * the production path). */

@@ -57,6 +57,64 @@ object EventAnalytics {
       .select(col("user_id"), col("gap_s"), col("bucket"))
   }
 
+  /** Robust per-group anomaly flagging on a numeric column — the
+    * telemetry-quality gate (bot bursts, broken loggers, corrupted
+    * values) run before events feed any downstream stat. Modified
+    * z-score (Iglewicz–Hoaglin): m = 0.6745·(v − median) / MAD, with
+    * median and MAD per group — median/MAD, not mean/std, because the
+    * anomalies being hunted are exactly the points that wreck the
+    * moments they'd be standardized by.
+    *
+    * Both medians are LOWER medians by rank selection (the value at
+    * row ⌈n/2⌉ in (value, id) order) — pure selection, NO
+    * interpolation arithmetic, so the result is a value that exists
+    * in the data and replays identically in any engine (interpolated
+    * medians differ across engines in the last ulp when their
+    * blend formulas differ). `idCol` breaks value ties, making the
+    * selection total-ordered and unique.
+    *
+    * `exact = true` (the gate path) ranks inside per-group windows —
+    * right when the grouping is low-cardinality-per-group or
+    * moderate volume. At corpus scale a hot group funnels one task,
+    * so `exact = false` swaps BOTH medians for
+    * `approx_percentile(·, 0.5)` — a partial-aggregated sketch, no
+    * window, same flag logic (EventAnalyticsSpec pins the two paths
+    * to agree on separated data). MAD = 0 (over half the group
+    * identical) yields m = 0 — those groups never flag, the
+    * documented Iglewicz–Hoaglin degenerate case.
+    *
+    * Output: (idCol, groupCol, value, med, mad, mscore round-4,
+    * is_anomaly 0/1); null values excluded. */
+  def robustOutliers(events: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String, k: Double = 3.5,
+                     exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+    def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame =
+      if (exact) {
+        val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol), col(idCol))
+        df.withColumn("__rn", row_number().over(w))
+          .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(groupCol))))
+          .filter(col("__rn") === expr("(__n + 1) div 2"))
+          .select(col(groupCol), col(vCol).as(out))
+      } else {
+        df.groupBy(col(groupCol))
+          .agg(expr(s"approx_percentile($vCol, 0.5)").as(out))
+      }
+    val med = lowerMedian(base, "value", "med")
+    val dev = base.join(med, Seq(groupCol))
+      .withColumn("adev", abs(col("value") - col("med")))
+    val mad = lowerMedian(dev, "adev", "mad")
+    dev.join(mad, Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("value"), col("med"), col("mad"),
+        round(when(col("mad") > 0.0,
+            lit(0.6745) * (col("value") - col("med")) / col("mad"))
+          .otherwise(lit(0.0)), 4).as("mscore"))
+      .withColumn("is_anomaly", (abs(col("mscore")) > k).cast("int"))
+  }
+
   /** Ordered-stage funnel: how many users completed stage 1, stages
     * 1→2 in order, 1→2→3 in order, … — "in order" meaning each later
     * stage's event must be STRICTLY AFTER the earliest completion of

@@ -217,6 +217,78 @@ object Similarity {
         isnotnull(col("v")) && size(col("v")) < 0, Seq(raw), keepCaches))
   }
 
+  /** Embedding-space outlier scoring against a fitted centroid set —
+    * the curation pass that prunes mislabeled / off-distribution
+    * documents before training (the distance-to-centroid filter of
+    * SemDeDup-adjacent pipelines): each vector is assigned its
+    * nearest centroid ([[kMeansAssign]] — map-side, centroid
+    * literals inside codegen, no join), scored with its squared
+    * distance, and flagged when that distance sits more than
+    * `zThreshold` standard deviations above its CLUSTER's mean — the
+    * per-cluster normalization is what makes one tight and one
+    * diffuse cluster comparable.
+    *
+    * dist² folds out of the assignment for free: kMeansAssign's
+    * score is s_j = v·c_j − |c_j|²/2, so
+    * dist²(v, c_best) = |v|² − 2·max_j s_j — one extra |v|² dot, no
+    * second pass over the centroid array.
+    *
+    * Scale shape: one map-side projection + ONE k-row partial-agg
+    * shuffle for the cluster moments + a broadcast join of those k
+    * rows back — the corpus is scanned once and never re-shuffled.
+    * Mean/std come from EXACT fixed-point sums (dist² rounded to
+    * 1e-6 and summed as decimals — sums of doubles would be
+    * partition-order dependent, the q_unigram_xent discipline), so
+    * the output is bit-deterministic under any partitioning and the
+    * gate oracle replays it from persisted centroids.
+    *
+    * Output: (idCol, cluster, dist2 round-6, z round-4, is_outlier
+    * 0/1). Null vectors and dim mismatches are excluded, matching
+    * [[kMeans]]'s base frame. A singleton or zero-variance cluster
+    * has std = 0: its members get z = 0 and are never outliers. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       centroids: IndexedSeq[IndexedSeq[Double]],
+                       zThreshold: Double = 2.0): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    require(centroids.nonEmpty, "centroidOutliers needs >= 1 centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      "centroidOutliers: centroids mix dimensions")
+    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+    val scores = centroids.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      call_function("graft_dot", col("v"), typedLit(c)) - lit(half)
+    }
+    val arr = array(scores: _*)
+    val scored = base.select(col(idCol),
+        (call_function("array_position", arr, array_max(arr)) - 1)
+          .cast("int").as("cluster"),
+        (call_function("graft_dot", col("v"), col("v"))
+          - lit(2.0) * array_max(arr)).as("d2"))
+      .withColumn("d2f", round(col("d2") * lit(1e6), 0).cast("long"))
+    val dec = col("d2f").cast("decimal(38,0)")
+    // mean materialized before the variance so both engines square it
+    // by plain multiplication (cross-engine pow() is not bit-pinned)
+    val stats = scored.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(dec).as("s1"),
+        sum(dec * dec).as("s2"))
+      .select(col("cluster"),
+        (col("s1").cast("double") / col("n") / lit(1e6)).as("mean_d2"),
+        (col("s2").cast("double") / col("n") / lit(1e12)).as("ex2_d2"))
+      .select(col("cluster"), col("mean_d2"),
+        sqrt(greatest(lit(0.0),
+          col("ex2_d2") - col("mean_d2") * col("mean_d2"))).as("std_d2"))
+    scored.join(broadcast(stats), Seq("cluster"))
+      .select(col(idCol), col("cluster"),
+        round(col("d2f") / lit(1e6), 6).as("dist2"),
+        round(when(col("std_d2") > 0.0,
+            (col("d2f") / lit(1e6) - col("mean_d2")) / col("std_d2"))
+          .otherwise(lit(0.0)), 4).as("z"))
+      .withColumn("is_outlier",
+        (col("z") > lit(zThreshold)).cast("int"))
+  }
+
   /** IVF probe over the STORED layout — the true corpus-scale shape:
     * the table is written partitioned by its (kMeans) cluster column
     * and the probe reads ONLY the `nprobe` nearest clusters'

@@ -389,6 +389,57 @@ object TextAnalysis {
       isnotnull(col("cf")) && col("cf") < 0, Seq(tf, stats), keepCaches)
   }
 
+  /** PMI-scored collocations — the corpus-statistics pass that finds
+    * phrases behaving as units ("machine learning", "new york"):
+    * pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the
+    * consecutive-bigram stream and p(a), p(b) over the unigram
+    * stream. High-PMI bigrams feed tokenizer merges, phrase-aware
+    * dedup, and n-gram decontamination allowlists.
+    *
+    * Shape: two column-pruned scans (unigram and bigram streams —
+    * tokenize let-bound once per row), one partial-agg shuffle each,
+    * then two equi-joins of the `minCount`-filtered bigram table
+    * against the unigram counts. The unigram side is the deduped
+    * VOCABULARY (one row per distinct token), so a Zipf-hot token is
+    * one build-side row — probe-side skew only, which hash joins
+    * absorb; totals ride as broadcast one-row frames. `minCount`
+    * prunes the hapax tail BEFORE the joins (the classic PMI
+    * rare-pair explosion — at any scale most bigrams are singletons
+    * with inflated PMI, and they would dominate join traffic).
+    *
+    * The single ln() per surviving bigram runs over one exact
+    * integer-ratio expression with pinned association, round-6 — no
+    * float sums anywhere (counts are exact longs), so the output is
+    * partition-order independent and engine-replayable. Output:
+    * (w1, w2, c_ab, pmi). */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    require(minCount >= 1, s"pmiBigrams needs minCount >= 1, got $minCount")
+    val uni = docs.select(explode(expr(tokensSql(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).as("n_uni"))
+    val bigramsExpr = graft.functions.Let.let1(tokensSql(textCol), "toks")(
+      """CASE WHEN size(toks) < 2
+        |  THEN cast(array() as array<struct<w1: string, w2: string>>)
+        |  ELSE transform(sequence(0, size(toks) - 2),
+        |    i -> struct(element_at(toks, i + 1) as w1,
+        |                element_at(toks, i + 2) as w2)) END""".stripMargin)
+    val bi = docs.select(explode(expr(bigramsExpr)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val biTot = bi.agg(sum(col("c_ab")).as("n_bi"))
+    bi.filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(expr(
+          """ln((cast(c_ab as double) * cast(n_uni as double)
+            |     * cast(n_uni as double))
+            |   / (cast(n_bi as double) * cast(c_a as double)
+            |      * cast(c_b as double)))""".stripMargin), 6).as("pmi"))
+  }
+
   /** Overlapping token-window chunking — the pretraining sequence-prep
     * step that turns documents into model-sized pieces: chunk i covers
     * tokens [i·stride, i·stride + window) of the [[tokensSql]] token

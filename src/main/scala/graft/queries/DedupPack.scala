@@ -102,6 +102,13 @@ object DedupPack extends QueryPack {
         .select("doc_id")
     }),
 
+    // asymmetric containment (|A∩B|/|A|, directed): the quote/subset
+    // detector — same count-based gram join as the exact pairs, each
+    // direction divided by its own side's set size
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8)),
+
     "q_dedup_cluster_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Components.clusters(docs, "doc_id",
@@ -385,6 +392,37 @@ object DedupPack extends QueryPack {
          |SELECT doc_id FROM documents
          |WHERE doc_id NOT IN (SELECT doc_b FROM pairs)
          |""".stripMargin,
+    // the count-based replay, divided per DIRECTION by that side's
+    // distinct-gram set size (same gram universe as exactPairsCte)
+    "q_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 2),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks
+        |),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |sz AS (SELECT doc_id, len(g) AS ng FROM grams),
+        |inter AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |dirs AS (
+        |  SELECT doc_a AS doc_inner, doc_b AS doc_outer,
+        |    CAST(i AS DOUBLE) / sa.ng AS containment
+        |  FROM inter JOIN sz sa ON sa.doc_id = inter.doc_a
+        |  UNION ALL
+        |  SELECT doc_b AS doc_inner, doc_a AS doc_outer,
+        |    CAST(i AS DOUBLE) / sb.ng AS containment
+        |  FROM inter JOIN sz sb ON sb.doc_id = inter.doc_b
+        |)
+        |SELECT doc_inner, doc_outer, round(containment, 4) AS containment
+        |FROM dirs WHERE containment >= 0.8""".stripMargin,
     "q_dedup_cluster_exact" ->
       s"""WITH RECURSIVE $exactPairsCte,
          |sym AS (

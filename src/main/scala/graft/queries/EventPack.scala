@@ -193,6 +193,13 @@ object EventPack extends QueryPack {
             .as("cohort_day"),
           col("offset_days"), col("users"))),
 
+    // robust per-type anomaly flags: modified z-score against LOWER
+    // median + MAD — both rank SELECTIONS, no interpolation, so med/
+    // mad are data values both engines agree on exactly
+    "q_anomaly" -> ((s, d) =>
+      graft.operators.EventAnalytics.robustOutliers(
+        Tables.events(s, d), "event_type", "value", "event_id")),
+
     // semi-structured props column: JSON field extraction + integer
     // aggregation (sums stay exact — no double crosses the shuffle)
     "q_json_extract" -> ((s, d) =>
@@ -409,5 +416,50 @@ object EventPack extends QueryPack {
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    // both medians replayed as the identical rank selection (the
+    // value at row (n+1)//2 in (value, id) order — no interpolation);
+    // the 0.6745·dev/mad score is one deterministic double expression
+    "q_anomaly" ->
+      """WITH base AS (
+        |  SELECT event_id, event_type, value FROM events
+        |  WHERE value IS NOT NULL
+        |),
+        |n AS (SELECT event_type, count(*) AS n FROM base GROUP BY 1),
+        |medr AS (
+        |  SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY value, event_id) AS rn
+        |  FROM base
+        |),
+        |med AS (
+        |  SELECT medr.event_type, value AS med
+        |  FROM medr JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+        |),
+        |dev AS (
+        |  SELECT b.event_id, b.event_type, b.value, med.med,
+        |    abs(b.value - med.med) AS adev
+        |  FROM base b JOIN med USING (event_type)
+        |),
+        |madr AS (
+        |  SELECT event_type, adev,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY adev, event_id) AS rn
+        |  FROM dev
+        |),
+        |mad AS (
+        |  SELECT madr.event_type, adev AS mad
+        |  FROM madr JOIN n USING (event_type) WHERE rn = (n + 1) // 2
+        |),
+        |scored AS (
+        |  SELECT dev.event_id, dev.event_type, dev.value, dev.med, mad.mad,
+        |    round(CASE WHEN mad.mad > 0.0
+        |      THEN 0.6745 * (dev.value - dev.med) / mad.mad
+        |      ELSE 0.0 END, 4) AS mscore
+        |  FROM dev JOIN mad USING (event_type)
+        |)
+        |SELECT event_id, event_type, value, med, mad, mscore,
+        |  CASE WHEN abs(mscore) > 3.5 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM scored""".stripMargin,
   )
 }

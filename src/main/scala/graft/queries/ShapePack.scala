@@ -104,6 +104,20 @@ object ShapePack extends QueryPack {
                 coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
                 col("cnt"), col("sum_qty"))),
 
+    // GROUPING SETS: the two one-dimension marginals WITHOUT the
+    // (flag, status) cross or the grand total — the report shape
+    // cube/rollup can't express without waste; one Expand + one
+    // shuffle like q_cube
+    "q_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+                coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+                col("cnt"), col("sum_qty"))),
+
     // PIVOT: long→wide with an explicit value list (one Expand-free
     // aggregate — each value becomes a conditional-agg column, the
     // same single shuffle a plain groupBy pays)
@@ -252,6 +266,13 @@ object ShapePack extends QueryPack {
         |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q_intersect" ->
       """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'

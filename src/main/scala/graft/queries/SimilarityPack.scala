@@ -187,6 +187,22 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id"), col("pos"), col("col").as("p"))
     }),
 
+    // embedding-space curation: per-cluster z-score of squared
+    // distance to the fitted centroid — flags off-distribution
+    // vectors before training. The fit is q_kmeans's (k=8, 5 iters,
+    // seed 7); the FINAL centroids are persisted to a dedicated gate
+    // root, and the oracle replays assignment, dist², and the exact
+    // fixed-point cluster moments from them (the q_kmeans artifact
+    // trick + the q_unigram_xent fixed-point discipline)
+    "q_embed_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val km = Similarity.kMeans(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      writeOutlierGateArtifact(s, km.centroids)
+      Similarity.centroidOutliers(emb, "vec_id", "embedding",
+        km.centroids, zThreshold = 2.0)
+    }),
+
     // int8 quantization, element-wise under the hash oracle: the
     // (vec_id, pos, q, scale) explosion pins every quantized byte
     // against DuckDB's replay of the same double arithmetic
@@ -233,6 +249,17 @@ object SimilarityPack extends QueryPack {
       Similarity.kMeans(Tables.embeddings(s, d), "vec_id", "embedding",
         k = 8, iters = 5, seed = 7L).assignments),
 
+    // gate-artifact write is Verify-only (single-writer contract on
+    // [[outlierGateRoot]] — the bench must not overwrite the sf0.01
+    // centroids the oracle replays); the bench times fit + scoring
+    "q_embed_outliers" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val km = Similarity.kMeans(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      Similarity.centroidOutliers(emb, "vec_id", "embedding",
+        km.centroids, zThreshold = 2.0)
+    }),
+
     "q_ann_ivf_stored" -> ((s, d) => {
       val centroids = ivfBenchBuilt.computeIfAbsent(d, _ => {
         val emb = Tables.embeddings(s, d)
@@ -254,6 +281,21 @@ object SimilarityPack extends QueryPack {
     * centroids); the store itself lives in [[storeRoot]]'s temp dir. */
   private val ivfBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[Double]]]()
+
+  /** Fixed root for the q_embed_outliers oracle-replay artifact
+    * (same non-temp, overwrite-in-place, single-writer contract as
+    * [[kmeansGateRoot]] — a separate root so the two gate entries
+    * never couple: either replays alone). */
+  private val outlierGateRoot = "/tmp/graft-gate-store/outliers"
+
+  private def writeOutlierGateArtifact(s: SparkSession,
+      centroids: IndexedSeq[IndexedSeq[Double]]): Unit = {
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outlierGateRoot/centroids.parquet")
+  }
 
   /** Fixed root for the q_kmeans oracle-replay artifact (same
     * non-temp, overwrite-in-place contract as [[gateStoreRoot]]):
@@ -535,6 +577,68 @@ object SimilarityPack extends QueryPack {
            |                       ORDER BY score DESC, cluster) AS rn
            |  FROM scored)
            |WHERE rn = 1""".stripMargin,
+      // replay from the persisted outlier centroids: assignment =
+      // q_kmeans's argmax replay; dist² = |v|² − 2·best_score (the
+      // same algebra the operator uses — identical doubles); cluster
+      // moments from EXACT fixed-point HUGEINT sums of round(d2·1e6)
+      // (the q_unigram_xent discipline — a float Σ would be
+      // partition-order dependent); mean squared by multiplication,
+      // not pow() (cross-engine pow is not bit-pinned)
+      "q_embed_outliers" ->
+        s"""WITH cent AS (
+           |  SELECT cluster, CAST(centroid AS DOUBLE[]) AS c
+           |  FROM read_parquet('$outlierGateRoot/centroids.parquet/*.parquet')
+           |),
+           |v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |  WHERE embedding IS NOT NULL
+           |    AND len(embedding) = (SELECT len(c) FROM cent LIMIT 1)
+           |),
+           |best AS (
+           |  SELECT vec_id, cluster, score, v FROM (
+           |    SELECT v.vec_id, cent.cluster, v.v,
+           |      list_dot_product(v.v, cent.c)
+           |        - list_dot_product(cent.c, cent.c) / 2 AS score,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |                         ORDER BY list_dot_product(v.v, cent.c)
+           |                           - list_dot_product(cent.c, cent.c) / 2
+           |                           DESC, cent.cluster) AS rn
+           |    FROM v CROSS JOIN cent)
+           |  WHERE rn = 1
+           |),
+           |d AS (
+           |  SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           |    CAST(round((list_dot_product(v, v) - 2 * score) * 1000000.0)
+           |      AS BIGINT) AS d2f
+           |  FROM best
+           |),
+           |st AS (
+           |  SELECT cluster, count(*) AS n,
+           |    sum(CAST(d2f AS HUGEINT)) AS s1,
+           |    sum(CAST(d2f AS HUGEINT) * CAST(d2f AS HUGEINT)) AS s2
+           |  FROM d GROUP BY cluster
+           |),
+           |mom AS (
+           |  SELECT cluster,
+           |    CAST(s1 AS DOUBLE) / n / 1000000.0 AS mean_d2,
+           |    CAST(s2 AS DOUBLE) / n / 1000000000000.0 AS ex2_d2
+           |  FROM st
+           |),
+           |sd AS (
+           |  SELECT cluster, mean_d2,
+           |    sqrt(greatest(0.0, ex2_d2 - mean_d2 * mean_d2)) AS std_d2
+           |  FROM mom
+           |)
+           |SELECT d.vec_id, d.cluster,
+           |  round(d.d2f / 1000000.0, 6) AS dist2,
+           |  round(CASE WHEN sd.std_d2 > 0.0
+           |    THEN (d.d2f / 1000000.0 - sd.mean_d2) / sd.std_d2
+           |    ELSE 0.0 END, 4) AS z,
+           |  CASE WHEN round(CASE WHEN sd.std_d2 > 0.0
+           |    THEN (d.d2f / 1000000.0 - sd.mean_d2) / sd.std_d2
+           |    ELSE 0.0 END, 4) > 2.0 THEN 1 ELSE 0 END AS is_outlier
+           |FROM d JOIN sd USING (cluster)""".stripMargin,
+
       // grouped max over exact per-row dots — max is order-free, so
       // no fixed-point trick is needed
       "q_maxsim" ->

@@ -256,6 +256,13 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
 
+    // PMI collocations: bigrams scoring above chance co-occurrence —
+    // exact integer counts into ONE ln() per surviving bigram
+    // (round 6; no float sums), minCount=5 prunes the hapax tail
+    // before any join
+    "q_pmi" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(Tables.documents(s, d), "text", minCount = 5L)),
+
     // count-min sketch frequency estimation: depth×width counters
     // (bounded shuffle regardless of vocabulary size), point-queried
     // for the terms of every 101st doc. The md5-derived bucket
@@ -751,6 +758,33 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // exact counts replayed (unigram + consecutive-bigram streams),
+    // then the identical pinned-association ratio into ln(), round 6
+    // — DuckDB's t[i]/t[i+1] (1-indexed) over range(1, len) is
+    // Spark's element_at(toks, i+1)/(i+2) over sequence(0, size-2)
+    "q_pmi" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |uc AS (
+        |  SELECT tok, count(*) AS c FROM (SELECT unnest(t) AS tok FROM t)
+        |  GROUP BY tok
+        |),
+        |ut AS (SELECT sum(c) AS n_uni FROM uc),
+        |bc AS (
+        |  SELECT w1, w2, count(*) AS c_ab FROM (
+        |    SELECT t[i] AS w1, t[i + 1] AS w2
+        |    FROM (SELECT t, unnest(range(1, len(t))) AS i FROM t))
+        |  GROUP BY w1, w2
+        |),
+        |bt AS (SELECT sum(c_ab) AS n_bi FROM bc)
+        |SELECT w2, w1, c_ab,
+        |  round(ln((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)
+        |            * CAST(n_uni AS DOUBLE))
+        |          / (CAST(n_bi AS DOUBLE) * CAST(a.c AS DOUBLE)
+        |             * CAST(b.c AS DOUBLE))), 6) AS pmi
+        |FROM bc JOIN uc a ON bc.w1 = a.tok JOIN uc b ON bc.w2 = b.tok
+        |CROSS JOIN ut CROSS JOIN bt
+        |WHERE c_ab >= 5""".stripMargin,
 
     // the permutation replayed byte-for-byte: same md5 hex sort key,
     // same 15-nibble fold (hexFoldSql == Spark's conv(...,16,10)) mod

@@ -173,6 +173,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got === truth)
   }
 
+  test("containmentPairs: a verbatim quote flags inner→outer at 1.0, not the reverse; asymmetric where Jaccard is blind") {
+    val s = spark
+    import s.implicits._
+    val quote = "alpha beta gamma delta epsilon"
+    val page = quote + " " + (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(1L -> quote, 2L -> page, 3L -> "zeta eta theta iota kappa")
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, "doc_id", "text", threshold = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_inner"), r.getAs[Long]("doc_outer")) ->
+        r.getAs[Double]("containment")).toMap
+    // every 3-gram of the quote appears in the page → containment 1.0
+    assert(got === Map((1L, 2L) -> 1.0),
+      s"only the quote→page direction qualifies, got $got")
+    // sanity: symmetric Jaccard misses this pair entirely at the same bar
+    val jac = Dedup.exactJaccardPairs(corpus, "doc_id", "text", 0.9)
+      .collect()
+    assert(jac.isEmpty, "Jaccard at 0.9 is blind to the contained quote")
+    // and a plain-Scala check of the non-qualifying reverse direction
+    def grams(t: String) = t.split(' ').sliding(3).map(_.mkString(" ")).toSet
+    val rev = grams(quote).intersect(grams(page)).size.toDouble / grams(page).size
+    assert(rev < 0.9)
+  }
+
   test("exactJaccardPairs maxGramFreq cap only ever drops pairs, never invents them") {
     val uncapped = pairs(Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8))
     val capped = pairs(

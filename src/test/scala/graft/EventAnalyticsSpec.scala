@@ -73,6 +73,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(counts.sliding(2).forall(p => p(0) >= p(1)))
   }
 
+  test("robustOutliers: planted spike flags, bulk does not; lower median/MAD are data values; MAD=0 never flags") {
+    val s = spark
+    import s.implicits._
+    // group A: tight values 10..20 + one 500 spike; group B: constant
+    val rows = (1L to 11L).map(i => (i, "a", 9.0 + i)) ++
+      Seq((99L, "a", 500.0)) ++ (200L to 205L).map(i => (i, "b", 7.0))
+    val df = rows.toDF("event_id", "event_type", "value")
+    val got = EventAnalytics.robustOutliers(df, "event_type", "value",
+        "event_id").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getInt(6)))).toMap
+    // group a: n=12, lower median = 6th value = 15; adevs
+    // 5,4,3,2,1,0,1,2,3,4,5,485 → sorted lower median (6th) = 3
+    assert(got(99L)._1 === 15.0 && got(99L)._2 === 3.0)
+    assert(got(99L)._4 === 1, "the spike flags")
+    assert((1L to 11L).forall(got(_)._4 === 0), "the bulk does not flag")
+    // 0.6745·(500−15)/3, round 4
+    assert(math.abs(got(99L)._3 - math.rint(0.6745 * 485 / 3 * 1e4) / 1e4) < 1e-12)
+    // group b: MAD = 0 → mscore 0, never an anomaly
+    assert((200L to 205L).forall(i => got(i)._3 === 0.0 && got(i)._4 === 0))
+    // the approx path agrees on this separated data
+    val approx = EventAnalytics.robustOutliers(df, "event_type", "value",
+        "event_id", exact = false).collect()
+      .map(r => r.getLong(0) -> r.getInt(6)).toMap
+    assert(approx === got.view.mapValues(_._4).toMap)
+  }
+
   test("retention: offset 0 equals cohort size; conservation of user-days") {
     val df = ev(
       (1, 0, "1", "x"), (2, 86400, "1", "x"), (3, 3 * 86400, "1", "x"),

@@ -248,6 +248,47 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.centroids === res.centroids)
   }
 
+  test("centroidOutliers flags a planted far point, not the cluster bulk; deterministic under repartition") {
+    val s = spark
+    import s.implicits._
+    // two tight clusters in dim 4 + one far point near cluster 0's
+    // axis but 5 units out — an off-distribution doc
+    val rows = (0 until 60).map { i =>
+      val g = i % 2
+      val base = Array.fill(4)(0.0)
+      base(g) = 10.0
+      val jit = Array.tabulate(4)(j => ((i * 37 + j * 11) % 10) / 100.0)
+      (i.toLong, base.zip(jit).map { case (a, b) => a + b })
+    } :+ (999L, Array(15.0, 0.0, 0.0, 0.0))
+    val df = rows.toDF("id", "vec")
+    val centroids: IndexedSeq[IndexedSeq[Double]] =
+      IndexedSeq(IndexedSeq(10.0, 0.0, 0.0, 0.0), IndexedSeq(0.0, 10.0, 0.0, 0.0))
+    val got = Similarity.centroidOutliers(df, "id", "vec", centroids,
+      zThreshold = 2.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got.size === 61)
+    assert(got(999L)._1 === 0, "far point assigns to the nearest centroid")
+    assert(got(999L)._4 === 1, "planted far point is flagged")
+    val flagged = got.filter(_._2._4 == 1).keySet
+    assert(flagged === Set(999L), s"only the planted point flags, got $flagged")
+    // z is a per-cluster standardization: bulk members sit within 2σ
+    assert(got.filterNot(_._1 == 999L).values.forall(t => t._3 <= 2.0))
+    // dist² is the honest squared distance (checked in plain scala)
+    rows.foreach { case (id, v) =>
+      val c = centroids(got(id)._1)
+      val d2 = v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(got(id)._2 - d2) < 1e-5, s"row $id dist2 off")
+    }
+    // bit-deterministic under a different partitioning (the exact
+    // fixed-point moments are the thing this pins)
+    val again = Similarity.centroidOutliers(df.repartition(7), "id", "vec",
+      centroids, zThreshold = 2.0).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(again === got)
+  }
+
   test("ivfTopKStored: cluster layout prunes partitions; probe equals restricted brute force") {
     val emb = Tables.embeddings(spark, SparkSuite.sf0001)
     val km = Similarity.kMeans(emb, "vec_id", "embedding", k = 8, iters = 5,

@@ -91,6 +91,44 @@ class TermScoringSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("pmiBigrams matches a plain-Scala reference; collocation scores above chance pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // "new york" always collocates; "the cat"/"the dog" are chance-ish
+    val docs = Seq(
+      1L -> "new york is big and the cat sat",
+      2L -> "the dog saw new york and the cat",
+      3L -> "new york new york the dog ran",
+      4L -> "the cat and the dog and new york").toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 2L)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // plain-Scala reference over the same streams
+    val texts = Seq("new york is big and the cat sat",
+      "the dog saw new york and the cat",
+      "new york new york the dog ran",
+      "the cat and the dog and new york").map(_.split(' ').toSeq)
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nUni = texts.map(_.size).sum.toLong
+    val big = texts.flatMap(t => t.zip(t.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBi = texts.map(_.size - 1).sum.toLong
+    val expected = big.filter(_._2 >= 2L).map { case ((a, b), cab) =>
+      val pmi = math.log((cab.toDouble * nUni * nUni) /
+        (nBi.toDouble * uni(a) * uni(b)))
+      (a, b) -> ((cab, math.rint(pmi * 1e6) / 1e6))
+    }
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (k, (c, pmi)) =>
+      assert(got(k)._1 === c, s"count mismatch at $k")
+      assert(math.abs(got(k)._2 - pmi) < 1e-9, s"pmi mismatch at $k")
+    }
+    // the true collocation outranks the chance pairs
+    assert(got(("new", "york"))._2 > got(("the", "cat"))._2)
+    assert(got(("new", "york"))._2 > got(("the", "dog"))._2)
+  }
+
   test("xent orders common-word docs below rare-word docs") {
     val spark2 = spark
     import spark2.implicits._
