@@ -389,6 +389,41 @@ object TextAnalysis {
       isnotnull(col("cf")) && col("cf") < 0, Seq(tf, stats), keepCaches)
   }
 
+  /** Per-document token-distribution stats — the Gopher-family
+    * repetitiousness signals computed from a doc's OWN token
+    * histogram: Shannon entropy of the token distribution (a spam
+    * page repeating ten phrases has low entropy at any length) and
+    * type-token ratio (distinct/total — the classic lexical-diversity
+    * cut). Complements [[repetitionScore]] (n-gram burstiness) and
+    * the corpus-relative [[unigramCrossEntropy]] — this one needs no
+    * corpus model, so it runs on day-0 data and never shuffles
+    * anything wider than (doc_id, term, tf).
+    *
+    * H = ln(n) − (Σ tf·ln tf) / n, folded through fixed-point BIGINT
+    * contributions (round(tf·ln(tf)·1e9)) so the per-doc sum is
+    * partition-order independent — the q_unigram_xent discipline.
+    * One explode + one (doc, term) aggregate + one doc aggregate;
+    * per-doc parallelism is the corpus itself. Output: (doc_id,
+    * n_tokens, distinct_tokens, ttr round-6, entropy round-6); an
+    * empty/null text yields no row (no tokens — same explode-drop
+    * convention as q_top_bigrams). */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(tokens(textCol)).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("contrib",
+        round(col("tf") * log(col("tf").cast("double")) * lit(1e9))
+          .cast("bigint"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("contrib")).as("__c"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        round(col("distinct_tokens").cast("double")
+          / col("n_tokens").cast("double"), 6).as("ttr"),
+        round(log(col("n_tokens").cast("double"))
+          - (col("__c").cast("double") / lit(1e9))
+            / col("n_tokens").cast("double"), 6).as("entropy"))
+
   /** PMI-scored collocations — the corpus-statistics pass that finds
     * phrases behaving as units ("machine learning", "new york"):
     * pmi(a,b) = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the
@@ -647,6 +682,49 @@ object TextAnalysis {
         round(avg(col("__graft_n_tokens")), 4).as("avg_tokens"),
         round(avg(length(col(textCol))), 4).as("avg_chars"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  /** The MERGEABLE form of [[sourceStats]] — the incremental-pipeline
+    * variant: emit only ASSOCIATIVE stats (counts, exact sums,
+    * min/max), so yesterday's datasheet plus today's delta merge in
+    * O(sources) without rescanning the corpus — at 100 TB the
+    * difference between a daily full pass and a delta pass. Derived
+    * ratios (avg_*) are deliberately absent here: they don't merge;
+    * [[finalizeSourceStats]] computes them at read time from the
+    * exact sums. One partial-agg shuffle, same as [[sourceStats]]. */
+  def sourceStatsMergeable(df: DataFrame, idCol: String, sourceCol: String,
+                           textCol: String): DataFrame =
+    df.withColumn("__graft_n_tokens", tokenCount(textCol))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("__graft_n_tokens")).as("total_tokens"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+
+  /** Merge two mergeable datasheets (same schema as
+    * [[sourceStatsMergeable]]) — counts/sums add, min/max combine; a
+    * source present in only one side passes through. Associative and
+    * commutative, so any tree of deltas folds to the full-corpus
+    * sheet exactly (q_stats_merge hash-pins merge(evens, odds) ==
+    * full). Cost: a union of two k-row frames + a k-key aggregate —
+    * no corpus data touched. */
+  def mergeSourceStats(a: DataFrame, b: DataFrame): DataFrame = {
+    val g = a.unionByName(b).groupBy(a.columns.head)
+    g.agg(sum(col("docs")).as("docs"),
+      sum(col("total_tokens")).as("total_tokens"),
+      sum(col("total_chars")).as("total_chars"),
+      min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+  }
+
+  /** Read-time ratios over a (merged) mergeable datasheet: averages
+    * from the exact sums, round-6 — one double division per source,
+    * deterministic regardless of how many deltas were merged. */
+  def finalizeSourceStats(m: DataFrame): DataFrame =
+    m.withColumn("avg_tokens",
+        round(col("total_tokens").cast("double")
+          / col("docs").cast("double"), 6))
+      .withColumn("avg_chars",
+        round(col("total_chars").cast("double")
+          / col("docs").cast("double"), 6))
 
   /** Deterministic per-source downsampling — the data-MIXING step of
     * corpus assembly (keep 100% of the curated source, 10% of the

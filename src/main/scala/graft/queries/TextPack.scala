@@ -256,6 +256,39 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
 
+    // per-doc token-distribution stats: Shannon entropy + type-token
+    // ratio from the doc's OWN histogram (the no-corpus-model
+    // repetition signal) — fixed-point ln sums, q_unigram_xent style
+    "q_token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d), "doc_id", "text")),
+
+    // incremental datasheet maintenance: merge(evens, odds) must
+    // equal the full-corpus sheet EXACTLY (associative sums/min/max;
+    // ratios computed at read time from the merged sums) — the hash
+    // gate pins the merge path against the one-pass oracle
+    "q_stats_merge" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.finalizeSourceStats(
+        TextAnalysis.mergeSourceStats(
+          TextAnalysis.sourceStatsMergeable(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "source", "text"),
+          TextAnalysis.sourceStatsMergeable(
+            docs.filter(col("doc_id") % 2 === 1), "doc_id", "source", "text")))
+    }),
+
+    // per-source hot terms (the domain-profile report): exact counts,
+    // top-5 per source via the shared salted top-k dispatch
+    "q_source_top_terms" -> ((s, d) =>
+      graft.operators.Skew.saltedTopK(
+          Tables.documents(s, d)
+            .select(col("source"),
+              explode(expr(TextAnalysis.tokensSql("text"))).as("term"))
+            .groupBy("source", "term").agg(count(lit(1)).as("cnt")),
+          Seq("source"),
+          Seq(col("cnt").desc, col("term").asc), 5,
+          rankCol = "rank",
+          saltCols = Seq(col("source"), col("term")))),
+
     // PMI collocations: bigrams scoring above chance co-occurrence —
     // exact integer counts into ONE ln() per surviving bigram
     // (round 6; no float sums), minCount=5 prunes the hapax tail
@@ -758,6 +791,56 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the fixed-point ln-fold replayed per doc (sum of BIGINT
+    // contributions is order-free); DuckDB's HUGEINT sums cast back
+    // to Spark's long/double types
+    "q_token_entropy" ->
+      """WITH t2 AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |    count(*) AS distinct_tokens,
+        |    CAST(sum(CAST(round(tf * ln(CAST(tf AS DOUBLE))
+        |      * 1000000000.0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM t2 GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, distinct_tokens,
+        |  round(CAST(distinct_tokens AS DOUBLE)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |  round(ln(CAST(n_tokens AS DOUBLE))
+        |    - (CAST(c AS DOUBLE) / 1000000000.0)
+        |      / CAST(n_tokens AS DOUBLE), 6) AS entropy
+        |FROM agg""".stripMargin,
+
+    // the merge path's result IS the one-pass sheet: associative
+    // sums/min/max fold exactly, ratios divide the exact sums
+    "q_stats_merge" ->
+      """SELECT source, count(*) AS docs,
+        |  CAST(sum(len(string_split_regex(text, '\s+'))) AS BIGINT)
+        |    AS total_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  round(CAST(sum(len(string_split_regex(text, '\s+'))) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_tokens,
+        |  round(CAST(sum(length(text)) AS DOUBLE)
+        |    / CAST(count(*) AS DOUBLE), 6) AS avg_chars
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_source_top_terms" ->
+      """SELECT source, term, cnt, CAST(rank AS INT) AS rank FROM (
+        |  SELECT source, term, cnt, row_number() OVER (
+        |    PARTITION BY source ORDER BY cnt DESC, term) AS rank
+        |  FROM (
+        |    SELECT source, term, count(*) AS cnt FROM (
+        |      SELECT source, unnest(string_split(text, ' ')) AS term
+        |      FROM documents)
+        |    GROUP BY 1, 2)
+        |) WHERE rank <= 5""".stripMargin,
 
     // exact counts replayed (unigram + consecutive-bigram streams),
     // then the identical pinned-association ratio into ln(), round 6

@@ -76,6 +76,45 @@ class CorpusStatsSpec extends AnyFunSuite {
       4L -> "unique words only here"))
   }
 
+  test("tokenEntropy: hand-computed H and TTR; repetitive doc scores below diverse doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      1L -> "a a a a",          // H = 0, ttr = 0.25
+      2L -> "a b c d",          // H = ln 4, ttr = 1
+      3L -> "a a b b",          // H = ln 2, ttr = 0.5
+      4L -> "spam spam spam spam spam spam spam eggs").toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got(1L) === ((4L, 1L, 0.25, 0.0)))
+    assert(got(2L)._3 === 1.0)
+    assert(math.abs(got(2L)._4 - math.log(4)) < 1e-6)
+    assert(math.abs(got(3L)._4 - math.log(2)) < 1e-6)
+    // 7/8 spam: H = ln8 − (7·ln7)/8 ≈ 0.3768
+    assert(math.abs(got(4L)._4 - (math.log(8) - 7 * math.log(7) / 8)) < 1e-6)
+    assert(got(4L)._4 < got(2L)._4, "repetition scores below diversity")
+  }
+
+  test("mergeable datasheet: merge(evens, odds) equals the one-pass sheet; merge is commutative") {
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("source") -> r.toSeq).toMap
+    val full = rows(TextAnalysis.finalizeSourceStats(
+      TextAnalysis.sourceStatsMergeable(docs, "doc_id", "source", "text")))
+    val e = TextAnalysis.sourceStatsMergeable(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "source", "text")
+    val o = TextAnalysis.sourceStatsMergeable(
+      docs.filter(col("doc_id") % 2 === 1), "doc_id", "source", "text")
+    val merged = rows(TextAnalysis.finalizeSourceStats(
+      TextAnalysis.mergeSourceStats(e, o)))
+    assert(merged === full, "associative sums fold to the one-pass sheet")
+    val swapped = rows(TextAnalysis.finalizeSourceStats(
+      TextAnalysis.mergeSourceStats(o, e)))
+    assert(swapped === full, "merge is commutative")
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._

@@ -224,6 +224,64 @@ class PlanShapeSpec extends AnyFunSuite {
       s"knnJoin candidate generation is not an equi-join:\n$p")
   }
 
+  test("containment pairs: count-based gram equi-join, no cartesian, no array re-shuffle") {
+    // same 100 TB contract as the exact-Jaccard audit it derives
+    // from: candidates from the shared-gram equi-join, intersection
+    // COUNTED in that join (never dense arrays re-shuffled per pair).
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(graft.operators.Dedup.containmentPairs(
+      docs, "doc_id", "text", threshold = 0.8))
+    assert(!p.contains("CartesianProduct"),
+      s"containment candidate join degenerated to a cartesian:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"containment regressed to the array-shuffling form:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("PMI: vocabulary joins are hash equi-joins; totals scalars add no cartesian") {
+    // bc ⋈ uc twice on a token key plus two 1-row totals — the totals
+    // must ride broadcasts and the vocab joins must never widen to a
+    // loop join (probe-side Zipf skew is absorbed by hash joins; a
+    // nested loop here is vocab² traffic).
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(TextAnalysis.pmiBigrams(docs, "text", minCount = 5L))
+    assert(!p.contains("CartesianProduct"),
+      s"PMI totals degenerated to a cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"PMI totals do not broadcast:\n$p")
+  }
+
+  test("centroid outliers: k-row moments broadcast back; single scan, no cartesian") {
+    // the per-cluster moment frame is k rows — its join back to the
+    // scored corpus must be a broadcast hash join, and nothing in the
+    // plan may widen to a cartesian.
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val cents = Similarity.kMeans(emb, "vec_id", "embedding",
+      k = 8, iters = 2, seed = 7L).centroids
+    val p = plan(Similarity.centroidOutliers(emb, "vec_id", "embedding", cents))
+    assert(p.contains("BroadcastHashJoin"),
+      s"cluster-moment join is not a broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"outlier scoring degenerated to a cartesian:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("epoch shuffle: one exchange (the shard repartition), sort stays within partitions") {
+    // the permutation must cost exactly one hash-partition exchange +
+    // an in-partition sort — a global Sort/range exchange here is the
+    // full-sort trap the operator exists to avoid.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(graft.operators.Sampling.epochShuffle(
+      docs.select("doc_id"), "doc_id", epoch = 1, shards = 8))
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"epoch shuffle must cost exactly one exchange:\n$p")
+    // physical Sort prints `Sort [keys], <global>, 0` — global must
+    // be false (an in-partition sort, not a range-exchange full sort)
+    assert(p.linesIterator.exists(l =>
+      l.contains("Sort [") && l.contains("], false, 0")),
+      s"in-partition sort missing or global:\n$p")
+  }
+
   test("funnel and retention: user-keyed equi-joins only, no cartesian") {
     // each funnel stage is a join on the user key against the shrunk
     // reached-set; retention joins (user, day) against per-user mins.
