@@ -88,6 +88,21 @@ object EventAnalytics {
   def robustOutliers(events: DataFrame, groupCol: String, valueCol: String,
                      idCol: String, k: Double = 3.5,
                      exact: Boolean = true): DataFrame = {
+    val base = events.select(col(idCol), col(groupCol),
+        col(valueCol).cast("double").as("value"))
+      .filter(col("value").isNotNull)
+    base.join(robustProfile(events, groupCol, valueCol, idCol, exact),
+        Seq(groupCol))
+      .select(col(idCol), col(groupCol), col("value"), col("med"), col("mad"))
+      .transform(scoreAgainstProfile(k))
+  }
+
+  /** The fitted (group, med, mad) profile alone — the artifact a
+    * pipeline persists after the daily batch fit and joins against
+    * live data (see [[graft.streaming.EventStream.anomalyStream]]).
+    * Semantics and the exact/approx switch as in [[robustOutliers]]. */
+  def robustProfile(events: DataFrame, groupCol: String, valueCol: String,
+                    idCol: String, exact: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = events.select(col(idCol), col(groupCol),
         col(valueCol).cast("double").as("value"))
@@ -106,14 +121,20 @@ object EventAnalytics {
     val med = lowerMedian(base, "value", "med")
     val dev = base.join(med, Seq(groupCol))
       .withColumn("adev", abs(col("value") - col("med")))
-    val mad = lowerMedian(dev, "adev", "mad")
-    dev.join(mad, Seq(groupCol))
-      .select(col(idCol), col(groupCol), col("value"), col("med"), col("mad"),
+    lowerMedian(dev, "adev", "mad").join(med, Seq(groupCol))
+      .select(col(groupCol), col("med"), col("mad"))
+  }
+
+  /** The shared scoring tail: rows carrying (value, med, mad) →
+    * + (mscore round-4, is_anomaly) — one map-side expression, used
+    * identically by the batch operator and the streaming twin so the
+    * two cannot drift. */
+  private[graft] def scoreAgainstProfile(k: Double)(df: DataFrame): DataFrame =
+    df.withColumn("mscore",
         round(when(col("mad") > 0.0,
             lit(0.6745) * (col("value") - col("med")) / col("mad"))
-          .otherwise(lit(0.0)), 4).as("mscore"))
+          .otherwise(lit(0.0)), 4))
       .withColumn("is_anomaly", (abs(col("mscore")) > k).cast("int"))
-  }
 
   /** Ordered-stage funnel: how many users completed stage 1, stages
     * 1→2 in order, 1→2→3 in order, … — "in order" meaning each later

@@ -331,6 +331,43 @@ object EventStream {
         coalesce(col("m.value"), lit(-1.0)).as("asof_value"))
   }
 
+  /** Streaming robust-anomaly scoring — the live twin of
+    * [[graft.operators.EventAnalytics.robustOutliers]], split the way
+    * production runs it: the (group, med, mad) profile is FITTED ON
+    * THE BATCH SNAPSHOT (medians aren't incrementally maintainable —
+    * the daily fit is the standard discipline), persisted once, and
+    * every arriving event is scored against it map-side. Zero
+    * streaming state, watermark-free append output; the profile is a
+    * per-group frame (bounded by group cardinality), so the
+    * stream-static join broadcasts.
+    *
+    * The scoring expression is literally shared with the batch
+    * operator ([[graft.operators.EventAnalytics.scoreAgainstProfile]])
+    * so the two paths cannot drift; EventStreamSpec pins
+    * stream == batch row-for-row when the profile snapshot is the
+    * same data the batch scored. Events whose group is absent from
+    * the profile (born after the fit) pass through unflagged
+    * (mscore 0) rather than erroring — the conservative choice until
+    * the next fit covers them. */
+  def anomalyStream(spark: SparkSession, dir: String,
+                    k: Double = 3.5): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir).schema
+    val profile = graft.operators.EventAnalytics.robustProfile(
+        graft.Tables.normalizeEventsTs(spark.read.parquet(dir)),
+        "event_type", "value", "event_id")
+      .persist() // snapshot once; stream-static joins re-run the static plan per micro-batch
+    graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema).parquet(dir))
+      .select(col("event_id"), col("event_type"),
+        col("value").cast("double").as("value"))
+      .filter(col("value").isNotNull)
+      .join(broadcast(profile), Seq("event_type"), "left")
+      .transform(graft.operators.EventAnalytics.scoreAgainstProfile(k))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("mscore"), col("is_anomaly"))
+  }
+
   /** Streaming exact-duplicate removal on (keyCols, ts): identical
     * re-deliveries of the same event are dropped, while genuine new
     * events for the same key (different ts) pass through. The

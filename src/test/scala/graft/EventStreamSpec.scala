@@ -181,6 +181,30 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.exists(_._2 != -1L), "expected some enriched rows")
   }
 
+  test("anomalyStream equals batch robustOutliers when the profile snapshot is the scored data") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sanom").toString
+    Tables.events(spark, SparkSuite.sf0001).write.mode("overwrite").parquet(dir)
+
+    val batch = graft.operators.EventAnalytics.robustOutliers(
+        spark.read.parquet(dir), "event_type", "value", "event_id")
+      .select(col("event_id"), col("mscore"), col("is_anomaly"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+
+    val q = EventStream.anomalyStream(spark, dir)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sanom").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_sanom")
+      .select(col("event_id"), col("mscore"), col("is_anomaly"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSet
+
+    assert(streamed === batch,
+      "shared scoring expression: stream and batch flags must be identical")
+    assert(streamed.exists(_._3 == 1) || streamed.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("asOfStream caps per-key purchase history at maxHistory, counting the cut") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
