@@ -100,6 +100,34 @@ object Sketch {
           .cast("long").as("approx_distinct"))
   }
 
+  /** Cross-corpus overlap estimate — the planning number a dedup or
+    * mixing decision needs BEFORE paying for a full cross join:
+    * |A|, |B| and |A∪B| each estimated by [[kmvDistinct]]'s KMV over
+    * the SAME 60-bit hash, then |A∩B| = |A| + |B| − |A∪B| by
+    * inclusion–exclusion (clamped at 0) and the distinct-Jaccard
+    * from the same numbers. Three bounded sketches — the corpora are
+    * scanned once each (the union side re-scans both projections),
+    * nothing wider than 8-byte hashes shuffles, and the result is
+    * one row regardless of scale. Exact below k per side, ~1/√k
+    * relative error above; the signs can make a small intersection
+    * of two huge corpora noisy — this is the triage number, not the
+    * dedup itself. Output: (approx_a, approx_b, approx_union,
+    * approx_intersection, approx_jaccard round-6). */
+  def kmvOverlap(a: DataFrame, b: DataFrame, valueCol: String,
+                 k: Int = 1024): DataFrame = {
+    val ea = kmvDistinct(a, valueCol, k).select(col("approx_docs").as("approx_a"))
+    val eb = kmvDistinct(b, valueCol, k).select(col("approx_docs").as("approx_b"))
+    val eu = kmvDistinct(
+        a.select(col(valueCol)).unionAll(b.select(col(valueCol))), valueCol, k)
+      .select(col("approx_docs").as("approx_union"))
+    ea.crossJoin(eb).crossJoin(eu)
+      .withColumn("approx_intersection",
+        greatest(lit(0L), col("approx_a") + col("approx_b") - col("approx_union")))
+      .withColumn("approx_jaccard",
+        round(col("approx_intersection").cast("double")
+          / col("approx_union").cast("double"), 6))
+  }
+
   /** Bucket of `valueExpr` in row `rowExpr` of a width-`width`
     * count-min sketch: the 60-bit md5 hash of the value,
     * domain-separated per row by a '#row' suffix, mod width. Pure

@@ -683,6 +683,38 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 4).as("avg_chars"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  /** Per-document n-gram NOVELTY — how much of each doc is new
+    * relative to everything before it in `idCol` order (ingestion
+    * order in a crawl, time order in a feed): a gram is novel in the
+    * doc with the MINIMUM id containing it, and a doc's novelty is
+    * its fraction of first-introduced grams. The novelty-decay curve
+    * this produces is the standard diminishing-returns diagnostic
+    * for corpus growth ("the crawl's last month added 2% new
+    * trigrams"), and per-doc scores feed novelty-weighted sampling.
+    *
+    * Shape: one gram explode + one (gram → min id) aggregate + one
+    * join back on the gram key. The first-introduction table is
+    * deduped (ONE row per distinct gram — build side), so a
+    * boilerplate gram shared by millions of docs is probe-side skew
+    * only, which hash joins absorb; compare [[contamination]], whose
+    * train side collapses the same way. All counts exact integers —
+    * engine-replayable. Output: (doc_id, n_grams, novel_grams,
+    * novelty round-6). */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val ex = docs.select(col(idCol).as("doc_id"),
+        explode(stringShingles(textCol, n)).as("gram"))
+    val first = ex.groupBy(col("gram")).agg(min(col("doc_id")).as("first_id"))
+    ex.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("doc_id") === col("first_id"), 1L).otherwise(0L))
+          .as("novel_grams"))
+      .select(col("doc_id"), col("n_grams"), col("novel_grams"),
+        round(col("novel_grams").cast("double")
+          / col("n_grams").cast("double"), 6).as("novelty"))
+  }
+
   /** The MERGEABLE form of [[sourceStats]] — the incremental-pipeline
     * variant: emit only ASSOCIATIVE stats (counts, exact sums,
     * min/max), so yesterday's datasheet plus today's delta merge in

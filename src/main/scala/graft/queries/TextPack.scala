@@ -256,6 +256,25 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
 
+    // cross-corpus overlap triage: |A|, |B|, |A∪B| by KMV over the
+    // shared 60-bit hash, intersection by inclusion–exclusion — the
+    // one-row planning number before any cross-corpus dedup; evens'
+    // vs odds' token vocabularies here
+    "q_corpus_overlap" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      def toks(p: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        docs.filter(p(col("doc_id")))
+          .select(explode(expr(TextAnalysis.tokensSql("text"))).as("term"))
+      graft.operators.Sketch.kmvOverlap(
+        toks(_ % 2 === 0), toks(_ % 2 === 1), "term")
+    }),
+
+    // ingestion-order novelty: a gram is novel in the min-id doc
+    // containing it; the per-doc novel fraction is the corpus-growth
+    // diminishing-returns diagnostic
+    "q_novelty" -> ((s, d) =>
+      TextAnalysis.noveltyScore(Tables.documents(s, d), "doc_id", "text")),
+
     // per-doc token-distribution stats: Shannon entropy + type-token
     // ratio from the doc's OWN histogram (the no-corpus-model
     // repetition signal) — fixed-point ln sums, q_unigram_xent style
@@ -791,6 +810,58 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the three KMV estimators replayed (q_approx_distinct's SQL per
+    // side — same hashes, same k-smallest cut, same double floor),
+    // then the identical inclusion–exclusion arithmetic
+    "q_corpus_overlap" -> {
+      val fold = hexFoldSql("h", 15)
+      def est(pred: String, name: String) =
+        s"""${name}_h AS (
+           |  SELECT DISTINCT $fold AS hv FROM (
+           |    SELECT DISTINCT substr(md5(term), 1, 15) AS h FROM (
+           |      SELECT unnest(string_split(text, ' ')) AS term
+           |      FROM documents $pred))
+           |),
+           |$name AS (
+           |  SELECT CASE WHEN m < 1024 THEN m
+           |    ELSE CAST(floor(1023.0 / (CAST(hk AS DOUBLE)
+           |                              / 1152921504606846976.0)) AS BIGINT)
+           |    END AS v
+           |  FROM (SELECT max(hv) AS hk, count(*) AS m
+           |        FROM (SELECT hv FROM ${name}_h ORDER BY hv LIMIT 1024))
+           |)""".stripMargin
+      s"""WITH ${est("WHERE doc_id % 2 = 0", "ea")},
+         |${est("WHERE doc_id % 2 = 1", "eb")},
+         |${est("", "eu")}
+         |SELECT ea.v AS approx_a, eb.v AS approx_b, eu.v AS approx_union,
+         |  greatest(0, ea.v + eb.v - eu.v) AS approx_intersection,
+         |  round(CAST(greatest(0, ea.v + eb.v - eu.v) AS DOUBLE)
+         |    / CAST(eu.v AS DOUBLE), 6) AS approx_jaccard
+         |FROM ea, eb, eu""".stripMargin
+    },
+
+    // first-introduction replayed over the exactPairsCte gram
+    // universe: min(doc_id) per gram, exact integer counts
+    "q_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(t) - 3, 0) + 2),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g
+        |  FROM toks
+        |),
+        |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+        |fst AS (SELECT gram, min(doc_id) AS first_id FROM ex GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS novel_grams,
+        |  round(CAST(sum(CASE WHEN doc_id = first_id THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty
+        |FROM ex JOIN fst USING (gram) GROUP BY doc_id""".stripMargin,
 
     // the fixed-point ln-fold replayed per doc (sum of BIGINT
     // contributions is order-free); DuckDB's HUGEINT sums cast back

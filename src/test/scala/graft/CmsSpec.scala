@@ -66,6 +66,34 @@ class CmsSpec extends AnyFunSuite {
     assert(counters.count() <= 3L * 32)
   }
 
+  test("kmvOverlap: exact below k on disjoint, identical, and half-overlapping corpora; tolerant above k") {
+    val spark2 = spark
+    import spark2.implicits._
+    def corpus(r: Range, p: String) = r.map(i => s"$p$i").toDF("v")
+    // disjoint, both below k: intersection 0, jaccard 0
+    val dis = Sketch.kmvOverlap(corpus(1 to 50, "a"), corpus(1 to 50, "b"), "v")
+      .collect()(0)
+    assert(dis.getAs[Long]("approx_a") === 50L)
+    assert(dis.getAs[Long]("approx_union") === 100L)
+    assert(dis.getAs[Long]("approx_intersection") === 0L)
+    assert(dis.getAs[Double]("approx_jaccard") === 0.0)
+    // identical: jaccard 1
+    val same = Sketch.kmvOverlap(corpus(1 to 80, "x"), corpus(1 to 80, "x"), "v")
+      .collect()(0)
+    assert(same.getAs[Long]("approx_intersection") === 80L)
+    assert(same.getAs[Double]("approx_jaccard") === 1.0)
+    // half overlap: A = 1..100, B = 51..150 → inter 50, union 150
+    val half = Sketch.kmvOverlap(corpus(1 to 100, "x"), corpus(51 to 150, "x"), "v")
+      .collect()(0)
+    assert(half.getAs[Long]("approx_intersection") === 50L)
+    assert(math.abs(half.getAs[Double]("approx_jaccard") - 50.0 / 150.0) < 1e-5)
+    // above k: estimates within the KMV tolerance band
+    val big = Sketch.kmvOverlap(corpus(1 to 4000, "x"), corpus(2001 to 6000, "x"),
+      "v", k = 512).collect()(0)
+    assert(math.abs(big.getAs[Long]("approx_union") - 6000.0) / 6000.0 < 0.25)
+    assert(big.getAs[Long]("approx_intersection") < 4000L)
+  }
+
   test("grouped KMV: exact below k, within tolerance above, matches global on one group") {
     val spark2 = spark
     import spark2.implicits._

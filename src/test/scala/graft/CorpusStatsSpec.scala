@@ -96,6 +96,23 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(4L)._4 < got(2L)._4, "repetition scores below diversity")
   }
 
+  test("noveltyScore: first-introduction by min doc id, exact fractions, order matters") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      1L -> "a b c d",   // grams "a b c","b c d" — both novel → 1.0
+      2L -> "a b c e",   // "a b c" seen, "b c e" novel → 0.5
+      3L -> "a b c d").toDF("doc_id", "text") // both seen → 0.0
+    val got = TextAnalysis.noveltyScore(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((2L, 2L, 1.0)))
+    assert(got(2L) === ((2L, 1L, 0.5)))
+    assert(got(3L) === ((2L, 0L, 0.0)))
+    // total novel grams across the corpus == the distinct gram count
+    assert(got.values.map(_._2).sum === 3L)
+  }
+
   test("mergeable datasheet: merge(evens, odds) equals the one-pass sheet; merge is commutative") {
     val docs = Tables.documents(spark, SparkSuite.sf0001)
     import org.apache.spark.sql.functions.col
