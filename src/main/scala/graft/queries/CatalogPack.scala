@@ -86,6 +86,20 @@ object CatalogPack extends QueryPack {
       cat.close()
       out
     }),
+    // ORC round trip — the other columnar interchange format Spark
+    // ships natively (Hive-ecosystem handoff): schema and integer
+    // widths survive in-format (no casts, unlike CSV/JSON), so a
+    // green hash pins the writer/reader pair end-to-end against
+    // DuckDB reading the source parquet.
+    "q_source_orc" -> ((s, d) => {
+      val cat = new Catalog(s, storeRoot("orc", d))
+      cat.put("docs_orc",
+        Tables.documents(s, d).select("doc_id", "text", "source"),
+        format = "orc")
+      val out = cat.get("docs_orc").select("doc_id", "text", "source")
+      cat.close()
+      out
+    }),
   )
 
   override def oracleSql: Map[String, String] = Map(
@@ -95,5 +109,7 @@ object CatalogPack extends QueryPack {
       "SELECT doc_id, text FROM documents",
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_source_orc" ->
+      "SELECT doc_id, text, source FROM documents",
   )
 }

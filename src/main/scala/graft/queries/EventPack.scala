@@ -200,6 +200,18 @@ object EventPack extends QueryPack {
       graft.operators.EventAnalytics.robustOutliers(
         Tables.events(s, d), "event_type", "value", "event_id")),
 
+    // bot detection: robust outliers over per-user EVENT RATES — the
+    // volume-anomaly complement to q_anomaly's value anomalies; one
+    // synthetic 'all' group, exact rank medians over the 500-user
+    // count table (the scale path flips exact=false)
+    "q_bot_users" -> ((s, d) =>
+      graft.operators.EventAnalytics.robustOutliers(
+        Tables.events(s, d)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast("double").as("n_events"))
+          .withColumn("grp", lit("all")),
+        "grp", "n_events", "user_id")),
+
     // semi-structured props column: JSON field extraction + integer
     // aggregation (sums stay exact — no double crosses the shuffle)
     "q_json_extract" -> ((s, d) =>
@@ -416,6 +428,49 @@ object EventPack extends QueryPack {
         |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
         |FROM events GROUP BY 1""".stripMargin,
+
+    // the q_anomaly replay over the per-user count table (one 'all'
+    // group; counts cast double exactly as the Spark side)
+    "q_bot_users" ->
+      """WITH base AS (
+        |  SELECT user_id, 'all' AS grp,
+        |    CAST(count(*) AS DOUBLE) AS value
+        |  FROM events GROUP BY user_id
+        |),
+        |n AS (SELECT grp, count(*) AS n FROM base GROUP BY 1),
+        |medr AS (
+        |  SELECT grp, value, row_number() OVER (PARTITION BY grp
+        |    ORDER BY value, user_id) AS rn
+        |  FROM base
+        |),
+        |med AS (
+        |  SELECT medr.grp, value AS med
+        |  FROM medr JOIN n USING (grp) WHERE rn = (n + 1) // 2
+        |),
+        |dev AS (
+        |  SELECT b.user_id, b.grp, b.value, med.med,
+        |    abs(b.value - med.med) AS adev
+        |  FROM base b JOIN med USING (grp)
+        |),
+        |madr AS (
+        |  SELECT grp, adev, row_number() OVER (PARTITION BY grp
+        |    ORDER BY adev, user_id) AS rn
+        |  FROM dev
+        |),
+        |mad AS (
+        |  SELECT madr.grp, adev AS mad
+        |  FROM madr JOIN n USING (grp) WHERE rn = (n + 1) // 2
+        |),
+        |scored AS (
+        |  SELECT dev.user_id, dev.grp, dev.value, dev.med, mad.mad,
+        |    round(CASE WHEN mad.mad > 0.0
+        |      THEN 0.6745 * (dev.value - dev.med) / mad.mad
+        |      ELSE 0.0 END, 4) AS mscore
+        |  FROM dev JOIN mad USING (grp)
+        |)
+        |SELECT user_id, grp, value, med, mad, mscore,
+        |  CASE WHEN abs(mscore) > 3.5 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM scored""".stripMargin,
 
     // both medians replayed as the identical rank selection (the
     // value at row (n+1)//2 in (value, id) order — no interpolation);
