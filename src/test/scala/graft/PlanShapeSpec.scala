@@ -235,6 +235,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"containment candidate join degenerated to a cartesian:\n$p")
     assert(!p.contains("array_intersect"),
       s"containment regressed to the array-shuffling form:\n$p")
+    // both directions must come from ONE pass over the joined pairs
+    // (map-side explode) — a unionAll of two projections re-evaluates
+    // the whole gram join (measured 2× at sf1). Pin: exactly one
+    // shuffle (the pair-count aggregate); a union regression doubles
+    // it. (A Union IS present by design — the MetricListener release
+    // hook's never-true branch — so count exchanges, not unions.)
+    assert(p.contains("Generate explode"),
+      s"containment directions are not a map-side explode:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"containment must cost exactly one shuffle (the pair-count aggregate):\n$p")
     spark.catalog.clearCache()
   }
 
