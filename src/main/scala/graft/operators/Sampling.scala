@@ -84,6 +84,42 @@ object Sampling {
       .drop("__sk", "__tok", "__cum")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — exactly
+    * `n` rows where a row's selection odds are proportional to its
+    * weight (quality score, token count, upsampling factor): the
+    * Efraimidis–Spirakis exponential-key scheme, key = ln(u)/w with
+    * u a per-row uniform, top-n by key. The uniform comes from the
+    * 60-bit md5 fold of the id — NOT an RNG — so like every sampler
+    * here the result is a pure function of the data: stable under
+    * repartitioning, retries, and reruns, and engine-replayable
+    * (q_weighted_sample replays key and rank in DuckDB).
+    *
+    * Scale shape: map-side key + global top-n = TakeOrderedAndProject
+    * (each task keeps n, driver merges n·tasks) — no shuffle of the
+    * data, same as [[uniformSample]]. Rows with weight ≤ 0 or null
+    * are excluded (zero mass). u ∈ (0, 1]: the fold is offset by +1
+    * over 2^60 so ln(u) is finite; u = 1 gives key 0, the maximum —
+    * ordering is (key DESC ⇔ u^(1/w) DESC as the E–S scheme
+    * defines, since ln is monotone and w > 0). */
+  def weightedSample(df: DataFrame, idCol: String,
+                     weightCol: org.apache.spark.sql.Column,
+                     n: Int): DataFrame = {
+    require(n >= 1, s"weightedSample needs n >= 1, got $n")
+    Seq("__w", "__u", "__k").foreach(c =>
+      require(!df.columns.contains(c),
+        s"weightedSample: input already has a '$c' column"))
+    df.withColumn("__w", weightCol.cast("double"))
+      .filter(col("__w").isNotNull && col("__w") > 0.0)
+      .withColumn("__u",
+        (expr(graft.operators.Sketch.md5Hash60Sql(
+          s"concat('#', cast($idCol as string))")) + lit(1L))
+          .cast("double") / lit(graft.operators.Sketch.M60))
+      .withColumn("__k", log(col("__u")) / col("__w"))
+      .orderBy(col("__k").desc, col(idCol))
+      .limit(n)
+      .drop("__w", "__u", "__k")
+  }
+
   /** Deterministic epoch shuffle: the global random-looking ordering
     * a training run reads the corpus in, as a pure function of
     * (doc id, epoch) — no RNG state, so any worker (or a rerun, or a

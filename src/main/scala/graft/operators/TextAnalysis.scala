@@ -683,6 +683,16 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 4).as("avg_chars"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  /** Canonical text normalization — the pass that runs BEFORE any
+    * content hash so spelling-equivalent bytes dedup together:
+    * Unicode NFC (native codegen'd [[graft.functions.NfcNormalize]] —
+    * precomposed and decomposed accents unify), lowercase, collapse
+    * every whitespace run to one space, trim. Pure map-side column;
+    * each step is a standard pure function, so the whole chain is
+    * engine-replayable (q_normalize_text). */
+  def normalizeText(textCol: String): Column =
+    expr(s"trim(regexp_replace(lower(graft_nfc($textCol)), '\\\\s+', ' '))")
+
   /** Per-document n-gram NOVELTY — how much of each doc is new
     * relative to everything before it in `idCol` order (ingestion
     * order in a crawl, time order in a feed): a gram is novel in the

@@ -256,6 +256,25 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
 
+    // canonical text normalization: native codegen'd Unicode NFC
+    // (graft_nfc) + lowercase + whitespace collapse + trim — the
+    // pre-hash canonicalization pass; NFC is a Unicode-standard pure
+    // function, so DuckDB's nfc_normalize replays it byte-for-byte
+    "q_normalize_text" -> ((s, d) => {
+      graft.functions.NfcNormalize.register(s)
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeText("text").as("normalized"))
+    }),
+
+    // deterministic weighted sampling (Efraimidis–Spirakis): exactly
+    // 50 docs with odds ∝ token count, keys from the md5-derived
+    // uniform — no RNG, no sampler state, top-n via TakeOrdered
+    "q_weighted_sample" -> ((s, d) =>
+      graft.operators.Sampling.weightedSample(
+          Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount("text"), n = 50)
+        .select("doc_id", "source")),
+
     // cross-corpus overlap triage: |A|, |B|, |A∪B| by KMV over the
     // shared 60-bit hash, intersection by inclusion–exclusion — the
     // one-row planning number before any cross-corpus dedup; evens'
@@ -810,6 +829,31 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // NFC + lower + collapse + trim replayed step-for-step (DuckDB
+    // regexp_replace needs the explicit 'g' flag Spark defaults to)
+    "q_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS normalized
+        |FROM documents""".stripMargin,
+
+    // the E–S key replayed: same md5-derived uniform (60-bit fold
+    // + 1 over 2^60), same ln(u)/w, same (key DESC, id) rank
+    "q_weighted_sample" -> {
+      val fold = hexFoldSql("h", 15)
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    ln(CAST(($fold) + 1 AS DOUBLE) / 1152921504606846976.0)
+         |      / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS k
+         |  FROM (
+         |    SELECT doc_id, source, text,
+         |      substr(md5('#' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
+         |    FROM documents)
+         |  WHERE CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) > 0
+         |  ORDER BY k DESC, doc_id LIMIT 50
+         |)""".stripMargin
+    },
 
     // the three KMV estimators replayed (q_approx_distinct's SQL per
     // side — same hashes, same k-smallest cut, same double floor),

@@ -83,6 +83,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("weightedSample: exact size, deterministic, E-S key math, weight-proportional odds") {
+    val s = spark
+    import s.implicits._
+    // 1000 rows, weight = 1 except ids 1..20 get weight 50
+    val df = (1L to 1000L).map(i => (i, if (i <= 20) 50.0 else 1.0))
+      .toDF("id", "w")
+    def sample(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(d, "id", col("w"), n = 100)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val got = sample(df)
+    assert(got.size === 100, "exactly n rows")
+    assert(got === sample(df.repartition(11)), "partition-invariant")
+    // plain-Scala replay of the key: top-100 by ln(u)/w desc
+    def fold60(sv: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(sv.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val expected = (1L to 1000L).map { i =>
+      val u = (fold60(s"#$i").toDouble + 1) / 1152921504606846976.0d
+      val w = if (i <= 20) 50.0 else 1.0
+      i -> math.log(u) / w
+    }.sortBy { case (i, k) => (-k, i) }.take(100).map(_._1).toSet
+    assert(got === expected, "keys replay the E-S scheme exactly")
+    // heavy rows are strongly over-represented vs their 2% population
+    assert(got.count(_ <= 20L) >= 10,
+      s"weight-50 rows under-sampled: ${got.count(_ <= 20L)}/20")
+    // zero/null weights are excluded entirely
+    val withZero = (1L to 50L).map(i => (i, if (i % 2 == 0) 0.0 else 1.0))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(withZero, "id", col("w"), n = 50)
+      .collect().map(_.getLong(0)).forall(_ % 2 == 1))
+  }
+
   test("epochShuffle: deterministic, partition-invariant, epoch-decorrelated, shard = key prefix") {
     val s = spark
     import s.implicits._
