@@ -288,6 +288,35 @@ object Components {
         round(lit(1.0) / col("cluster_size"), 6).as("weight"))
   }
 
+  /** INCREMENTAL cluster maintenance — fold a batch of NEW near-dup
+    * pairs into an existing labeling without re-running pair
+    * generation over the whole corpus: a prior (id, cluster_id)
+    * labeling is itself an edge set (every doc → its label), so
+    * clustering over (prior-label edges ∪ new pairs) yields exactly
+    * the labels a full recompute over (old pairs ∪ new pairs) would
+    * — the transitive closure of a closure is itself
+    * (q_components_incremental hash-pins incremental == full
+    * recompute against the one-shot oracle).
+    *
+    * Cost: the closure runs over |docs| label edges + |batch| new
+    * pairs — the EXPENSIVE upstream (LSH pair generation over the
+    * old corpus) is never repeated, which is the entire point of
+    * incremental dedup ([[graft.operators.Dedup.incrementalNearDups]]
+    * produces exactly the new-pairs input this consumes). Label
+    * edges where id == cluster_id are self-loops and are dropped
+    * before the loop. */
+  def incrementalClusters(docs: DataFrame, idCol: String,
+                          priorLabels: DataFrame,
+                          newPairs: DataFrame,
+                          aCol: String = "doc_a",
+                          bCol: String = "doc_b"): DataFrame = {
+    val priorEdges = priorLabels
+      .filter(col(idCol) =!= col("cluster_id"))
+      .select(col(idCol).as(aCol), col("cluster_id").as(bCol))
+    clusters(docs, idCol, priorEdges.unionByName(
+      newPairs.select(col(aCol), col(bCol))), aCol, bCol)
+  }
+
   /** Leakage-safe train/val/test split: every near-dup CLUSTER is
     * assigned wholly to one split, so a document and its near
     * duplicates can never straddle the train/eval boundary (the

@@ -170,6 +170,20 @@ object DedupPack extends QueryPack {
       Components.clusterWeights(docs, "doc_id", chainEdges(docs))
     }),
 
+    // incremental cluster maintenance under the hash gate: label the
+    // corpus from HALF the chain edges, then fold the other half in
+    // via incrementalClusters — the result must equal the one-shot
+    // closure over ALL edges (the oracle is q_components's full
+    // recompute), proving the prior-labels-as-edges maintenance path
+    "q_components_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val edges = chainEdges(docs)
+      val prior = Components.clusters(docs, "doc_id",
+        edges.filter(col("doc_a") % 2 === 0))
+      Components.incrementalClusters(docs, "doc_id", prior,
+        edges.filter(col("doc_a") % 2 === 1))
+    }),
+
     // leakage-safe split over the same chain-edge closure: whole
     // clusters assigned to train/val/test by md5(cluster_id) — a doc
     // and its near-dups can never straddle the train/eval boundary
@@ -494,6 +508,15 @@ object DedupPack extends QueryPack {
          |    / count(*) OVER (PARTITION BY cluster_id), 6) AS weight
          |FROM cl
          |""".stripMargin,
+    // incremental == full recompute: the oracle is the ONE-SHOT
+    // closure over all chain edges — identical to q_components's —
+    // so the hash pins the maintenance path against the from-scratch
+    // answer
+    "q_components_incremental" ->
+      s"""WITH RECURSIVE $chainClustersCte
+         |SELECT doc_id, cluster_id FROM cl
+         |""".stripMargin,
+
     // the closure plus the q_hash_split CASE keyed on cluster_id —
     // thresholds generated by the same code the operator uses
     "q_split_leakage" -> {

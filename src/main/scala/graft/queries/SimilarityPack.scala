@@ -187,6 +187,30 @@ object SimilarityPack extends QueryPack {
         .select(col("vec_id"), col("pos"), col("col").as("p"))
     }),
 
+    // dataset integrity audit: docs ⟷ embeddings coverage via ONE
+    // co-partitioned full-outer join on the id — the join-coverage
+    // report every multi-table pipeline runs before training
+    // (missing embeddings starve the doc; orphan embeddings signal a
+    // stale index). The gate induces asymmetry (drop doc_id % 7 == 0
+    // docs, vec_id % 5 == 0 vectors) so all three statuses appear.
+    "q_integrity" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, count, lit, max, min, when}
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 =!= 0).select(col("doc_id").as("id"))
+        .withColumn("has_doc", lit(1))
+      val embs = Tables.embeddings(s, d)
+        .filter(col("vec_id") % 5 =!= 0).select(col("vec_id").as("id"))
+        .withColumn("has_emb", lit(1))
+      docs.join(embs, Seq("id"), "full_outer")
+        .select(col("id"),
+          when(col("has_doc").isNotNull && col("has_emb").isNotNull, "matched")
+            .when(col("has_doc").isNotNull, "doc_only")
+            .otherwise("emb_only").as("status"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("cnt"), min("id").as("min_id"),
+          max("id").as("max_id"))
+    }),
+
     // embedding-space curation: per-cluster z-score of squared
     // distance to the fitted centroid — flags off-distribution
     // vectors before training. The fit is q_kmeans's (k=8, 5 iters,
@@ -577,6 +601,25 @@ object SimilarityPack extends QueryPack {
            |                       ORDER BY score DESC, cluster) AS rn
            |  FROM scored)
            |WHERE rn = 1""".stripMargin,
+      // the FULL OUTER JOIN coverage replay (same induced asymmetry)
+      "q_integrity" ->
+        """WITH d AS (
+          |  SELECT doc_id AS id FROM documents WHERE doc_id % 7 <> 0
+          |),
+          |e AS (
+          |  SELECT vec_id AS id FROM embeddings WHERE vec_id % 5 <> 0
+          |),
+          |j AS (
+          |  SELECT coalesce(d.id, e.id) AS id,
+          |    CASE WHEN d.id IS NOT NULL AND e.id IS NOT NULL THEN 'matched'
+          |         WHEN d.id IS NOT NULL THEN 'doc_only'
+          |         ELSE 'emb_only' END AS status
+          |  FROM d FULL OUTER JOIN e ON d.id = e.id
+          |)
+          |SELECT status, count(*) AS cnt, min(id) AS min_id,
+          |  max(id) AS max_id
+          |FROM j GROUP BY status""".stripMargin,
+
       // replay from the persisted outlier centroids: assignment =
       // q_kmeans's argmax replay; dist² = |v|² − 2·best_score (the
       // same algebra the operator uses — identical doubles); cluster

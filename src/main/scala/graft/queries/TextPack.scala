@@ -256,6 +256,21 @@ object TextPack extends QueryPack {
         .orderBy(col("cnt").desc, col("bigram").asc)
         .limit(20)),
 
+    // source-relative quality calibration: percent_rank of the
+    // quality score WITHIN each source — "top 10% of the crawl" and
+    // "top 10% of curated" are different absolute bars, and
+    // cross-source cuts on raw scores silently over-prune the noisy
+    // domain; (score, doc_id) is a total order, so the rank — and
+    // the (rank−1)/(n−1) percent — is exact and engine-replayable
+    "q_quality_calibration" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      TextAnalysis.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("source"), col("quality_score"))
+        .withColumn("pct", round(percent_rank().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("quality_score"), col("doc_id"))), 6))
+    }),
+
     // canonical text normalization: native codegen'd Unicode NFC
     // (graft_nfc) + lowercase + whitespace collapse + trim — the
     // pre-hash canonicalization pass; NFC is a Unicode-standard pure
@@ -829,6 +844,29 @@ object TextPack extends QueryPack {
         |WHERE list_contains(string_split(text, ' '), 'spark')
         |  AND list_contains(string_split(text, ' '), 'hash')
         |  AND list_contains(string_split(text, ' '), 'window')""".stripMargin,
+
+    // the q_quality score subquery + the identical percent_rank
+    // window ((score, doc_id) unique → rank exact on both engines)
+    "q_quality_calibration" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, source,
+         |    round(least(n_tokens / 20.0, 1.0) * 0.4
+         |      + (1.0 - least(round(punct / greatest(n_chars2, 1), 6) * 10.0, 1.0)) * 0.3
+         |      + least(round(stop_hits / greatest(n_tokens, 1), 6) * 10.0, 1.0) * 0.3, 6)
+         |      AS quality_score
+         |  FROM (
+         |    SELECT doc_id, source,
+         |      len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |      length(text) AS n_chars2,
+         |      length(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g')) AS punct,
+         |      len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_hits
+         |    FROM documents
+         |  )
+         |)
+         |SELECT doc_id, source, quality_score,
+         |  round(percent_rank() OVER (PARTITION BY source
+         |    ORDER BY quality_score, doc_id), 6) AS pct
+         |FROM scored""".stripMargin,
 
     // NFC + lower + collapse + trim replayed step-for-step (DuckDB
     // regexp_replace needs the explicit 'g' flag Spark defaults to)

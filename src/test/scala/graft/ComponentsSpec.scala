@@ -123,6 +123,41 @@ class ComponentsSpec extends AnyFunSuite {
     assert(math.abs(mass - 3.0) < 1e-4)
   }
 
+  test("incrementalClusters == full recompute, including batch-induced cluster merges") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 60L).toDF("doc_id")
+    // old corpus: {1,2,3} and {10,11} clustered; rest singletons
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val prior = Components.clusters(docs, "doc_id", oldPairs)
+    // batch: extends {10,11} with 12, MERGES {1..3} with {10..12} via
+    // (3,10), and forms a new pair {40,41}
+    val newPairs = Seq((11L, 12L), (3L, 10L), (40L, 41L)).toDF("doc_a", "doc_b")
+    val inc = Components.incrementalClusters(docs, "doc_id", prior, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Components.clusters(docs, "doc_id", oldPairs.unionAll(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full, "maintenance path must equal the one-shot closure")
+    assert(inc(12L) === 1L && inc(10L) === 1L,
+      "the batch merge collapses both old clusters to min id 1")
+    assert(inc(41L) === 40L && inc(50L) === 50L)
+    // seeded fuzz: random split of a random edge set, incremental
+    // over the first half's labels + second half == full closure
+    val rnd = new scala.util.Random(777)
+    val edges = Seq.fill(400)((rnd.nextInt(120).toLong + 1L,
+      rnd.nextInt(120).toLong + 1L)).filter(e => e._1 != e._2)
+    val (h1, h2) = edges.splitAt(edges.size / 2)
+    val fdocs = (1L to 120L).toDF("doc_id")
+    val fprior = Components.clusters(fdocs, "doc_id", h1.toDF("doc_a", "doc_b"))
+    val finc = Components.incrementalClusters(fdocs, "doc_id", fprior,
+        h2.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ffull = Components.clusters(fdocs, "doc_id",
+        edges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(finc === ffull)
+  }
+
   test("leakageSafeSplit: clusters never straddle splits; split = hashSplit of the cluster label") {
     val s = spark
     import s.implicits._
