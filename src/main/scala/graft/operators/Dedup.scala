@@ -420,24 +420,9 @@ object Dedup {
           .withColumn("jaccard",
             expr("cast(size(array_intersect(ga, gb)) as double) / size(array_union(ga, gb))"))
       } else {
-        // uncapped (the default and the gate path): |A∩B| is COUNTED in
-        // the same gram equi-join that generates the candidates — each
-        // (a, b, gram) row is unique because the gram arrays are
-        // distinct, so count(*) per pair IS the intersection size, and
-        // |A∪B| = |A| + |B| − |A∩B| from the per-doc set sizes. Nothing
-        // wider than (gram, id, id) and integer counts ever shuffles;
-        // the previous formulation re-shuffled the dense gram ARRAYS to
-        // every candidate pair and ran array_intersect/array_union per
-        // pair — 1.7× slower at sf0.1 and strictly worse at corpus
-        // scale, where the arrays are the corpus
-        val sizes = grams.select(col("id"), size(col("g")).as("ng"))
-        ex.alias("l")
-          .join(ex.alias("r"),
-            col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-          .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-          .agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("id").as("doc_a"), col("ng").as("na")), Seq("doc_a"))
-          .join(sizes.select(col("id").as("doc_b"), col("ng").as("nb")), Seq("doc_b"))
+        // uncapped (the default and the gate path): the shared
+        // count-based machinery — see [[gramIntersections]]
+        gramIntersections(grams)
           .withColumn("jaccard",
             expr("cast(inter as double) / (na + nb - inter)"))
       }
@@ -446,6 +431,32 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     MetricListener.releaseAfterFirstAction(thresholded, grams,
       isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
+  }
+
+  /** The shared count-based gram-intersection machinery behind
+    * [[exactJaccardPairs]]'s uncapped path and [[containmentPairs]]:
+    * |A∩B| is COUNTED in the same shared-gram equi-join that
+    * generates the candidates — each (a, b, gram) row is unique
+    * because the per-doc gram arrays are distinct, so count(*) per
+    * pair IS the intersection size, and the per-doc set sizes join
+    * back as na/nb. Nothing wider than (gram, id, id) and integer
+    * counts ever shuffles; re-shuffling the dense gram ARRAYS per
+    * candidate pair (array_intersect per pair) measured 1.7× slower
+    * at sf0.1 and is strictly worse at corpus scale, where the
+    * arrays are the corpus. Input is the persisted (id, g) gram
+    * frame (caller owns its release); output:
+    * (doc_a, doc_b, inter, na, nb) with doc_a < doc_b. */
+  private def gramIntersections(grams: DataFrame): DataFrame = {
+    val ex = grams.select(col("id"), explode(col("g")).as("gram"))
+    ex.alias("l")
+      .join(ex.alias("r"),
+        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
+      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(grams.select(col("id").as("doc_a"), size(col("g")).as("na")),
+        Seq("doc_a"))
+      .join(grams.select(col("id").as("doc_b"), size(col("g")).as("nb")),
+        Seq("doc_b"))
   }
 
   /** Asymmetric CONTAINMENT pairs — the quote/subset detector exact
@@ -479,17 +490,7 @@ object Dedup {
     val grams = docs.select(col(idCol).as("id"),
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ex = grams.select(col("id"), explode(col("g")).as("gram"))
-    val inter = ex.alias("l")
-      .join(ex.alias("r"),
-        col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(grams.select(col("id").as("doc_a"), size(col("g")).as("na")),
-        Seq("doc_a"))
-      .join(grams.select(col("id").as("doc_b"), size(col("g")).as("nb")),
-        Seq("doc_b"))
-    val dirs = inter.select(explode(array(
+    val dirs = gramIntersections(grams).select(explode(array(
         struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
           (col("inter").cast("double") / col("na")).as("containment")),
         struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),

@@ -88,13 +88,18 @@ object EventAnalytics {
   def robustOutliers(events: DataFrame, groupCol: String, valueCol: String,
                      idCol: String, k: Double = 3.5,
                      exact: Boolean = true): DataFrame = {
-    val base = events.select(col(idCol), col(groupCol),
-        col(valueCol).cast("double").as("value"))
-      .filter(col("value").isNotNull)
-    base.join(robustProfile(events, groupCol, valueCol, idCol, exact),
-        Seq(groupCol))
+    // ONE projected base shared by all four consumers (median window,
+    // deviation join, MAD window, and the scoring join) — without the
+    // persist each branch re-scans the source; the cache rides the
+    // standard first-action release hook
+    val base = baseOf(events, groupCol, valueCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val result = base
+      .join(profileFromBase(base, groupCol, idCol, exact), Seq(groupCol))
       .select(col(idCol), col(groupCol), col("value"), col("med"), col("mad"))
       .transform(scoreAgainstProfile(k))
+    MetricListener.releaseAfterFirstAction(result, base,
+      isnotnull(col("value")) && bit_count(hash(col("value"))) < 0, Seq(base))
   }
 
   /** The fitted (group, med, mad) profile alone — the artifact a
@@ -102,11 +107,19 @@ object EventAnalytics {
     * live data (see [[graft.streaming.EventStream.anomalyStream]]).
     * Semantics and the exact/approx switch as in [[robustOutliers]]. */
   def robustProfile(events: DataFrame, groupCol: String, valueCol: String,
-                    idCol: String, exact: Boolean = true): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = events.select(col(idCol), col(groupCol),
+                    idCol: String, exact: Boolean = true): DataFrame =
+    profileFromBase(baseOf(events, groupCol, valueCol, idCol), groupCol,
+      idCol, exact)
+
+  private def baseOf(events: DataFrame, groupCol: String, valueCol: String,
+                     idCol: String): DataFrame =
+    events.select(col(idCol), col(groupCol),
         col(valueCol).cast("double").as("value"))
       .filter(col("value").isNotNull)
+
+  private def profileFromBase(base: DataFrame, groupCol: String,
+                              idCol: String, exact: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     def lowerMedian(df: DataFrame, vCol: String, out: String): DataFrame =
       if (exact) {
         val w = Window.partitionBy(col(groupCol)).orderBy(col(vCol), col(idCol))

@@ -110,9 +110,15 @@ object Sampling {
         s"weightedSample: input already has a '$c' column"))
     df.withColumn("__w", weightCol.cast("double"))
       .filter(col("__w").isNotNull && col("__w") > 0.0)
+      // 'w#' domain separation: uniformSample keys on md5('#'+id),
+      // and reusing that hash would make the two samplers' picks on
+      // the same corpus deterministically anti-correlated (weighted
+      // takes the large-hash tail, uniform the small-hash head) —
+      // a distinct prefix keeps the draws independent-looking while
+      // staying deterministic and replayable
       .withColumn("__u",
         (expr(graft.operators.Sketch.md5Hash60Sql(
-          s"concat('#', cast($idCol as string))")) + lit(1L))
+          s"concat('w#', cast($idCol as string))")) + lit(1L))
           .cast("double") / lit(graft.operators.Sketch.M60))
       .withColumn("__k", log(col("__u")) / col("__w"))
       .orderBy(col("__k").desc, col(idCol))
@@ -130,9 +136,11 @@ object Sampling {
     * and whose seed must be re-plumbed per epoch.
     *
     * Output = input + (`sort_key` md5 hex, `shard` in [0, shards)),
-    * repartitioned BY shard and sorted by sort_key WITHIN each shard
-    * — the exact layout a sharded dataset writer consumes
-    * (`partitionBy(shard)`, rows already in read order). The global
+    * repartitioned ON shard and sorted by (shard, sort_key) within
+    * each task partition — the layout a `partitionBy(shard)` writer
+    * consumes (per-shard files, rows already in read order; the
+    * hash repartition may co-locate two shard values in one task,
+    * which the shard-leading sort keeps contiguous). The global
     * order is (shard, sort_key): shard is a prefix of the same hash,
     * so concatenating shards in order IS the hash order restricted
     * to equal-shard prefixes — each shard is an unbiased 1/shards
@@ -155,8 +163,13 @@ object Sampling {
       .withColumn("shard",
         pmod(expr("cast(conv(substr(sort_key, 1, 15), 16, 10) as bigint)"),
           lit(shards.toLong)))
+    // shard leads the in-partition sort: repartition hash-partitions
+    // the shard VALUES, so two shards can land in one task partition
+    // — with shard leading, each shard's rows are still contiguous
+    // and in read order there, and a `partitionBy(shard)` writer
+    // (the documented consumer) emits per-shard files already sorted
     keyed.repartition(shards, col("shard"))
-      .sortWithinPartitions(col("sort_key"), col(idCol))
+      .sortWithinPartitions(col("shard"), col("sort_key"), col(idCol))
   }
 
   /** Exactly `n` rows per distinct value of `stratumCol` (fewer iff a

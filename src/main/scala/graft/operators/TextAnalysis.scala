@@ -404,9 +404,12 @@ object TextAnalysis {
     * partition-order independent — the q_unigram_xent discipline.
     * One explode + one (doc, term) aggregate + one doc aggregate;
     * per-doc parallelism is the corpus itself. Output: (doc_id,
-    * n_tokens, distinct_tokens, ttr round-6, entropy round-6); an
-    * empty/null text yields no row (no tokens — same explode-drop
-    * convention as q_top_bigrams). */
+    * n_tokens, distinct_tokens, ttr round-6, entropy round-6). A
+    * NULL text yields no row (explode drops it); an EMPTY text is
+    * one empty-string token ([[tokensSql]]'s split convention), so
+    * it rows as (1, 1, 1.0, 0.0) — callers filtering on low
+    * entropy/TTR as a spam signal should exclude empties first
+    * (they are a length problem, not a repetition problem). */
   def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), explode(tokens(textCol)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -748,9 +751,12 @@ object TextAnalysis {
     * commutative, so any tree of deltas folds to the full-corpus
     * sheet exactly (q_stats_merge hash-pins merge(evens, odds) ==
     * full). Cost: a union of two k-row frames + a k-key aggregate —
-    * no corpus data touched. */
-  def mergeSourceStats(a: DataFrame, b: DataFrame): DataFrame = {
-    val g = a.unionByName(b).groupBy(a.columns.head)
+    * no corpus data touched. The key is named explicitly (the union
+    * aligns BY NAME, so a reloaded sheet with reordered columns must
+    * not silently group by a positional guess). */
+  def mergeSourceStats(a: DataFrame, b: DataFrame,
+                       sourceCol: String = "source"): DataFrame = {
+    val g = a.unionByName(b).groupBy(sourceCol)
     g.agg(sum(col("docs")).as("docs"),
       sum(col("total_tokens")).as("total_tokens"),
       sum(col("total_chars")).as("total_chars"),

@@ -886,7 +886,7 @@ object TextPack extends QueryPack {
          |      / CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) AS k
          |  FROM (
          |    SELECT doc_id, source, text,
-         |      substr(md5('#' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
+         |      substr(md5('w#' || CAST(doc_id AS VARCHAR)), 1, 15) AS h
          |    FROM documents)
          |  WHERE CAST(len(string_split_regex(text, '\\s+')) AS DOUBLE) > 0
          |  ORDER BY k DESC, doc_id LIMIT 50

@@ -348,7 +348,14 @@ object EventStream {
     * same data the batch scored. Events whose group is absent from
     * the profile (born after the fit) pass through unflagged
     * (mscore 0) rather than erroring — the conservative choice until
-    * the next fit covers them. */
+    * the next fit covers them.
+    *
+    * Cache lifetime: the persisted profile must stay resident for the
+    * stream's lifetime (every micro-batch re-reads it — the same
+    * contract as [[asOfStream]]'s snapshot), so this operator cannot
+    * self-release it; a caller cycling fits in one long session
+    * should `unpersist` the previous stream's profile (or
+    * `clearCache`) after stopping it. */
   def anomalyStream(spark: SparkSession, dir: String,
                     k: Double = 3.5): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -201,7 +201,7 @@ class EventStreamSpec extends AnyFunSuite {
 
     assert(streamed === batch,
       "shared scoring expression: stream and batch flags must be identical")
-    assert(streamed.exists(_._3 == 1) || streamed.nonEmpty)
+    assert(streamed.nonEmpty, "the equality above must not be vacuous")
     spark.catalog.clearCache()
   }
 

@@ -102,7 +102,7 @@ class SamplingSpec extends AnyFunSuite {
       java.lang.Long.parseLong(md.substring(0, 15), 16)
     }
     val expected = (1L to 1000L).map { i =>
-      val u = (fold60(s"#$i").toDouble + 1) / 1152921504606846976.0d
+      val u = (fold60(s"w#$i").toDouble + 1) / 1152921504606846976.0d
       val w = if (i <= 20) 50.0 else 1.0
       i -> math.log(u) / w
     }.sortBy { case (i, k) => (-k, i) }.take(100).map(_._1).toSet
