@@ -366,11 +366,11 @@ object EventPack extends QueryPack {
         |  FROM events GROUP BY 1, 2
         |)
         |SELECT event_type, day, cnt,
-        |  sum(cnt) OVER (PARTITION BY event_type ORDER BY day
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS cnt7,
-        |  round(CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
-        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 7.0, 4)
-        |    AS avg7
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cnt7,
+        |  round(CAST(CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY day
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
+        |    / 7.0, 4) AS avg7
         |FROM daily""".stripMargin,
 
     // gap bucket = bit length of the integer second gap — both
@@ -425,7 +425,8 @@ object EventPack extends QueryPack {
 
     "q_json_extract" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS cnt_k
         |FROM events GROUP BY 1""".stripMargin,
 

@@ -125,7 +125,11 @@ object ShapePack extends QueryPack {
       Tables.events(s, d)
         .groupBy((col("user_id") % 10).as("user_mod"))
         .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-        .agg(count(lit(1)))),
+        .agg(count(lit(1)))
+        // a (user_mod, type) combo with no rows pivots to NULL, but the
+        // oracle's count(*) FILTER yields 0 — align on 0 so sparse data
+        // can't diverge
+        .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))),
 
     // UNPIVOT (wide→long): per-flag aggregates melted to
     // (flag, metric, value) rows — map-side Expand, no shuffle beyond

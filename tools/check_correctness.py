@@ -32,6 +32,14 @@ def values_equal(a, b) -> bool:
         if math.isnan(a) and math.isnan(b):
             return True
         return a == b
+    # STRICT column-class check: the driver hashes typed renderings, so
+    # a Spark long 3 vs a DuckDB HUGEINT->float64 3.0 must FAIL here
+    # too (the r14 q_moving_avg/q_json_extract gap). int vs float is a
+    # mismatch even when the values compare equal.
+    if isinstance(a, bool) != isinstance(b, bool):
+        return False
+    if isinstance(a, float) != isinstance(b, float):
+        return False
     return a == b
 
 def main():
