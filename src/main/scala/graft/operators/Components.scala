@@ -351,6 +351,111 @@ object Components {
       .groupBy(col("doc")).agg(count(lit(1)).as("degree"))
       .groupBy(col("degree")).agg(count(lit(1)).as("docs"))
 
+  /** Driver-side k-core peel over a collected edge array — the small-
+    * graph twin of [[localComponents]]: iteratively delete nodes of
+    * degree < k until none remain, then report each survivor's degree
+    * WITHIN the surviving subgraph. Matches the distributed loop
+    * exactly (KCoreSpec pins equality on a seeded fuzz graph). */
+  private def localKCore(edgeArr: Array[(Long, Long)], k: Int): Map[Long, Long] = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.Set[Long]]
+    def nbrs(n: Long) = adj.getOrElseUpdate(n, scala.collection.mutable.Set.empty)
+    edgeArr.foreach { case (a, b) =>
+      if (a != b) { nbrs(a) += b; nbrs(b) += a }
+    }
+    val queue = scala.collection.mutable.Queue(
+      adj.collect { case (n, ns) if ns.size < k => n }.toSeq: _*)
+    val dead = scala.collection.mutable.Set.empty[Long]
+    queue.foreach(dead += _)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      nbrs(n).foreach { m =>
+        if (!dead(m)) {
+          adj(m) -= n
+          if (adj(m).size < k) { dead += m; queue += m }
+        }
+      }
+      adj(n).clear()
+    }
+    adj.iterator.collect {
+      case (n, ns) if !dead(n) => n -> ns.size.toLong
+    }.toMap
+  }
+
+  /** k-CORE of an undirected pair graph: the maximal subgraph in which
+    * every node has degree ≥ k, found by iterative peeling (delete all
+    * nodes of degree < k; deletions lower neighbors' degrees, so
+    * repeat to fixpoint). The dup-graph application is BOILERPLATE-HUB
+    * detection: a dense clique of template pages survives a high-k
+    * core while chains and scattered pairs — which per-pair thresholds
+    * can't tell apart from it — peel away. Output: (id, core_degree),
+    * the surviving nodes with their degree INSIDE the core.
+    *
+    * Same scale discipline as [[connectedComponentsWithStats]]:
+    *  - edges ≤ `localSolveMaxEdges` (LSH-output pair graphs are tiny
+    *    relative to their corpus) peel on the driver in one pass —
+    *    a distributed round costs ~0.5 s of scheduling no matter how
+    *    few nodes peel, and peel DEPTH (not log-diameter) bounds the
+    *    rounds, so small graphs would pay that many times over.
+    *  - above the bound, the distributed loop iterates over the
+    *    symmetrized (src, dst) edge list only — two longs per row,
+    *    payload never enters — with `localCheckpoint` per round to
+    *    truncate lineage. Each round is one aggregate (degrees) + two
+    *    anti-joins (drop edges touching peeled nodes); the edge frame
+    *    only ever SHRINKS, so per-round cost is monotone decreasing.
+    *  - the weak-node frame is persisted and counted per round (the
+    *    convergence signal); it is at most one row per remaining node
+    *    and usually far smaller. */
+  def kCore(pairs: DataFrame, k: Int,
+            aCol: String = "doc_a", bCol: String = "doc_b",
+            maxIter: Int = 50,
+            localSolveMaxEdges: Long = defaultLocalSolveMaxEdges): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    val e1 = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeRows = e1.count()
+    if (edgeRows <= localSolveMaxEdges) {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val edgeArr = e1.as[(Long, Long)].collect()
+      e1.unpersist()
+      log.info(s"kCore: $edgeRows edges <= $localSolveMaxEdges — peeled " +
+        "driver-side; distributed loop not entered")
+      return localKCore(edgeArr, k).toSeq.toDF("id", "core_degree")
+    }
+    // one directed row per orientation; distinct collapses duplicate
+    // input pairs so count(*) per src IS the degree
+    var sym = e1
+      .union(e1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    e1.unpersist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val weak = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") < k).select(col("src").as("peel"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (weak.count() == 0L) converged = true
+      else {
+        val next = sym
+          .join(weak.select(col("peel").as("src")), Seq("src"), "left_anti")
+          .join(weak.select(col("peel").as("dst")), Seq("dst"), "left_anti")
+          .select("src", "dst")
+          .localCheckpoint()
+        sym = next
+      }
+      weak.unpersist()
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"kCore: exited at maxIter=$maxIter with weak nodes left — " +
+        "result is a SUPERSET of the k-core; raise maxIter")
+    sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
+  }
+
   /** Triangle count of an undirected pair graph given as canonical
     * a < b edges: the classic two-path + closing-edge join. Both
     * joins are hash equi-joins on node ids — with canonical edges

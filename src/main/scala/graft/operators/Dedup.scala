@@ -459,6 +459,33 @@ object Dedup {
         Seq("doc_b"))
   }
 
+  /** Gram-OVERLAP pairs: (doc_a, doc_b, shared) for every pair of
+    * docs sharing at least `minShared` distinct word n-grams — the
+    * COUNT-thresholded sibling of [[exactJaccardPairs]]'s ratio
+    * threshold. The overlap graph is the natural input for structure
+    * analytics ([[Components.kCore]] hub peeling, degree histograms):
+    * a boilerplate hub shares a fixed header with thousands of docs —
+    * high absolute overlap, near-zero Jaccard per pair (each union is
+    * huge), so a ratio threshold is blind to exactly the docs a hub
+    * analysis is after. Same count-based machinery: nothing wider
+    * than (gram, id, id) shuffles, |A∩B| is counted inside the
+    * candidate join itself. minShared ≥ 2 required — 1 would emit
+    * every candidate the gram join touches (Σ freq² rows), which is a
+    * scan of the candidate space, not a thresholded graph. */
+  def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
+                      minShared: Int, n: Int = 3,
+                      keepCaches: Boolean = false): DataFrame = {
+    require(minShared >= 2, "sharedGramPairs needs minShared >= 2")
+    val grams = docs.select(col(idCol).as("id"),
+        TextAnalysis.stringShingles(textCol, n).as("g"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out = gramIntersections(grams)
+      .filter(col("inter") >= minShared)
+      .select(col("doc_a"), col("doc_b"), col("inter").as("shared"))
+    MetricListener.releaseAfterFirstAction(out, grams,
+      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
+  }
+
   /** Asymmetric CONTAINMENT pairs — the quote/subset detector exact
     * Jaccard cannot express: containment(A→B) = |A∩B| / |A| over
     * distinct word n-grams. A 100-word passage lifted verbatim into

@@ -17,6 +17,52 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** EWMA trend over per-group ordered counts — EXACT fixed-point
+    * formulation: classical EWMA carries an unbounded recursion
+    * (s_t = α·x_t + (1−α)·s_{t−1}) whose float accumulation differs
+    * across engines in the last ulp; this is the BOUNDED-window form
+    * with α = 1/2, where the decay weights are exact powers of two —
+    * weight 2^(W−1−j) for the j-th most recent of the last W
+    * observations (truncating the <2^−W tail the recursion would
+    * carry). Numerator and denominator are therefore pure BIGINT
+    * sums over ≤ W lag terms; the ONLY float op is one final
+    * division (+ round-6), which any engine replays bit-for-bit from
+    * identical integers — the q_unigram_xent fixed-point discipline
+    * applied to smoothing. Near a group's start the window holds
+    * fewer terms and the denominator shrinks with it, so the EWMA is
+    * a true weighted average from the first row (no warm-up bias).
+    *
+    * `trend` = value / ewma (round-6, against the ROUNDED ewma so
+    * replays can't diverge): >1 means the latest observation runs
+    * above its own smoothed history — the spike score the moving-
+    * average query can't give without double-sum drift.
+    *
+    * Decay is per OBSERVATION (row), not per calendar gap: lag(j)
+    * skips absent periods, the standard choice when the upstream
+    * aggregate only materializes nonempty groups. Shape at scale:
+    * one exchange on `groupCol` feeds a single window with W lag
+    * reads — W literals, no self-join, no state. */
+  def ewmaTrend(df: DataFrame, groupCol: String, orderCol: String,
+                valueCol: String, window: Int = 8): DataFrame = {
+    require(window >= 1 && window <= 62,
+      "ewmaTrend window must be in [1, 62] (weights are 2^(window-1-j) longs)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+    def lagged(j: Int) = lag(col(valueCol).cast("long"), j).over(w)
+    val num = (0 until window).map { j =>
+      when(lagged(j).isNotNull, lagged(j) * lit(1L << (window - 1 - j)))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    val den = (0 until window).map { j =>
+      when(lagged(j).isNotNull, lit(1L << (window - 1 - j))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn("ewma",
+        round(num.cast("double") / den.cast("double"), 6))
+      .withColumn("trend",
+        when(col("ewma") > 0.0,
+          round(col(valueCol).cast("double") / col("ewma"), 6)))
+  }
+
   /** Per-user inter-arrival gap histogram on power-of-two second
     * buckets: bucket b holds gaps with 2^(b−1) ≤ gap_seconds < 2^b
     * (b = 0 for zero-second gaps). The log-2 bucket is computed as

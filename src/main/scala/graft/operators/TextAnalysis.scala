@@ -686,6 +686,75 @@ object TextAnalysis {
         round(avg(length(col(textCol))), 4).as("avg_chars"),
         min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
 
+  /** Per-SOURCE token-length histogram — (source, len, cnt) — the
+    * mergeable distribution summary behind [[sourcePercentiles]]:
+    * like [[sourceStatsMergeable]] it carries only associative
+    * counts, so yesterday's histogram plus today's delta fold with
+    * [[mergeLengthHistograms]] and re-cut to EXACT percentiles
+    * without rescanning the corpus. One partial-agg shuffle whose
+    * key space is sources × distinct lengths — lengths repeat
+    * heavily, so the map-side combine collapses most of the corpus
+    * before the exchange. Null text pins to length 0 (the
+    * [[lengthHistogram]] idiom, both ANSI settings). */
+  def lengthHistogramBySource(df: DataFrame, sourceCol: String,
+                              textCol: String): DataFrame =
+    df.select(col(sourceCol),
+        greatest(tokenCount(textCol).cast("long"), lit(0L)).as("len"))
+      .groupBy(col(sourceCol), col("len"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge two per-source length histograms (same schema as
+    * [[lengthHistogramBySource]]): counts add per (source, len);
+    * associative and commutative, so any tree of deltas folds to the
+    * full-corpus histogram exactly — and because the histogram is a
+    * LOSSLESS summary of the length distribution, percentiles cut
+    * from the merged sheet equal a full recompute bit-for-bit
+    * (CorpusStatsSpec pins it; t-digest-style sketches only
+    * approximate this, and nothing here needs the approximation). */
+  def mergeLengthHistograms(a: DataFrame, b: DataFrame,
+                            sourceCol: String = "source"): DataFrame =
+    a.unionByName(b).groupBy(col(sourceCol), col("len"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** EXACT nearest-rank percentiles from a (source, len, cnt)
+    * histogram: percentile p = the smallest len whose cumulative
+    * count reaches ceil(p/100 · n). The comparison is pure integer
+    * cross-multiplication (cum·100 ≥ n·p) — no float ever enters, so
+    * any engine replays it bit-for-bit (the q_unigram_xent
+    * discipline: never let a double cross an engine boundary).
+    *
+    * Scale shape: the windows partition by source over the
+    * HISTOGRAM's rows — sources × distinct lengths, bounded by max
+    * doc length, NOT by corpus size — so the per-source window task
+    * is small no matter how many docs a source holds; the doc-scale
+    * work all happened in the histogram's one combinable aggregate. */
+  def percentilesFromHistogram(hist: DataFrame, sourceCol: String,
+                               percents: Seq[Int] = Seq(25, 50, 75, 90))
+      : DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      "percents must be within [1, 100]")
+    import org.apache.spark.sql.expressions.Window
+    val wCum = Window.partitionBy(col(sourceCol)).orderBy(col("len"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(sourceCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val aggs = max(col("n")).as("docs") +: percents.map(p =>
+      min(when(col("cum") * 100 >= col("n") * p, col("len"))).as(s"p$p"))
+    cum.groupBy(col(sourceCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-source token-length percentiles — the datasheet's
+    * distribution column set ([[sourceStats]] carries min/max/avg;
+    * this answers "how long is a TYPICAL src12 doc, and where's the
+    * p90 tail" — the first triage stat for a mixture rebalance).
+    * Histogram + rank cut; see [[percentilesFromHistogram]]. */
+  def sourcePercentiles(df: DataFrame, sourceCol: String, textCol: String,
+                        percents: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame =
+    percentilesFromHistogram(
+      lengthHistogramBySource(df, sourceCol, textCol), sourceCol, percents)
+
   /** Canonical text normalization — the pass that runs BEFORE any
     * content hash so spelling-equivalent bytes dedup together:
     * Unicode NFC (native codegen'd [[graft.functions.NfcNormalize]] —

@@ -270,6 +270,19 @@ object DedupPack extends QueryPack {
         Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           threshold = 0.8))),
 
+    // boilerplate-hub detection: the 4-core of the gram-OVERLAP graph
+    // (docs sharing ≥2 word 3-grams). A ratio threshold can't see a
+    // template hub (every pairwise union is huge), but the dense
+    // overlap clique survives peeling while chains and stray pairs
+    // fall away — the graph primitive the degree histogram motivates
+    // but can't compute (degree is one round; the core is the
+    // fixpoint)
+    "q_dup_kcore" -> ((s, d) =>
+      graft.operators.Components.kCore(
+        Dedup.sharedGramPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 2), k = 4)
+        .select(col("id").as("doc_id"), col("core_degree"))),
+
     // incremental-run bookkeeping: diff two corpus versions derived
     // deterministically from the gate table (docs dropped on each
     // side, a third of the survivors rewritten)
@@ -344,7 +357,12 @@ object DedupPack extends QueryPack {
     * inclusive slice `t[i:i+2]` — and the candidate step is the same
     * shared-gram equi-join, so the oracle never goes all-pairs
     * either. */
-  private val exactPairsCte: String =
+  /** The shared gram-building prefix: per-doc distinct word 3-gram
+    * lists plus their exploded (doc_id, gram) form — the index-for-
+    * index mirror of TextAnalysis.stringShingles documented on
+    * [[exactPairsCte]]. Ends at the `ex` CTE so both the Jaccard
+    * replay and the overlap-graph replays build on one text. */
+  private val gramExCte: String =
     """toks AS (
       |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
       |),
@@ -355,7 +373,10 @@ object DedupPack extends QueryPack {
       |      i -> array_to_string(t[i:i+2], ' '))) AS g
       |  FROM toks
       |),
-      |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+      |ex AS (SELECT doc_id, unnest(g) AS gram FROM grams)""".stripMargin
+
+  private val exactPairsCte: String =
+    gramExCte + """,
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
@@ -921,6 +942,46 @@ object DedupPack extends QueryPack {
          |FROM pairs p1
          |JOIN pairs p2 ON p2.doc_a = p1.doc_b
          |JOIN pairs p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b""".stripMargin,
+
+    // k-core peeling replayed by UNROLLING: stage i+1 = nodes of
+    // stage i with ≥4 neighbors inside stage i (survivor sets only
+    // shrink, so once the peel fixpoint is reached — 7 rounds at gate
+    // scale — the remaining stages are identity). A recursive CTE
+    // can't express a SHRINKING set (its union only accumulates), so
+    // the rounds are spelled out; 16 stages leave 2× headroom over
+    // the observed depth. MATERIALIZED is load-bearing: each stage
+    // references its predecessor twice, so inlined CTEs would expand
+    // the plan 2^16-fold (measured: blows the fd limit before it even
+    // runs); materialization makes each stage evaluate once.
+    "q_dup_kcore" -> {
+      val k = 4
+      val stages = (1 to 16).map { i =>
+        s"""s$i AS MATERIALIZED (
+           |  SELECT e.src AS id FROM sym e
+           |  JOIN s${i - 1} a ON e.src = a.id
+           |  JOIN s${i - 1} b ON e.dst = b.id
+           |  GROUP BY 1 HAVING count(*) >= $k
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramExCte,
+         |edges AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM edges
+         |),
+         |s0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+         |$stages
+         |SELECT e.src AS doc_id, count(*) AS core_degree
+         |FROM sym e
+         |JOIN s16 a ON e.src = a.id
+         |JOIN s16 b ON e.dst = b.id
+         |GROUP BY 1""".stripMargin
+    },
 
     "q_corpus_diff" ->
       """WITH o AS (

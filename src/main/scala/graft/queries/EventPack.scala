@@ -169,6 +169,20 @@ object EventPack extends QueryPack {
           round(col("cnt7").cast("double") / lit(7.0), 4))
     }),
 
+    // EWMA trend over the same daily counts — the exact fixed-point
+    // form (α = 1/2, bounded window, power-of-two weights): num/den
+    // are pure BIGINT folds, one final division per row, so the
+    // smoothing replays bit-for-bit where a recursive float EWMA
+    // could not
+    "q_ewma_trend" -> ((s, d) =>
+      graft.operators.EventAnalytics.ewmaTrend(
+        Tables.events(s, d)
+          .select(col("event_type"),
+            datediff(to_date(col("ts")), lit("1970-01-01")).as("day"))
+          .groupBy(col("event_type"), col("day"))
+          .agg(count(lit(1)).as("cnt")),
+        "event_type", "day", "cnt")),
+
     // inter-arrival gap histogram on power-of-two second buckets —
     // the bucket is integer bit-length arithmetic, not floor(log2):
     // exact on both engines at bucket boundaries
@@ -372,6 +386,40 @@ object EventPack extends QueryPack {
         |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS DOUBLE)
         |    / 7.0, 4) AS avg7
         |FROM daily""".stripMargin,
+
+    // the fixed-point EWMA replayed term for term: W=8 lag reads with
+    // power-of-two weights, BIGINT num/den (explicit CASE addition —
+    // never an aggregate sum, so no HUGEINT promotion), one final
+    // round-6 division; trend divides by the ROUNDED ewma exactly as
+    // the Spark side does
+    "q_ewma_trend" -> {
+      val W = 8
+      def terms(f: Int => String) = (0 until W).map(f).mkString("\n    + ")
+      val num = terms(j =>
+        s"coalesce(lag(cnt, $j) OVER w * ${1L << (W - 1 - j)}, 0)")
+      val den = terms(j =>
+        s"CASE WHEN lag(cnt, $j) OVER w IS NOT NULL THEN ${1L << (W - 1 - j)} ELSE 0 END")
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS day,
+         |    count(*) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |),
+         |folded AS (
+         |  SELECT event_type, day, cnt,
+         |    $num AS num,
+         |    $den AS den
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+         |)
+         |SELECT event_type, day, cnt,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS ewma,
+         |  CASE WHEN round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) > 0
+         |    THEN round(CAST(cnt AS DOUBLE)
+         |      / round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6), 6)
+         |  END AS trend
+         |FROM folded""".stripMargin
+    },
 
     // gap bucket = bit length of the integer second gap — both
     // engines' bin() agree digit-for-digit, so boundary gaps (exact

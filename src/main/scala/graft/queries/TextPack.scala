@@ -195,6 +195,14 @@ object TextPack extends QueryPack {
       TextAnalysis.sourceStats(Tables.documents(s, d), "doc_id", "source",
         "text")),
 
+    // datasheet distribution columns: exact per-source token-length
+    // percentiles via the mergeable (source, len, cnt) histogram +
+    // integer rank cut — the "how long is a typical src12 doc"
+    // triage stat min/max/avg can't answer
+    "q_source_percentiles" -> ((s, d) =>
+      TextAnalysis.sourcePercentiles(Tables.documents(s, d), "source",
+        "text")),
+
     // data mixing: deterministic per-source keep rates (25% of src0,
     // 50% of src1, all of everything else)
     "q_mix" -> ((s, d) =>
@@ -553,6 +561,32 @@ object TextPack extends QueryPack {
         |  round(avg(length(text)), 4) AS avg_chars,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY source""".stripMargin,
+
+    // the histogram + integer rank cut replayed: percentile p = min
+    // len with cum·100 ≥ n·p — pure integer cross-multiplication, no
+    // float crosses the engine boundary; window sums are HUGEINT
+    // internally, every OUTPUT casts back to BIGINT
+    "q_source_percentiles" ->
+      """WITH hist AS (
+        |  SELECT source,
+        |    greatest(coalesce(len(string_split_regex(text, '\s+')), 0), 0)
+        |      AS len,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT source, len, cnt,
+        |    sum(cnt) OVER (PARTITION BY source ORDER BY len
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY source) AS n
+        |  FROM hist
+        |)
+        |SELECT source, CAST(max(n) AS BIGINT) AS docs,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 25 THEN len END) AS BIGINT) AS p25,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN len END) AS BIGINT) AS p50,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 75 THEN len END) AS BIGINT) AS p75,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS BIGINT) AS p90
+        |FROM cum GROUP BY 1""".stripMargin,
 
     // thresholds are floor(rate·2^32) as 8 hex chars, same mechanism
     // the q_hash_split oracle replays; 'g' sorts above all hex = keep

@@ -375,6 +375,75 @@ object EventStream {
         col("mscore"), col("is_anomaly"))
   }
 
+  /** Shared windowed per-user RATE aggregation — the value column the
+    * bot detector scores: events per user per tumbling window. Used
+    * verbatim by the batch fit and the stream so the two cannot
+    * drift (the [[hourlyBatch]]/[[hourlyStream]] convention). */
+  private def rated(df: DataFrame, windowDur: String): DataFrame =
+    df.groupBy(col("user_id"), window(col("ts"), windowDur).as("w"))
+      .agg(count(lit(1)).cast("double").as("value"))
+      .select(col("user_id"), col("w.start").cast("long").as("window_start"),
+        col("value"))
+
+  /** Batch formulation of the windowed rates (spec + fit input). */
+  def windowRatesBatch(events: DataFrame,
+                       windowDur: String = "1 hour"): DataFrame =
+    rated(events, windowDur)
+
+  /** Streaming RATE anomaly — the volume complement to
+    * [[anomalyStream]]'s value scoring, closing the bot-detection
+    * loop end-to-end (q_bot_users is the batch twin over TOTAL
+    * counts; this scores windowed rates live): per-user events per
+    * tumbling `windowDur` window, scored with the modified z-score
+    * against a robust (med, mad) profile FIT ON THE BATCH SNAPSHOT's
+    * windowed rates — the fit-offline / score-online split
+    * production bot detection runs.
+    *
+    * The profile here is ONE row (a single synthetic 'all' group), so
+    * it rides the stream as two LITERALS instead of a stream-static
+    * join — which also sidesteps the Structured Streaming restriction
+    * on joins after a streaming aggregation; the scoring expression
+    * is still literally [[graft.operators.EventAnalytics
+    * .scoreAgainstProfile]], so batch and stream flags cannot drift
+    * (EventStreamSpec pins row-for-row equality on the same
+    * snapshot). The windowed count itself is the standard
+    * watermarked tumbling aggregate — per-(user, window) state,
+    * reaped as the watermark passes; in append mode only FINALIZED
+    * windows emit (the production shape), while the spec uses
+    * complete mode to observe every window on finite input.
+    * `exact = false` swaps the fit's rank-selection medians for
+    * approx_percentile at corpus scale ([[graft.operators
+    * .EventAnalytics.robustOutliers]]'s documented switch). */
+  def rateAnomalyStream(spark: SparkSession, dir: String,
+                        windowDur: String = "1 hour",
+                        delay: String = "10 minutes",
+                        k: Double = 3.5,
+                        exact: Boolean = true): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(dir).schema
+    val batchRates = rated(graft.Tables.normalizeEventsTs(
+        spark.read.parquet(dir)), windowDur)
+      .withColumn("grp", lit("all"))
+      .withColumn("rate_id",
+        concat_ws(":", col("user_id"), col("window_start")))
+    val prof = graft.operators.EventAnalytics.robustProfile(
+      batchRates, "grp", "value", "rate_id", exact).collect()
+    // empty snapshot (or all-null values): med = mad = 0 — nothing
+    // flags, the conservative degenerate case the scorer documents
+    val (med, mad) =
+      if (prof.isEmpty) (0.0, 0.0)
+      else (prof(0).getAs[Double]("med"), prof(0).getAs[Double]("mad"))
+    graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(rawSchema).parquet(dir))
+      .withWatermark("ts", delay)
+      .transform(df => rated(df, windowDur))
+      .withColumn("med", lit(med))
+      .withColumn("mad", lit(mad))
+      .transform(graft.operators.EventAnalytics.scoreAgainstProfile(k))
+      .select(col("user_id"), col("window_start"),
+        col("value").as("n_events"), col("mscore"), col("is_anomaly"))
+  }
+
   /** Streaming exact-duplicate removal on (keyCols, ts): identical
     * re-deliveries of the same event are dropped, while genuine new
     * events for the same key (different ts) pass through. The

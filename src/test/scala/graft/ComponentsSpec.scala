@@ -239,6 +239,73 @@ class ComponentsSpec extends AnyFunSuite {
     assert(cl.forall { case (id, c) => c <= id })
   }
 
+  /** Reference peel: textbook repeated-scan k-core (no queue, no
+    * incrementality — deliberately the dumbest correct form). */
+  private def refKCore(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var adj = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      val weak = adj.collect { case (n, ns) if ns.size < k => n }.toSet
+      changed = weak.nonEmpty
+      adj = (adj -- weak).view.mapValues(_ -- weak).toMap
+    }
+    adj.map { case (n, ns) => n -> ns.size.toLong }
+  }
+
+  private def kcoreOf(edges: Seq[(Long, Long)], k: Int,
+                      localMax: Long): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Components.kCore(edges.toDF("doc_a", "doc_b"), k,
+        localSolveMaxEdges = localMax)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("core_degree"))
+      .toMap
+  }
+
+  test("kCore known graphs: triangle survives k=2, its tail peels, k=3 empties it") {
+    // triangle {1,2,3} with tail 3-4-5: the 2-core is exactly the
+    // triangle (4 peels once 5 goes — a genuinely iterative cascade)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val expect = Map(1L -> 2L, 2L -> 2L, 3L -> 2L)
+    assert(kcoreOf(g, 2, 0L) === expect, "distributed kernel")
+    assert(kcoreOf(g, 2, Long.MaxValue) === expect, "driver fast path")
+    assert(refKCore(g, 2) === expect, "reference self-check")
+    // no 3-core exists here at all
+    assert(kcoreOf(g, 3, 0L).isEmpty)
+    assert(kcoreOf(g, 3, Long.MaxValue).isEmpty)
+    // K5 minus edge (4,5): 3-core keeps all five nodes, degrees 4,4,4,3,3
+    val k5m = (for (a <- 1L to 5L; b <- (a + 1) to 5L if (a, b) != ((4L, 5L)))
+      yield (a, b))
+    val ex5 = Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 3L, 5L -> 3L)
+    assert(kcoreOf(k5m, 3, 0L) === ex5)
+    assert(kcoreOf(k5m, 3, Long.MaxValue) === ex5)
+  }
+
+  test("kCore: a pure chain needs len/2 peel rounds and still empties (multi-round loop)") {
+    // path 1-…-12 under k=2 peels one layer per round from both ends —
+    // the multi-round shape the distributed loop must iterate through
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    assert(kcoreOf(chain, 2, 0L).isEmpty, "chain has no 2-core")
+    // duplicate pairs and self-loops must not inflate degrees
+    val noisy = chain ++ chain ++ Seq((3L, 3L), (7L, 7L))
+    assert(kcoreOf(noisy, 2, 0L).isEmpty)
+    assert(kcoreOf(noisy, 2, Long.MaxValue).isEmpty)
+  }
+
+  test("kCore fuzz: distributed kernel == driver peel == reference (seeded)") {
+    val rnd = new scala.util.Random(98765)
+    val edges = Seq.fill(900)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(e => e._1 != e._2)
+    for (k <- Seq(2, 3, 5)) {
+      val ref = refKCore(edges, k)
+      assert(ref.nonEmpty || k == 5, s"fuzz graph too sparse for k=$k to be interesting")
+      assert(kcoreOf(edges, k, Long.MaxValue) === ref, s"driver path, k=$k")
+      assert(kcoreOf(edges, k, 0L) === ref, s"distributed kernel, k=$k")
+    }
+  }
+
   test("degreeHistogram and triangleCount on known graphs") {
     val spark2 = SparkSuite.spark
     import spark2.implicits._

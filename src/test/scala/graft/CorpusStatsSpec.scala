@@ -132,6 +132,49 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(swapped === full, "merge is commutative")
   }
 
+  test("sourcePercentiles: nearest-rank on known lengths; null/empty text pins to 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    // source A: docs of 1..10 tokens → n=10; nearest-rank (ceil(p·n))
+    // gives p25=3 (cum 3·100 ≥ 10·25; len 2 has 200 < 250), p50=5,
+    // p75=8 (len 7: 700 < 750), p90=9
+    val a = (1 to 10).map(k => ("A", ("w " * k).trim))
+    // source B: constant length 4 → every percentile is 4
+    val b = (1 to 5).map(_ => ("B", "a b c d"))
+    val docs = (a ++ b).toDF("source", "text")
+    val got = TextAnalysis.sourcePercentiles(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("docs"), r.getAs[Long]("p25"), r.getAs[Long]("p50"),
+          r.getAs[Long]("p75"), r.getAs[Long]("p90")))).toMap
+    assert(got("A") === ((10L, 3L, 5L, 8L, 9L)))
+    assert(got("B") === ((5L, 4L, 4L, 4L, 4L)))
+    // p100 is the max; p1 is the min (rank ceil(n/100) clamps to 1)
+    val edge = TextAnalysis.sourcePercentiles(docs, "source", "text",
+        percents = Seq(1, 100))
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("p1"), r.getAs[Long]("p100")))).toMap
+    assert(edge("A") === ((1L, 10L)))
+  }
+
+  test("length histograms merge losslessly: percentiles from merged deltas == one-pass") {
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[String]("source") -> r.toSeq).toMap
+    val full = rows(TextAnalysis.sourcePercentiles(docs, "source", "text"))
+    val e = TextAnalysis.lengthHistogramBySource(
+      docs.filter(col("doc_id") % 2 === 0), "source", "text")
+    val o = TextAnalysis.lengthHistogramBySource(
+      docs.filter(col("doc_id") % 2 === 1), "source", "text")
+    val merged = rows(TextAnalysis.percentilesFromHistogram(
+      TextAnalysis.mergeLengthHistograms(e, o), "source"))
+    assert(merged === full,
+      "histogram is a lossless summary: merged deltas re-cut exactly")
+    val swapped = rows(TextAnalysis.percentilesFromHistogram(
+      TextAnalysis.mergeLengthHistograms(o, e), "source"))
+    assert(swapped === full, "merge is commutative")
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._

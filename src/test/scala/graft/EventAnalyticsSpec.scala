@@ -100,6 +100,36 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(approx === got.view.mapValues(_._4).toMap)
   }
 
+  test("ewmaTrend: hand-computed fixed-point weights; recency dominates; groups isolated") {
+    val s = spark
+    import s.implicits._
+    // group A, values 1,2,3 at days 1,2,3, window 3 → weights 4,2,1:
+    //   d1: num=1·4=4,        den=4 → ewma 1.0
+    //   d2: num=2·4+1·2=10,   den=6 → ewma 1.666667
+    //   d3: num=3·4+2·2+1=17, den=7 → ewma 2.428571
+    // group B is a lone row — its own window, ewma = its value
+    val daily = Seq(("A", 1, 1L), ("A", 2, 2L), ("A", 3, 3L), ("B", 9, 5L))
+      .toDF("g", "day", "cnt")
+    val got = EventAnalytics.ewmaTrend(daily, "g", "day", "cnt", window = 3)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Int]("day")) ->
+        ((r.getAs[Double]("ewma"), r.getAs[Double]("trend")))).toMap
+    assert(got(("A", 1)) === ((1.0, 1.0)))
+    assert(got(("A", 2))._1 === 1.666667)
+    assert(got(("A", 2))._2 === math.rint(2.0 / 1.666667 * 1e6) / 1e6)
+    assert(got(("A", 3))._1 === 2.428571)
+    assert(got(("B", 9)) === ((5.0, 1.0)))
+    // recency dominates: after a jump, EWMA sits closer to the new
+    // level than the plain mean does
+    val jump = (1 to 8).map(d => ("J", d, if (d <= 6) 10L else 100L))
+      .toDF("g", "day", "cnt")
+    val j8 = EventAnalytics.ewmaTrend(jump, "g", "day", "cnt")
+      .filter(col("day") === 8).collect()(0)
+    val mean = (6 * 10 + 2 * 100) / 8.0
+    assert(j8.getAs[Double]("ewma") > mean,
+      "half-life weighting must track the jump faster than the mean")
+    assert(j8.getAs[Double]("trend") > 1.0 && j8.getAs[Double]("trend") < 2.0)
+  }
+
   test("retention: offset 0 equals cohort size; conservation of user-days") {
     val df = ev(
       (1, 0, "1", "x"), (2, 86400, "1", "x"), (3, 3 * 86400, "1", "x"),

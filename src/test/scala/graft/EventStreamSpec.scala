@@ -205,6 +205,43 @@ class EventStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rateAnomalyStream equals batch robust scoring of the same windowed rates") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-srate").toString
+    Tables.events(spark, SparkSuite.sf0001).write.mode("overwrite").parquet(dir)
+
+    // batch twin: robustOutliers over the SAME windowed rates the
+    // stream aggregates, one synthetic 'all' group — q_bot_users'
+    // shape, per-window instead of per-corpus
+    val rates = EventStream.windowRatesBatch(spark.read.parquet(dir))
+      .withColumn("grp", lit("all"))
+      .withColumn("rate_id", concat_ws(":", col("user_id"), col("window_start")))
+    val batch = graft.operators.EventAnalytics.robustOutliers(
+        rates, "grp", "value", "rate_id")
+      .select(col("rate_id"), col("value"), col("mscore"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3))).toSet
+
+    // complete mode so every window is observable on finite input;
+    // production runs append (finalized windows only)
+    val q = EventStream.rateAnomalyStream(spark, dir)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("graft_srate").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_srate")
+      .select(concat_ws(":", col("user_id"), col("window_start")).as("rate_id"),
+        col("n_events"), col("mscore"), col("is_anomaly"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getInt(3))).toSet
+
+    assert(streamed === batch,
+      "shared rate aggregation + scoring expression: flags must be identical")
+    assert(streamed.nonEmpty, "the equality above must not be vacuous")
+    assert(streamed.exists(_._4 == 1) || streamed.forall(_._4 == 0),
+      "flag column materialized")
+    spark.catalog.clearCache()
+  }
+
   test("asOfStream caps per-key purchase history at maxHistory, counting the cut") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -106,6 +106,21 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("shared-gram overlap pairs (k-core input): count-based equi-join, no cartesian") {
+    // feeds q_dup_kcore. Same load-bearing shape as the exact-Jaccard
+    // audit: candidates come from the gram equi-join with |A∩B|
+    // counted in place — never a cartesian, never dense gram arrays
+    // re-shuffled per candidate pair.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val p = plan(graft.operators.Dedup.sharedGramPairs(
+      docs, "doc_id", "text", minShared = 2))
+    assert(!p.contains("CartesianProduct"),
+      s"overlap-pair join degenerated to a cartesian product:\n$p")
+    assert(!p.contains("array_intersect"),
+      s"overlap pairs regressed to the array-shuffling form:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("components: pointer jumping converges in O(log d) rounds; rounds end checkpointed") {
     // feeds q_components / q_dedup_cluster / q_dedup_canonical. A
     // 65-node chain (diameter 64) must converge in ~log2 rounds —
