@@ -456,6 +456,114 @@ object Components {
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Driver-side twin of the distributed [[pageRank]] loop — same
+    * integer arithmetic, iteration for iteration (ComponentsSpec pins
+    * equality on a seeded fuzz graph). */
+  private def localPageRank(edgeArr: Array[(Long, Long)], iterations: Int,
+                            dampNum: Long, dampDen: Long,
+                            scale: Long): Map[Long, Long] = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    edgeArr.foreach { case (a, b) =>
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+    }
+    // dedupe neighbor lists (duplicate input pairs must not double
+    // an edge's weight — matches the distributed path's distinct)
+    val nbrs = adj.map { case (n, ns) => n -> ns.distinct.toArray }
+    val base = scale * (dampDen - dampNum) / dampDen
+    var pr = nbrs.map { case (n, _) => n -> scale }
+    for (_ <- 1 to iterations) {
+      val share = nbrs.map { case (n, ns) => n -> pr(n) / ns.length }
+      pr = nbrs.map { case (n, ns) =>
+        n -> (base + dampNum * ns.iterator.map(share).sum / dampDen)
+      }
+    }
+    pr.toMap
+  }
+
+  /** PageRank over an undirected pair graph — EXACT integer
+    * fixed-point power iteration: damping d = dampNum/dampDen (17/20
+    * = the standard 0.85 as an exact rational), ranks carried as
+    * longs scaled by `scale`, each round
+    * pr'(v) = scale·(1−d) + d · Σ_{u∼v} ⌊pr(u)/deg(u)⌋ with every
+    * division an integer floor — so the iteration is deterministic
+    * and any engine replays it bit-for-bit (floating PageRank sums
+    * differ across engines in the last ulp and never hash-pin). Runs
+    * a FIXED `iterations` rounds rather than to an ε-fixpoint: power
+    * iteration converges geometrically, and a deterministic
+    * truncation is itself the spec.
+    *
+    * The dup-graph application is hub SCORING, ranking what
+    * [[kCore]] detects: a boilerplate hub's rank concentrates mass
+    * from its whole spoke set, separating template centers from
+    * ordinary members of the same core. Symmetrized graph ⇒ every
+    * node has degree ≥ 1 ⇒ no dangling-mass correction needed.
+    *
+    * Same scale discipline as [[kCore]]: ≤ `localSolveMaxEdges`
+    * solves on the driver (each distributed round costs ~0.5 s of
+    * scheduling); above it, per round one share projection + one
+    * edge join + one aggregate over (id, long) rows, checkpointed.
+    * Overflow bound: dampNum · Σpr ≤ dampNum · N · scale must fit a
+    * long ⇒ N < 2^63/(scale·dampNum) ≈ 5·10^11 nodes at the
+    * defaults — raise awareness, not the types, beyond that.
+    * Output: (id, pr_scaled) — pr_scaled/scale is the usual [0,N]
+    * PageRank mass. */
+  def pageRank(pairs: DataFrame, iterations: Int = 8,
+               aCol: String = "doc_a", bCol: String = "doc_b",
+               dampNum: Long = 17L, dampDen: Long = 20L,
+               scale: Long = 1000000L,
+               localSolveMaxEdges: Long = defaultLocalSolveMaxEdges): DataFrame = {
+    require(iterations >= 1 && dampDen > dampNum && dampNum > 0,
+      "pageRank needs iterations >= 1 and 0 < dampNum < dampDen")
+    require(scale * (dampDen - dampNum) % dampDen == 0,
+      s"scale·(dampDen−dampNum) must divide evenly by dampDen so the " +
+        "teleport term is exact (default 10^6·3/20 = 150000)")
+    val base = scale * (dampDen - dampNum) / dampDen
+    val e1 = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeRows = e1.count()
+    if (edgeRows <= localSolveMaxEdges) {
+      val sp = pairs.sparkSession
+      import sp.implicits._
+      val edgeArr = e1.as[(Long, Long)].collect()
+      e1.unpersist()
+      log.info(s"pageRank: $edgeRows edges <= $localSolveMaxEdges — " +
+        "solved driver-side; distributed loop not entered")
+      return localPageRank(edgeArr, iterations, dampNum, dampDen, scale)
+        .toSeq.toDF("id", "pr_scaled")
+    }
+    val sym = e1
+      .union(e1.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    e1.unpersist()
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var pr = deg.select(col("src").as("id")).withColumn("pr", lit(scale))
+      .localCheckpoint()
+    for (_ <- 1 to iterations) {
+      // `div` (never `/`): Spark's `/` on longs is DOUBLE division,
+      // which loses exactness past 2^53 — the whole point here is
+      // integer floor division end to end
+      val share = pr.join(deg.select(col("src").as("id"), col("deg")), Seq("id"))
+        .select(col("id").as("src"), expr("pr div deg").as("share"))
+      val acc = sym.join(share, Seq("src"))
+        .groupBy(col("dst").as("id")).agg(sum(col("share")).as("acc"))
+      // every node has degree >= 1 in the symmetrized graph, so acc
+      // is total (left join + coalesce would mask a broken join key)
+      pr = pr.select(col("id")).join(acc, Seq("id"))
+        .select(col("id"),
+          expr(s"$base + ($dampNum * acc) div $dampDen").as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("id"), col("pr").as("pr_scaled"))
+  }
+
   /** Triangle count of an undirected pair graph given as canonical
     * a < b edges: the classic two-path + closing-edge join. Both
     * joins are hash equi-joins on node ids — with canonical edges

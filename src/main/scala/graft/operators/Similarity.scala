@@ -729,6 +729,122 @@ object Similarity {
   def dequantize(qvecCol: String, scaleCol: String): Column =
     expr(s"transform($qvecCol, q -> cast(q as double) * $scaleCol / 127D)")
 
+  /** Fitted product-quantization model: `codebooks(j)(c)` is codeword
+    * c of subspace j (subDim doubles each); a vector's code is the
+    * per-subspace nearest codeword, and distances are approximated
+    * from the m codeword distances alone. */
+  case class PqModel(m: Int, k: Int, subDim: Int,
+                     codebooks: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
+
+  /** Driver-side sequential dot — the same left-to-right fold as the
+    * native graft_dot (and DuckDB's list_dot_product), so driver-built
+    * PQ tables agree bit-for-bit with engine-evaluated dots. */
+  private[graft] def seqDot(a: IndexedSeq[Double], b: IndexedSeq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** PRODUCT quantization fit — the codebook compressor that takes
+    * ANN memory DOWN 32× where [[quantizeInt8]] stops at 4×: the
+    * vector splits into `m` contiguous subvectors and each subspace
+    * gets its own k-codeword [[kMeans]] fit (seed offset by subspace
+    * — deterministic, and the m fits are independent by
+    * construction). A 64-d float vector becomes m=8 one-byte codes.
+    * Composes the existing clustering machinery rather than a new
+    * trainer: m small fits, each the documented one-partial-agg-per-
+    * iteration shape; at corpus scale fit on a sample — the codebook
+    * is a model, not a per-row artifact. */
+  def pqFit(emb: DataFrame, idCol: String, vecCol: String,
+            m: Int = 8, k: Int = 16, iters: Int = 5,
+            seed: Long = 7L): PqModel = {
+    val base = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    val dim = base.select(size(col("v")).as("d")).head().getInt(0)
+    require(dim % m == 0, s"pqFit: dim $dim must divide by m=$m")
+    val subDim = dim / m
+    val books = (0 until m).map { j =>
+      kMeans(base.select(col("id"),
+          slice(col("v"), j * subDim + 1, subDim).as("sub")),
+        "id", "sub", k, iters, seed + j).centroids
+    }
+    PqModel(m, k, subDim, books)
+  }
+
+  /** Per-subspace nearest-codeword id — [[kMeansAssign]]'s argmax
+    * (dot − |c|²/2, first max wins ties) over a vector SLICE. */
+  private def pqAssign(sub: Column,
+                       codebook: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val scores = codebook.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      call_function("graft_dot", sub, typedLit(c)) - lit(half)
+    }
+    val arr = array(scores: _*)
+    (call_function("array_position", arr, array_max(arr)) - 1).cast("int")
+  }
+
+  /** Encode every vector to its m codes — map-side only (codebooks
+    * ride as literals inside codegen; no join, no shuffle), the same
+    * plan shape as [[kMeansAssign]] repeated per subspace. Output:
+    * (idCol, code_0 … code_{m−1}) int columns. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               model: PqModel): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val base = emb.select(col(idCol),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull &&
+        size(col("__v")) === model.m * model.subDim)
+    val codes = (0 until model.m).map { j =>
+      pqAssign(slice(col("__v"), j * model.subDim + 1, model.subDim),
+        model.codebooks(j)).as(s"code_$j")
+    }
+    base.select(col(idCol) +: codes: _*)
+  }
+
+  /** The ADC lookup table for `query`, in 1e-6 FIXED POINT:
+    * t(j)(c) = ⌊round(1e6 · ‖q_j − c‖²)⌉ with
+    * ‖q_j − c‖² = (q_j·q_j − 2·q_j·c) + c·c, every dot the shared
+    * sequential fold. Fixed point is what makes the per-row ADC sum
+    * an INTEGER add — order-free, so the engine-side Σ over m table
+    * reads hash-pins (a float Σ would be safe per-row too, but the
+    * oracle's replay aggregates across join rows, where float order
+    * is not guaranteed). HALF_UP on a positive value matches both
+    * engines' round(). */
+  private[graft] def pqTableFp(query: Seq[Double],
+                               model: PqModel): IndexedSeq[IndexedSeq[Long]] = {
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != ${model.m * model.subDim}")
+    (0 until model.m).map { j =>
+      val qj = query.slice(j * model.subDim, (j + 1) * model.subDim).toIndexedSeq
+      val qq = seqDot(qj, qj)
+      model.codebooks(j).map { c =>
+        val t = (qq - 2 * seqDot(qj, c)) + seqDot(c, c)
+        BigDecimal(t * 1e6)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+  }
+
+  /** Asymmetric-distance top-k over an ENCODED frame: approximate
+    * dist² = Σ_j table(j)(code_j), m integer table reads per row —
+    * no vector is touched at query time, which is the entire PQ
+    * serving win (the codes are 32× smaller than the floats and the
+    * scan is codegen'd lookups + adds). Exact in fixed point given
+    * the codes, so the whole probe sits under the hash gate via the
+    * codebook-artifact replay (q_ann_pq). Output: (idCol, adc_fp) —
+    * adc_fp/1e6 ≈ squared distance; ties break on id. */
+  def pqTopK(codes: DataFrame, idCol: String, query: Seq[Double],
+             model: PqModel, topK: Int): DataFrame = {
+    val table = pqTableFp(query, model)
+    val dist = (0 until model.m).map { j =>
+      element_at(typedLit(table(j)), col(s"code_$j") + 1)
+    }.reduce(_ + _)
+    codes.select(col(idCol), dist.as("adc_fp"))
+      .orderBy(col("adc_fp").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Multi-probe top-k over the FULL production ANN layout:
     * [[withLshBucket]] + [[quantizeInt8]] written
     * `putPartitioned(..., "bucket")` — so `stored` carries (idCol,

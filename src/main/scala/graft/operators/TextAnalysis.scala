@@ -797,6 +797,63 @@ object TextAnalysis {
           / col("n_grams").cast("double"), 6).as("novelty"))
   }
 
+  /** Distribution DRIFT between two corpora — exact total-variation
+    * distance over unigram frequencies, plus the top-K terms driving
+    * it: the "did this refresh change what the model will read"
+    * check [[graft.operators.CorpusDiff]] (row identity) and
+    * [[contamination]] (membership) can't answer, because a corpus
+    * can keep every doc_id and still shift its token mix.
+    *
+    * TV = ½ Σ_t |p_a(t) − p_b(t)|, computed WITHOUT a float sum:
+    * per-term |cnt_a·N_b − cnt_b·N_a| is exact wide-integer
+    * cross-multiplication (DECIMAL(38,0) here, HUGEINT in the
+    * replay — cnt·N overflows a long once both corpora pass ~3·10^9
+    * tokens), summed exactly, with ONE final double division — the
+    * q_unigram_xent fixed-point discipline, which is what lets a
+    * 50-row answer derived from billions of float-sized fractions
+    * hash-pin. KL/χ² rank hot terms similarly but need cross-engine
+    * logs; TV needs only |·|, so exactness is free.
+    *
+    * Shape at scale: two combinable term-count aggregates, a full
+    * outer equi-join on term (a term missing from one side counts
+    * 0), scalar totals riding broadcast, and a TakeOrdered top-K by
+    * (cross, term) — never a global sort. Output: one row per top-K
+    * term (term, cnt_a, cnt_b, drift round-6) with the corpus-wide
+    * `total_tv` round-6 on every row. */
+  def termDrift(a: DataFrame, b: DataFrame, textCol: String,
+                topK: Int = 50): DataFrame = {
+    require(topK >= 1, "termDrift needs topK >= 1")
+    def counts(df: DataFrame, out: String) =
+      df.select(explode(tokens(textCol)).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(out))
+    val ca = counts(a, "cnt_a")
+    val cb = counts(b, "cnt_b")
+    val joined = ca.join(cb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val totals = joined.agg(sum(col("cnt_a")).as("na"),
+      sum(col("cnt_b")).as("nb"))
+    val crossed = joined.crossJoin(totals)
+      .withColumn("cross",
+        abs(col("cnt_a").cast("decimal(38,0)") * col("nb")
+          - col("cnt_b").cast("decimal(38,0)") * col("na")))
+    // na/nb are row-constant; grouping on them keeps one group and
+    // makes them legal alongside the aggregate
+    val tv = crossed.groupBy(col("na"), col("nb"))
+      .agg(sum(col("cross")).as("sum_cross"))
+      .select(round(col("sum_cross").cast("double")
+        / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")),
+        6).as("total_tv"))
+    crossed
+      .orderBy(col("cross").desc, col("term"))
+      .limit(topK)
+      .withColumn("drift", round(col("cross").cast("double")
+        / (col("na").cast("double") * col("nb").cast("double")), 6))
+      .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
+      .crossJoin(tv)
+  }
+
   /** The MERGEABLE form of [[sourceStats]] — the incremental-pipeline
     * variant: emit only ASSOCIATIVE stats (counts, exact sums,
     * min/max), so yesterday's datasheet plus today's delta merge in

@@ -283,6 +283,17 @@ object DedupPack extends QueryPack {
           minShared = 2), k = 4)
         .select(col("id").as("doc_id"), col("core_degree"))),
 
+    // hub SCORING over the same overlap graph: exact integer
+    // fixed-point PageRank (d = 17/20, scale 10^6, every division an
+    // integer floor) — ranks the template centers the k-core only
+    // detects; deterministic, so the power iteration itself is under
+    // the hash gate
+    "q_dup_pagerank" -> ((s, d) =>
+      graft.operators.Components.pageRank(
+        Dedup.sharedGramPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 2))
+        .select(col("id").as("doc_id"), col("pr_scaled"))),
+
     // incremental-run bookkeeping: diff two corpus versions derived
     // deterministically from the gate table (docs dropped on each
     // side, a third of the survivors rewritten)
@@ -981,6 +992,43 @@ object DedupPack extends QueryPack {
          |JOIN s16 a ON e.src = a.id
          |JOIN s16 b ON e.dst = b.id
          |GROUP BY 1""".stripMargin
+    },
+
+    // the integer power iteration replayed round for round: // is
+    // DuckDB's floor division (all values positive, so it matches
+    // Spark's `div` exactly); window sums promote to HUGEINT
+    // internally and the output casts back to BIGINT. MATERIALIZED
+    // for the same 2^rounds-inlining reason as the k-core stages.
+    "q_dup_pagerank" -> {
+      val stages = (1 to 8).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT e.dst AS id,
+           |    150000 + (17 * sum(p.pr // g.deg)) // 20 AS pr
+           |  FROM sym e
+           |  JOIN p${i - 1} p ON p.id = e.src
+           |  JOIN deg g ON g.id = e.src
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramExCte,
+         |edges AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst
+         |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT dst AS src, src AS dst FROM edges
+         |),
+         |deg AS MATERIALIZED (
+         |  SELECT src AS id, count(*) AS deg FROM sym GROUP BY 1
+         |),
+         |p0 AS MATERIALIZED (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg
+         |),
+         |$stages
+         |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM p8""".stripMargin
     },
 
     "q_corpus_diff" ->

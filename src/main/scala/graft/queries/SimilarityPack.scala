@@ -174,6 +174,23 @@ object SimilarityPack extends QueryPack {
       out
     }),
 
+    // product quantization end-to-end: per-subspace codebooks (m=8,
+    // k=16, 64-d → 8 one-byte codes, 32× down where int8 stops at
+    // 4×) fit with the kMeans machinery, map-side encode, ADC top-k
+    // in 1e-6 fixed point. The FIT is not SQL-replayable (q_kmeans
+    // precedent) but everything downstream is: the codebooks (+
+    // half-norms) persist to [[pqGateRoot]] and the oracle replays
+    // the encode argmax AND the integer ADC probe from them.
+    "q_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 5, seed = 7L)
+      writePqGateArtifact(s, model)
+      Similarity.pqTopK(
+        Similarity.pqEncode(emb, "vec_id", "embedding", model),
+        "vec_id", queryVec, model, topK = 10)
+    }),
+
     // JL dimensionality reduction: 64-dim embeddings down to 8 dense
     // components over the seeded plane family — the oracle replays the
     // exact projection from the interpolated plane literals. Exploded
@@ -299,12 +316,48 @@ object SimilarityPack extends QueryPack {
       Similarity.ivfTopKStored(cat.get("ann_ivf_store"), "vec_id",
         "embedding", "cluster", centroids, queryVec, k = 10, nprobe = 3)
     }),
+
+    // gate-artifact write is Verify-only ([[pqGateRoot]] single-writer
+    // contract); the bench pays the codebook fit once per data dir
+    // and times encode + ADC — the per-query serving cost
+    "q_ann_pq" -> ((s, d) => {
+      val model = pqBenchBuilt.computeIfAbsent(d, _ =>
+        Similarity.pqFit(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 8, k = 16, iters = 5, seed = 7L))
+      Similarity.pqTopK(
+        Similarity.pqEncode(Tables.embeddings(s, d), "vec_id", "embedding",
+          model),
+        "vec_id", queryVec, model, topK = 10)
+    }),
   )
 
   /** Build-once memo for the stored-IVF bench probe (data dir →
     * centroids); the store itself lives in [[storeRoot]]'s temp dir. */
   private val ivfBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[Double]]]()
+
+  /** Build-once memo for the PQ bench probe (data dir → model) — the
+    * bench times encode + ADC, paying the codebook fit once (the
+    * serving split: a user fits offline, probes per query). */
+  private val pqBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, Similarity.PqModel]()
+
+  /** Fixed root for the q_ann_pq oracle-replay artifact (same
+    * non-temp, overwrite-in-place, single-writer contract as
+    * [[gateStoreRoot]]): the fitted per-subspace codebooks with
+    * their half-norms — m·k small rows, driver-side values only. */
+  private val pqGateRoot = "/tmp/graft-gate-store/pq"
+
+  private def writePqGateArtifact(s: SparkSession,
+                                  model: Similarity.PqModel): Unit = {
+    import s.implicits._
+    (for { j <- 0 until model.m; c <- 0 until model.k } yield {
+      val cb = model.codebooks(j)(c)
+      (j, c, cb.toArray, cb.map(x => x * x).sum / 2)
+    }).toDF("subspace", "code", "centroid", "half")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$pqGateRoot/codebooks.parquet")
+  }
 
   /** Fixed root for the q_embed_outliers oracle-replay artifact
     * (same non-temp, overwrite-in-place, single-writer contract as
@@ -571,6 +624,58 @@ object SimilarityPack extends QueryPack {
            |  WHERE a.cluster IN (SELECT cluster FROM probed)
            |  ORDER BY sim DESC, e.vec_id LIMIT 10
            |)""".stripMargin,
+      // replay the WHOLE PQ probe from the persisted codebooks:
+      // encode = per-subspace argmax of dot(sub, c) − half (stored
+      // half, first-max tie-break ↔ ORDER BY s DESC, code ASC), ADC
+      // table = round(1e6·((q_j·q_j − 2·q_j·c) + c·c)) as BIGINT —
+      // q_j·q_j precomputed driver-side with the same sequential
+      // fold and rendered as a round-tripping double literal — and
+      // the per-vector distance is an INTEGER sum over the 8 joined
+      // table rows, so aggregate order cannot perturb it. Only the
+      // per-subspace kMeans FIT stays unreplayed (q_kmeans
+      // precedent).
+      "q_ann_pq" -> {
+        val subDim = 8
+        def qj(j: Int): IndexedSeq[Double] =
+          queryVec.slice(j * subDim, (j + 1) * subDim).toIndexedSeq
+        def qLit(j: Int): String =
+          qj(j).map(_.toString).mkString("[", ", ", "]")
+        val qCase = (0 until 8).map(j =>
+          s"WHEN $j THEN CAST(${qLit(j)} AS DOUBLE[])").mkString(" ")
+        val qqCase = (0 until 8).map(j =>
+          s"WHEN $j THEN ${Similarity.seqDot(qj(j), qj(j))}").mkString(" ")
+        s"""WITH cb AS (
+           |  SELECT subspace, code, CAST(centroid AS DOUBLE[]) AS c, half
+           |  FROM read_parquet('$pqGateRoot/codebooks.parquet/*.parquet')
+           |),
+           |v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings
+           |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+           |),
+           |codes AS (
+           |  SELECT vec_id, subspace, code FROM (
+           |    SELECT v.vec_id, cb.subspace, cb.code,
+           |      row_number() OVER (PARTITION BY v.vec_id, cb.subspace
+           |        ORDER BY list_dot_product(
+           |            v.emb[cb.subspace * 8 + 1 : cb.subspace * 8 + 8],
+           |            cb.c) - cb.half DESC,
+           |          cb.code ASC) AS rn
+           |    FROM v CROSS JOIN cb
+           |  ) WHERE rn = 1
+           |),
+           |tbl AS (
+           |  SELECT subspace, code,
+           |    CAST(round(((CASE subspace $qqCase END)
+           |      - 2 * list_dot_product(CASE subspace $qCase END, c)
+           |      + list_dot_product(c, c)) * 1000000, 0) AS BIGINT) AS t_fp
+           |  FROM cb
+           |)
+           |SELECT vec_id, CAST(sum(t_fp) AS BIGINT) AS adc_fp
+           |FROM codes JOIN tbl USING (subspace, code)
+           |GROUP BY 1
+           |ORDER BY adc_fp, vec_id LIMIT 10""".stripMargin
+      },
       // replay kMeansAssign from the persisted final centroids:
       // score = dot(v,c) − dot(c,c)/2 (both engines fold the arrays
       // sequentially, and the Scala-side |c|²/2 literal is the same

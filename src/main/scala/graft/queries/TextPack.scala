@@ -203,6 +203,19 @@ object TextPack extends QueryPack {
       TextAnalysis.sourcePercentiles(Tables.documents(s, d), "source",
         "text")),
 
+    // corpus-version DRIFT: exact total-variation distance over
+    // unigram frequencies between the corpus and its partially
+    // rewritten next version (the q_corpus_diff construction), plus
+    // the top terms driving it — integer cross-multiplication, one
+    // final division, so the whole distribution comparison hash-pins
+    "q_term_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newV = docs.withColumn("text",
+        when(col("doc_id") % 3 === 0, upper(col("text")))
+          .otherwise(col("text")))
+      TextAnalysis.termDrift(docs, newV, "text", topK = 50)
+    }),
+
     // data mixing: deterministic per-source keep rates (25% of src0,
     // 50% of src1, all of everything else)
     "q_mix" -> ((s, d) =>
@@ -587,6 +600,47 @@ object TextPack extends QueryPack {
         |  CAST(min(CASE WHEN cum * 100 >= n * 75 THEN len END) AS BIGINT) AS p75,
         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS BIGINT) AS p90
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // TV drift replayed: same ' ' tokenizer, full-outer term join,
+    // HUGEINT cross-multiplication (the DECIMAL(38,0) twin), one
+    // final double division per output — totals promote to HUGEINT
+    // via sum() and stay internal
+    "q_term_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        |),
+        |tb AS (
+        |  SELECT unnest(string_split(
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END, ' '))
+        |    AS term
+        |  FROM documents
+        |),
+        |ca AS (SELECT term, count(*) AS cnt_a FROM ta GROUP BY 1),
+        |cb AS (SELECT term, count(*) AS cnt_b FROM tb GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(ca.term, cb.term) AS term,
+        |    coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+        |),
+        |tot AS (SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb FROM j),
+        |x AS (
+        |  SELECT term, cnt_a, cnt_b, na, nb,
+        |    abs(CAST(cnt_a AS HUGEINT) * nb - CAST(cnt_b AS HUGEINT) * na)
+        |      AS crs
+        |  FROM j, tot
+        |),
+        |tv AS (
+        |  SELECT round(CAST(sum(crs) AS DOUBLE)
+        |    / (2.0 * CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)), 6)
+        |    AS total_tv
+        |  FROM x
+        |)
+        |SELECT term, cnt_a, cnt_b,
+        |  round(CAST(crs AS DOUBLE)
+        |    / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS drift,
+        |  total_tv
+        |FROM x, tv
+        |ORDER BY crs DESC, term LIMIT 50""".stripMargin,
 
     // thresholds are floor(rate·2^32) as 8 hex chars, same mechanism
     // the q_hash_split oracle replays; 'g' sorts above all hex = keep

@@ -306,6 +306,65 @@ class ComponentsSpec extends AnyFunSuite {
     }
   }
 
+  /** Reference: the integer power iteration spelled out naively —
+    * pr'(v) = base + d·Σ⌊pr(u)/deg(u)⌋ with Long floor division. */
+  private def refPageRank(edges: Seq[(Long, Long)],
+                          iterations: Int): Map[Long, Long] = {
+    val nbrs = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var pr: Map[Long, Long] = nbrs.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iterations) {
+      val share = nbrs.map { case (n, ns) => n -> pr(n) / ns.size }
+      pr = nbrs.map { case (n, ns) =>
+        n -> (150000L + 17L * ns.map(share).sum / 20L)
+      }
+    }
+    pr
+  }
+
+  private def prOf(edges: Seq[(Long, Long)], localMax: Long,
+                   iterations: Int = 8): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Components.pageRank(edges.toDF("doc_a", "doc_b"),
+        iterations = iterations, localSolveMaxEdges = localMax)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr_scaled"))
+      .toMap
+  }
+
+  test("pageRank: regular graphs are stationary at scale; hubs dominate a star") {
+    // triangle: every node degree 2 — share = scale/2, each node
+    // collects exactly scale back: 150000 + 17·1000000/20 = 1000000.
+    // Stationary from round one, any iteration count
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(prOf(tri, Long.MaxValue) ===
+      Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    assert(prOf(tri, 0L) === prOf(tri, Long.MaxValue))
+    // star 1-{2,3,4}: the hub concentrates its spokes' whole mass
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val p = prOf(star, Long.MaxValue)
+    assert(p(1L) > p(2L) && p(2L) === p(3L) && p(3L) === p(4L))
+    assert(p(1L) > 2 * p(2L), "hub must dominate, not just edge out, its leaves")
+    // total mass is conserved up to floor losses (strictly below
+    // N·scale, within N·iterations·den of it)
+    val mass = p.values.sum
+    assert(mass <= 4000000L && mass > 4000000L - 4 * 8 * 20 * 4)
+  }
+
+  test("pageRank fuzz: distributed kernel == driver path == reference (seeded)") {
+    val rnd = new scala.util.Random(24680)
+    val edges = Seq.fill(700)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(e => e._1 != e._2)
+    val ref = refPageRank(edges, 8)
+    assert(prOf(edges, Long.MaxValue) === ref, "driver path")
+    assert(prOf(edges, 0L) === ref, "distributed kernel")
+    // duplicate pairs must not double edges
+    val dup = edges ++ edges
+    assert(prOf(dup, Long.MaxValue) === ref)
+    assert(prOf(dup, 0L) === ref)
+  }
+
   test("degreeHistogram and triangleCount on known graphs") {
     val spark2 = SparkSuite.spark
     import spark2.implicits._

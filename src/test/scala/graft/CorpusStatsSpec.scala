@@ -175,6 +175,41 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(swapped === full, "merge is commutative")
   }
 
+  test("termDrift: hand-computed TV; identical corpora drift 0; disjoint corpora drift 1") {
+    val spark2 = spark
+    import spark2.implicits._
+    def docs(texts: String*) = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    // A = "a a b", B = "a b b": per-term cross = |cnt_a·3 − cnt_b·3|
+    // = 3 for both terms → drift 3/9 each, TV = 6/(2·9) = 0.333333
+    val got = TextAnalysis.termDrift(docs("a a b"), docs("a b b"), "text")
+      .collect().map(r => r.getAs[String]("term") ->
+        ((r.getAs[Long]("cnt_a"), r.getAs[Long]("cnt_b"),
+          r.getAs[Double]("drift"), r.getAs[Double]("total_tv")))).toMap
+    assert(got === Map(
+      "a" -> ((2L, 1L, 0.333333, 0.333333)),
+      "b" -> ((1L, 2L, 0.333333, 0.333333))))
+    // identical corpora: zero everywhere
+    val same = TextAnalysis.termDrift(docs("p q r"), docs("p q r"), "text")
+      .collect()
+    assert(same.forall(r => r.getAs[Double]("drift") == 0.0
+      && r.getAs[Double]("total_tv") == 0.0))
+    // disjoint corpora: TV = 1 exactly
+    val disj = TextAnalysis.termDrift(docs("x y"), docs("z w"), "text")
+      .collect()
+    assert(disj.head.getAs[Double]("total_tv") === 1.0)
+    assert(disj.length === 4, "every term of either side appears")
+    // topK cut is deterministic and keeps the corpus-wide TV
+    val cut = TextAnalysis.termDrift(docs("x y"), docs("z w"), "text", topK = 2)
+      .collect()
+    assert(cut.length === 2)
+    assert(cut.head.getAs[Double]("total_tv") === 1.0,
+      "total_tv is corpus-wide, not top-K-wide")
+    assert(cut.map(_.getAs[String]("term")).toSeq ===
+      cut.map(_.getAs[String]("term")).toSeq.sorted,
+      "tie-break by term makes the cut deterministic")
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._
