@@ -797,6 +797,76 @@ object TextAnalysis {
           / col("n_grams").cast("double"), 6).as("novelty"))
   }
 
+  /** BPE MERGE-TABLE training — the tokenizer-vocabulary induction
+    * step of a training-data pipeline, as a deterministic Spark loop:
+    * classic byte-pair encoding over the corpus's word-frequency
+    * dictionary (the HF-tokenizers training shape — the corpus is
+    * scanned ONCE into (distinct word, count); every merge round
+    * touches only the dictionary, whose size is the vocabulary, not
+    * the corpus). Each round: count adjacent symbol pairs weighted by
+    * word count (overlapping adjacencies all count, the standard BPE
+    * statistic), pick the most frequent with a lexicographic (l, r)
+    * tie-break — fully deterministic — and rewrite every word's
+    * symbol sequence by merging that pair leftmost-non-overlapping.
+    *
+    * The rewrite IS engine `replace()`: a word's symbols live as a
+    * U+001F-delimited string, and replacing U+001FlU+001FrU+001F → U+001FlrU+001F is exactly
+    * BPE's greedy leftmost-non-overlap merge (both Spark and DuckDB
+    * replace left-to-right without overlap), so the whole TRAINING
+    * LOOP replays in SQL — q_bpe_vocab hash-pins all `merges` rounds
+    * via unrolled MATERIALIZED stages, where float-based trainers
+    * couldn't pin round one. No regex anywhere: the initial
+    * per-character split is substr arithmetic.
+    *
+    * Per round: one partial-agg shuffle over the dictionary's pair
+    * explosion + a ONE-ROW collect (the argmax — the k-means
+    * centroid-read precedent) + a map-side rewrite, checkpointed so
+    * round plans don't stack. Output: (rank, left, right, pair_cnt)
+    * — the ordered merge table, i.e. the trained tokenizer artifact. */
+  def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
+    require(merges >= 1, "bpeMerges needs merges >= 1")
+    val sep = "\u001f"  // unit separator: outside every corpus alphabet; chr(31) in the oracle
+    val sp = docs.sparkSession
+    import sp.implicits._
+    var cur = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), concat(lit(sep),
+        array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
+          sep), lit(sep)).as("repr"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= merges && !exhausted) {
+      val syms = cur.select(col("cnt"),
+        expr(s"filter(split(repr, '$sep'), x -> x != '')").as("syms"))
+      val best = syms
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"),
+          best(0).getAs[Long]("c"))
+        out += ((rank, l, r, c))
+        cur = cur.select(col("cnt"),
+          call_function("replace", col("repr"),
+            lit(sep + l + sep + r + sep), lit(sep + l + r + sep)).as("repr"))
+          .localCheckpoint()
+        rank += 1
+      }
+    }
+    out.toSeq.toDF("rank", "left", "right", "pair_cnt")
+  }
+
   /** Distribution DRIFT between two corpora — exact total-variation
     * distance over unigram frequencies, plus the top-K terms driving
     * it: the "did this refresh change what the model will read"

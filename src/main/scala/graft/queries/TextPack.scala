@@ -203,6 +203,14 @@ object TextPack extends QueryPack {
       TextAnalysis.sourcePercentiles(Tables.documents(s, d), "source",
         "text")),
 
+    // BPE tokenizer-vocabulary training: 8 merge rounds over the
+    // word-frequency dictionary, each fully deterministic (max pair
+    // count, lexicographic tie-break, leftmost-non-overlap rewrite
+    // via engine replace()) — the whole TRAINING LOOP sits under the
+    // hash gate, where float-based trainers couldn't pin round one
+    "q_bpe_vocab" -> ((s, d) =>
+      TextAnalysis.bpeMerges(Tables.documents(s, d), "text", merges = 8)),
+
     // corpus-version DRIFT: exact total-variation distance over
     // unigram frequencies between the corpus and its partially
     // rewritten next version (the q_corpus_diff construction), plus
@@ -600,6 +608,51 @@ object TextPack extends QueryPack {
         |  CAST(min(CASE WHEN cum * 100 >= n * 75 THEN len END) AS BIGINT) AS p75,
         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS BIGINT) AS p90
         |FROM cum GROUP BY 1""".stripMargin,
+
+    // the BPE loop replayed round for round: per stage, adjacent-pair
+    // counts from the U+001F-delimited symbol strings (overlapping
+    // adjacencies all count), the same (c DESC, l, r) argmax, and the
+    // identical replace() rewrite — chr(31) is the Spark side's
+    // "\u001f" separator. MATERIALIZED for the usual unroll reason; range(1,
+    // len) is empty for single-symbol words on this engine (Spark
+    // guards with size >= 2, same pair set)
+    "q_bpe_vocab" -> {
+      val stages = (1 to 8).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+           |  FROM (SELECT cnt, list_filter(string_split(repr, chr(31)),
+           |                                x -> x != '') AS syms FROM s${i - 1}),
+           |       unnest(range(1, greatest(len(syms), 1))) AS t(i)
+           |  GROUP BY 1, 2
+           |),
+           |m$i AS MATERIALIZED (
+           |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
+           |),
+           |s$i AS MATERIALIZED (
+           |  SELECT cnt, replace(repr, chr(31) || m.l || chr(31) || m.r || chr(31),
+           |                      chr(31) || m.l || m.r || chr(31)) AS repr
+           |  FROM s${i - 1}, m$i m
+           |)""".stripMargin
+      }.mkString(",\n")
+      val union = (1 to 8).map(i =>
+        s"SELECT CAST($i AS INT) AS rank, l AS left, r AS right, c AS pair_cnt FROM m$i")
+        .mkString("\nUNION ALL\n")
+      s"""WITH w AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w != '' GROUP BY 1
+         |),
+         |s0 AS MATERIALIZED (
+         |  SELECT cnt, chr(31) || array_to_string(
+         |    list_transform(range(1, length(w) + 1), i -> w[i]), chr(31))
+         |    || chr(31) AS repr
+         |  FROM w
+         |),
+         |$stages
+         |SELECT * FROM (
+         |$union
+         |) ORDER BY rank""".stripMargin
+    },
 
     // TV drift replayed: same ' ' tokenizer, full-outer term join,
     // HUGEINT cross-multiplication (the DECIMAL(38,0) twin), one

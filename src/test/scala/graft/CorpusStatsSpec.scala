@@ -210,6 +210,72 @@ class CorpusStatsSpec extends AnyFunSuite {
       "tie-break by term makes the cut deterministic")
   }
 
+  /** Naive reference BPE over a word-count dict: count all adjacent
+    * pairs (overlaps included), merge the (count desc, pair asc) best
+    * leftmost-non-overlapping, repeat. */
+  private def refBpe(words: Map[String, Long],
+                     merges: Int): Seq[(Int, String, String, Long)] = {
+    var seqs: Map[String, Vector[String]] =
+      words.keys.map(w => w -> w.map(_.toString).toVector).toMap
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (rank <- 1 to merges) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (w, cnt) =>
+        seqs(w).sliding(2).foreach {
+          case Vector(a, b) => pc((a, b)) = pc.getOrElse((a, b), 0L) + cnt
+          case _ =>
+        }
+      }
+      if (pc.nonEmpty) {
+        val ((l, r), c) = pc.minBy { case ((a, b), n) => (-n, a, b) }
+        out += ((rank, l, r, c))
+        seqs = seqs.view.mapValues { s =>
+          val b = Vector.newBuilder[String]; var i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+              b += l + r; i += 2
+            } else { b += s(i); i += 1 }
+          }
+          b.result()
+        }.toMap
+      }
+    }
+    out.result()
+  }
+
+  test("bpeMerges: classic corpus merges by hand; matches the naive reference; hierarchical") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the textbook BPE corpus: low ×5, lower ×2, newest ×6, widest ×3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMerges(docs, "text", merges = 6)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_cnt"))).toSeq
+      .sortBy(_._1)
+    val words = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    assert(got === refBpe(words, 6), "Spark loop must equal the naive reference")
+    // hand-check the first merges: es (9 = 6+3), then est (the merged
+    // symbol participates — the loop is genuinely hierarchical)
+    assert(got(0) === ((1, "e", "s", 9L)))
+    assert(got(1) === ((2, "es", "t", 9L)))
+    // the greedy invariant: each round's winning count never exceeds
+    // the previous round's (new pairs created by a merge inherit at
+    // most its count)
+    assert(got.map(_._4).sliding(2).forall(p => p(0) >= p(1)))
+    // determinism under repartition
+    val again = TextAnalysis.bpeMerges(docs.repartition(5), "text", merges = 6)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_cnt"))).toSeq.sortBy(_._1)
+    assert(again === got)
+    // fewer possible merges than asked-for: single repeated char word
+    val tiny = Seq((1L, "aa aa")).toDF("doc_id", "text")
+    val t = TextAnalysis.bpeMerges(tiny, "text", merges = 8).collect()
+    assert(t.length === 1, "loop must stop when no pairs remain")
+    assert((t(0).getAs[String]("left"), t(0).getAs[String]("right")) === (("a", "a")))
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._

@@ -121,6 +121,52 @@ class PlanShapeSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("PQ: encode is a single map-side stage; ADC probe is one TakeOrdered, no join") {
+    // feeds q_ann_pq. The serving win is that neither step touches a
+    // vector join: encode evaluates codebook literals inside codegen,
+    // the probe reads m literal tables and TakeOrders — a shuffle or
+    // join appearing here means the literals regressed to a
+    // relational plan.
+    val emb = Tables.embeddings(spark, SparkSuite.sf0001)
+    val model = graft.operators.Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 1, seed = 7L)
+    val enc = graft.operators.Similarity.pqEncode(emb, "vec_id", "embedding",
+      model)
+    val pe = plan(enc)
+    assert(!pe.contains("Exchange") && !pe.contains("Join"),
+      s"PQ encode is not a pure map-side stage:\n$pe")
+    val pp = plan(graft.operators.Similarity.pqTopK(enc, "vec_id",
+      graft.queries.SimilarityPack.queryVec, model, 10))
+    assert(pp.contains("TakeOrderedAndProject"),
+      s"ADC top-k is not a TakeOrdered:\n$pp")
+    assert(!pp.contains("Join") && !pp.contains("CartesianProduct"),
+      s"ADC probe grew a join:\n$pp")
+    spark.catalog.clearCache()
+  }
+
+  test("ewmaTrend is one window exchange; sourcePercentiles aggregates before any window") {
+    // q_ewma_trend: W lag reads must share ONE window (one exchange
+    // on the group key) — a per-term window would be W exchanges.
+    val s = spark
+    import s.implicits._
+    val daily = Seq(("a", 1, 1L), ("a", 2, 2L)).toDF("g", "day", "cnt")
+    val pe = plan(graft.operators.EventAnalytics.ewmaTrend(
+      daily, "g", "day", "cnt"))
+    assert(pe.sliding("Window".length).count(_ == "Window") >= 1 &&
+      "Exchange".r.findAllIn(pe).size <= 2,
+      s"ewmaTrend grew extra exchanges:\n$pe")
+    // q_source_percentiles: the corpus-scale work is the combinable
+    // (source, len) aggregate — a partial_count must appear BELOW the
+    // windows, and the windows run over the histogram, after its own
+    // aggregate, never over raw docs.
+    val docs = Tables.documents(spark, SparkSuite.sf0001)
+    val pp = plan(graft.operators.TextAnalysis.sourcePercentiles(
+      docs, "source", "text"))
+    assert(pp.contains("partial_count") || pp.contains("partial count"),
+      s"histogram aggregate lost its map-side combine:\n$pp")
+    spark.catalog.clearCache()
+  }
+
   test("components: pointer jumping converges in O(log d) rounds; rounds end checkpointed") {
     // feeds q_components / q_dedup_cluster / q_dedup_canonical. A
     // 65-node chain (diameter 64) must converge in ~log2 rounds —
