@@ -406,11 +406,19 @@ object Components {
     *  - the weak-node frame is persisted and counted per round (the
     *    convergence signal); it is at most one row per remaining node
     *    and usually far smaller. */
-  def kCore(pairs: DataFrame, k: Int,
-            aCol: String = "doc_a", bCol: String = "doc_b",
-            maxIter: Int = 50,
-            localSolveMaxEdges: Long = defaultLocalSolveMaxEdges): DataFrame = {
-    require(k >= 1, "kCore needs k >= 1")
+  /** Shared scale-discipline preamble for the iterative graph
+    * kernels ([[kCore]], [[pageRank]]): cast/self-loop-filter the
+    * pair frame, count it once (persisted so the count and the
+    * follow-up read share one evaluation), and either COLLECT it
+    * (≤ `localSolveMaxEdges` — the driver fast path) or return the
+    * symmetrized, deduplicated, checkpointed edge frame for the
+    * distributed loop. One definition site so the
+    * local-vs-distributed contract can't drift between the twins
+    * (the components kernel predates this helper and keeps its own
+    * interleaved persist flow). */
+  private def preparedEdges(pairs: DataFrame, aCol: String, bCol: String,
+                            localSolveMaxEdges: Long, opName: String)
+      : Either[Array[(Long, Long)], DataFrame] = {
     val e1 = pairs.select(col(aCol).cast("long").as("src"),
         col(bCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -421,17 +429,34 @@ object Components {
       import sp.implicits._
       val edgeArr = e1.as[(Long, Long)].collect()
       e1.unpersist()
-      log.info(s"kCore: $edgeRows edges <= $localSolveMaxEdges — peeled " +
-        "driver-side; distributed loop not entered")
-      return localKCore(edgeArr, k).toSeq.toDF("id", "core_degree")
+      log.info(s"$opName: $edgeRows edges <= $localSolveMaxEdges — " +
+        "solved driver-side; distributed loop not entered")
+      Left(edgeArr)
+    } else {
+      // one directed row per orientation; distinct collapses
+      // duplicate input pairs so count(*) per src IS the degree
+      val sym = e1
+        .union(e1.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .localCheckpoint()
+      e1.unpersist()
+      Right(sym)
     }
-    // one directed row per orientation; distinct collapses duplicate
-    // input pairs so count(*) per src IS the degree
-    var sym = e1
-      .union(e1.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    e1.unpersist()
+  }
+
+  def kCore(pairs: DataFrame, k: Int,
+            aCol: String = "doc_a", bCol: String = "doc_b",
+            maxIter: Int = 50,
+            localSolveMaxEdges: Long = defaultLocalSolveMaxEdges): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    var sym = preparedEdges(pairs, aCol, bCol, localSolveMaxEdges,
+        "kCore") match {
+      case Left(edgeArr) =>
+        return localKCore(edgeArr, k).toSeq.toDF("id", "core_degree")
+      case Right(s) => s
+    }
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -522,26 +547,15 @@ object Components {
       s"scale·(dampDen−dampNum) must divide evenly by dampDen so the " +
         "teleport term is exact (default 10^6·3/20 = 150000)")
     val base = scale * (dampDen - dampNum) / dampDen
-    val e1 = pairs.select(col(aCol).cast("long").as("src"),
-        col(bCol).cast("long").as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgeRows = e1.count()
-    if (edgeRows <= localSolveMaxEdges) {
-      val sp = pairs.sparkSession
-      import sp.implicits._
-      val edgeArr = e1.as[(Long, Long)].collect()
-      e1.unpersist()
-      log.info(s"pageRank: $edgeRows edges <= $localSolveMaxEdges — " +
-        "solved driver-side; distributed loop not entered")
-      return localPageRank(edgeArr, iterations, dampNum, dampDen, scale)
-        .toSeq.toDF("id", "pr_scaled")
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    val sym = preparedEdges(pairs, aCol, bCol, localSolveMaxEdges,
+        "pageRank") match {
+      case Left(edgeArr) =>
+        return localPageRank(edgeArr, iterations, dampNum, dampDen, scale)
+          .toSeq.toDF("id", "pr_scaled")
+      case Right(s) => s
     }
-    val sym = e1
-      .union(e1.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    e1.unpersist()
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
     var pr = deg.select(col("src").as("id")).withColumn("pr", lit(scale))

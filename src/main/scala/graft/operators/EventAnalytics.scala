@@ -44,8 +44,17 @@ object EventAnalytics {
     * reads — W literals, no self-join, no state. */
   def ewmaTrend(df: DataFrame, groupCol: String, orderCol: String,
                 valueCol: String, window: Int = 8): DataFrame = {
-    require(window >= 1 && window <= 62,
-      "ewmaTrend window must be in [1, 62] (weights are 2^(window-1-j) longs)")
+    // overflow headroom, not just weight representability: the num
+    // fold's largest term is value·2^(window−1), and the W-term sum
+    // at most doubles it — window ≤ 32 leaves every per-row value up
+    // to 2^30 (~10^9 events per period) exactly representable, and a
+    // silent Long wrap (negative ewma, garbage trend, no error under
+    // non-ANSI) can't happen on any realistic count column. Larger
+    // windows with α = 1/2 are pointless anyway: weight 2^-33 is
+    // below any count's contribution.
+    require(window >= 1 && window <= 32,
+      "ewmaTrend window must be in [1, 32] (num = value*2^(window-1) " +
+        "folds must keep Long headroom; see overflow note)")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
     def lagged(j: Int) = lag(col(valueCol).cast("long"), j).over(w)

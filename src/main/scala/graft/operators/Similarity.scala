@@ -758,18 +758,31 @@ object Similarity {
   def pqFit(emb: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, k: Int = 16, iters: Int = 5,
             seed: Long = 7L): PqModel = {
+    // persist BEFORE the dim probe: the probe's action fills the
+    // cache, so the m per-subspace fits re-read this projection, not
+    // the source — without it the embeddings scan runs m+1 times
     val base = emb.select(col(idCol).as("id"),
         col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-    val dim = base.select(size(col("v")).as("d")).head().getInt(0)
-    require(dim % m == 0, s"pqFit: dim $dim must divide by m=$m")
-    val subDim = dim / m
-    val books = (0 until m).map { j =>
-      kMeans(base.select(col("id"),
-          slice(col("v"), j * subDim + 1, subDim).as("sub")),
-        "id", "sub", k, iters, seed + j).centroids
-    }
-    PqModel(m, k, subDim, books)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val probe = base.select(size(col("v")).as("d")).take(1)
+      require(probe.nonEmpty,
+        "pqFit: input has no non-null vectors — nothing to fit")
+      val dim = probe(0).getInt(0)
+      require(dim % m == 0, s"pqFit: dim $dim must divide by m=$m")
+      val subDim = dim / m
+      // dim mismatches are EXCLUDED from the fit, matching pqEncode's
+      // population — without this, a stray short vector would slice
+      // to short subvectors and corrupt the codebooks
+      val fixed = base.filter(size(col("v")) === dim)
+      val books = (0 until m).map { j =>
+        kMeans(fixed.select(col("id"),
+            slice(col("v"), j * subDim + 1, subDim).as("sub")),
+          "id", "sub", k, iters, seed + j).centroids
+      }
+      PqModel(m, k, subDim, books)
+    } finally base.unpersist(false)
   }
 
   /** Per-subspace nearest-codeword id — [[kMeansAssign]]'s argmax

@@ -809,14 +809,22 @@ object TextAnalysis {
     * tie-break — fully deterministic — and rewrite every word's
     * symbol sequence by merging that pair leftmost-non-overlapping.
     *
-    * The rewrite IS engine `replace()`: a word's symbols live as a
-    * U+001F-delimited string, and replacing U+001FlU+001FrU+001F → U+001FlrU+001F is exactly
-    * BPE's greedy leftmost-non-overlap merge (both Spark and DuckDB
-    * replace left-to-right without overlap), so the whole TRAINING
-    * LOOP replays in SQL — q_bpe_vocab hash-pins all `merges` rounds
-    * via unrolled MATERIALIZED stages, where float-based trainers
-    * couldn't pin round one. No regex anywhere: the initial
-    * per-character split is substr arithmetic.
+    * The rewrite IS engine `replace()`: each symbol is WRAPPED as
+    * open+sym+close (U+001F / U+001E), and the merge replaces
+    * open+l+close+open+r+close with open+lr+close. The two-marker
+    * wrapping is load-bearing: the pattern ends at r's CLOSE marker
+    * and the next occurrence starts at its own OPEN marker, so
+    * back-to-back occurrences never share a character and one
+    * left-to-right non-overlapping replace() pass IS exactly BPE's
+    * greedy merge — including runs ("banana" merging (a,n) yields
+    * [b, an, an, a]; a single shared delimiter would consume the
+    * boundary and miss the second merge). Both engines' replace()
+    * scan identically, so the whole TRAINING LOOP replays in SQL —
+    * q_bpe_vocab hash-pins all `merges` rounds via unrolled
+    * MATERIALIZED stages, where float-based trainers couldn't pin
+    * round one. No regex anywhere: the initial per-character split
+    * is substr arithmetic, and symbol extraction is a close→open
+    * translate + split.
     *
     * Per round: one partial-agg shuffle over the dictionary's pair
     * explosion + a ONE-ROW collect (the argmax — the k-means
@@ -825,23 +833,33 @@ object TextAnalysis {
     * — the ordered merge table, i.e. the trained tokenizer artifact. */
   def bpeMerges(docs: DataFrame, textCol: String, merges: Int = 8): DataFrame = {
     require(merges >= 1, "bpeMerges needs merges >= 1")
-    val sep = "\u001f"  // unit separator: outside every corpus alphabet; chr(31) in the oracle
+    // U+001F opens and U+001E closes each symbol — chr(31)/chr(30) in
+    // the oracle; both outside every printable corpus alphabet. Two
+    // markers, not one shared delimiter: see the Scaladoc, this is
+    // what makes one replace() pass exact on back-to-back runs.
+    val o = "\u001f"
+    val cl = "\u001e"
     val sp = docs.sparkSession
     import sp.implicits._
     var cur = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(col("cnt"), concat(lit(sep),
-        array_join(expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))"),
-          sep), lit(sep)).as("repr"))
+      .select(col("cnt"),
+        array_join(expr(
+          s"transform(sequence(1, length(w)), i -> concat('$o', substr(w, i, 1), '$cl'))"),
+          "").as("repr"))
       .localCheckpoint()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
     while (rank <= merges && !exhausted) {
+      // symbols = translate close markers to open, split on open, drop
+      // empties — the exact list the oracle rebuilds with
+      // replace(chr(30)->chr(31)) + string_split
       val syms = cur.select(col("cnt"),
-        expr(s"filter(split(repr, '$sep'), x -> x != '')").as("syms"))
+        expr(s"filter(split(translate(repr, '$cl', '$o'), '$o'), x -> x != '')")
+          .as("syms"))
       val best = syms
         .filter(size(col("syms")) >= 2)
         .select(col("cnt"), explode(expr(
@@ -854,12 +872,12 @@ object TextAnalysis {
         .limit(1).collect()
       if (best.isEmpty) exhausted = true
       else {
-        val (l, r, c) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"),
+        val (l, r, n) = (best(0).getAs[String]("l"), best(0).getAs[String]("r"),
           best(0).getAs[Long]("c"))
-        out += ((rank, l, r, c))
+        out += ((rank, l, r, n))
         cur = cur.select(col("cnt"),
           call_function("replace", col("repr"),
-            lit(sep + l + sep + r + sep), lit(sep + l + r + sep)).as("repr"))
+            lit(o + l + cl + o + r + cl), lit(o + l + r + cl)).as("repr"))
           .localCheckpoint()
         rank += 1
       }
@@ -898,10 +916,15 @@ object TextAnalysis {
         .groupBy(col("term")).agg(count(lit(1)).as(out))
     val ca = counts(a, "cnt_a")
     val cb = counts(b, "cnt_b")
+    // the final plan reads this frame FOUR times (totals, the TV
+    // scalar, and the top-K branch each re-reach it) — persist so the
+    // corpus-wide tokenize+count+join runs once; released by the
+    // standard first-action hook
     val joined = ca.join(cb, Seq("term"), "full_outer")
       .select(col("term"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = joined.agg(sum(col("cnt_a")).as("na"),
       sum(col("cnt_b")).as("nb"))
     val crossed = joined.crossJoin(totals)
@@ -915,13 +938,15 @@ object TextAnalysis {
       .select(round(col("sum_cross").cast("double")
         / (lit(2.0) * col("na").cast("double") * col("nb").cast("double")),
         6).as("total_tv"))
-    crossed
+    val result = crossed
       .orderBy(col("cross").desc, col("term"))
       .limit(topK)
       .withColumn("drift", round(col("cross").cast("double")
         / (col("na").cast("double") * col("nb").cast("double")), 6))
       .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
       .crossJoin(tv)
+    graft.operators.MetricListener.releaseAfterFirstAction(result, joined,
+      isnotnull(col("term")) && length(col("term")) < 0, Seq(joined))
   }
 
   /** The MERGEABLE form of [[sourceStats]] — the incremental-pipeline

@@ -988,7 +988,10 @@ object DedupPack extends QueryPack {
     // scale — the remaining stages are identity). A recursive CTE
     // can't express a SHRINKING set (its union only accumulates), so
     // the rounds are spelled out; 16 stages leave 2× headroom over
-    // the observed depth. MATERIALIZED is load-bearing: each stage
+    // the observed depth — and a CANARY row (doc_id −1) fires when
+    // s15 ≠ s16, so a deeper-than-16 peel on future data turns the
+    // gate loudly red (row-count mismatch) instead of silently
+    // passing a superset. MATERIALIZED is load-bearing: each stage
     // references its predecessor twice, so inlined CTEs would expand
     // the plan 2^16-fold (measured: blows the fd limit before it even
     // runs); materialization makes each stage evaluate once.
@@ -1019,7 +1022,10 @@ object DedupPack extends QueryPack {
          |FROM sym e
          |JOIN s16 a ON e.src = a.id
          |JOIN s16 b ON e.dst = b.id
-         |GROUP BY 1""".stripMargin
+         |GROUP BY 1
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS core_degree
+         |WHERE (SELECT count(*) FROM s15) != (SELECT count(*) FROM s16)""".stripMargin
     },
 
     // the integer power iteration replayed round for round: // is

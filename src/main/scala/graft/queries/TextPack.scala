@@ -609,19 +609,23 @@ object TextPack extends QueryPack {
         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN len END) AS BIGINT) AS p90
         |FROM cum GROUP BY 1""".stripMargin,
 
-    // the BPE loop replayed round for round: per stage, adjacent-pair
-    // counts from the U+001F-delimited symbol strings (overlapping
-    // adjacencies all count), the same (c DESC, l, r) argmax, and the
-    // identical replace() rewrite — chr(31) is the Spark side's
-    // "\u001f" separator. MATERIALIZED for the usual unroll reason; range(1,
-    // len) is empty for single-symbol words on this engine (Spark
-    // guards with size >= 2, same pair set)
+    // the BPE loop replayed round for round: symbols are WRAPPED
+    // chr(31)+sym+chr(30) (open/close — the Spark side's "\u001f" /
+    // "\u001e"), so the merge pattern ends at r's CLOSE marker and
+    // back-to-back occurrences never share a character: one replace()
+    // pass is exact on runs ("banana" really gets both an-merges).
+    // Pair counts come from a close-to-open replace + split
+    // (overlapping adjacencies all count); same (c DESC, l, r)
+    // argmax. MATERIALIZED for the usual unroll reason; range(1, len)
+    // is empty for single-symbol words on this engine (Spark guards
+    // with size >= 2, same pair set)
     "q_bpe_vocab" -> {
       val stages = (1 to 8).map { i =>
         s"""p$i AS MATERIALIZED (
            |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
-           |  FROM (SELECT cnt, list_filter(string_split(repr, chr(31)),
-           |                                x -> x != '') AS syms FROM s${i - 1}),
+           |  FROM (SELECT cnt, list_filter(
+           |          string_split(replace(repr, chr(30), chr(31)), chr(31)),
+           |          x -> x != '') AS syms FROM s${i - 1}),
            |       unnest(range(1, greatest(len(syms), 1))) AS t(i)
            |  GROUP BY 1, 2
            |),
@@ -629,8 +633,9 @@ object TextPack extends QueryPack {
            |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
            |),
            |s$i AS MATERIALIZED (
-           |  SELECT cnt, replace(repr, chr(31) || m.l || chr(31) || m.r || chr(31),
-           |                      chr(31) || m.l || m.r || chr(31)) AS repr
+           |  SELECT cnt, replace(repr,
+           |    chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+           |    chr(31) || m.l || m.r || chr(30)) AS repr
            |  FROM s${i - 1}, m$i m
            |)""".stripMargin
       }.mkString(",\n")
@@ -643,9 +648,9 @@ object TextPack extends QueryPack {
          |  WHERE w != '' GROUP BY 1
          |),
          |s0 AS MATERIALIZED (
-         |  SELECT cnt, chr(31) || array_to_string(
-         |    list_transform(range(1, length(w) + 1), i -> w[i]), chr(31))
-         |    || chr(31) AS repr
+         |  SELECT cnt, array_to_string(
+         |    list_transform(range(1, length(w) + 1),
+         |      i -> chr(31) || w[i] || chr(30)), '') AS repr
          |  FROM w
          |),
          |$stages

@@ -276,6 +276,30 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert((t(0).getAs[String]("left"), t(0).getAs[String]("right")) === (("a", "a")))
   }
 
+  test("bpeMerges handles back-to-back occurrences and runs exactly (the banana pin)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // back-to-back merged pairs and same-symbol runs are where a
+    // single-delimiter replace silently under-merges ('banana'
+    // merging (a,n) must yield BOTH an-merges); the two-marker
+    // wrapping makes one replace pass exact — pin against the naive
+    // reference on a corpus built of exactly these shapes
+    val docs = Seq(
+      (1L, "banana banana banana bananana aaaa aaaa naan"),
+      (2L, "banana anana nananana aa aa aa")).toDF("doc_id", "text")
+    val words = docs.collect().flatMap(_.getString(1).split(' '))
+      .filter(_.nonEmpty).groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+    val got = TextAnalysis.bpeMerges(docs, "text", merges = 8)
+      .collect().map(r => (r.getAs[Int]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[Long]("pair_cnt"))).toSeq.sortBy(_._1)
+    assert(got === refBpe(words, 8))
+    // spot-pin the killer cases: (n,a) counts ALL overlapping
+    // adjacencies (18), and round 2 merges na+na — possible only if
+    // BOTH 'an' merges in 'banana' happened in round 1's single pass
+    assert(got(0) === ((1, "n", "a", 18L)))
+    assert(got(1) === ((2, "na", "na", 10L)))
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._
