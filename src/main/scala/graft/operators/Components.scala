@@ -481,6 +481,108 @@ object Components {
     sym.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_degree"))
   }
 
+  /** Driver-side k-truss peel — iterate support recomputation +
+    * weak-edge removal over a collected canonical edge set; matches
+    * the distributed loop exactly (ComponentsSpec fuzz pin).
+    * Returns (a, b, support-in-final-truss). */
+  private def localKTruss(edgeArr: Array[(Long, Long)],
+                          k: Int): Seq[(Long, Long, Long)] = {
+    var es = edgeArr.map { case (a, b) =>
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct.toSet
+    var sup = Map.empty[(Long, Long), Int]
+    var changed = true
+    while (changed) {
+      val adj = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.Set[Long]]
+      es.foreach { case (a, b) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+      }
+      sup = es.iterator.map(e =>
+        e -> (adj(e._1) intersect adj(e._2)).size).toMap
+      val weak = es.filter(e => sup(e) < k - 2)
+      changed = weak.nonEmpty
+      es = es -- weak
+    }
+    es.toSeq.map(e => (e._1, e._2, sup(e).toLong))
+  }
+
+  /** k-TRUSS of an undirected pair graph: the maximal subgraph in
+    * which every EDGE sits in at least k−2 triangles (its "support"
+    * = common-neighbor count), found by iterative edge peeling. The
+    * edge-level sibling of [[kCore]] and the stricter cohesion
+    * filter: a k-core can be held together by a hub whose spokes
+    * share nothing, while every k-truss edge is certified by k−2
+    * third parties — for dup graphs that separates genuinely mutual
+    * template clusters from hub-and-spoke near-matches. Output:
+    * (a, b, support) — the surviving canonical a<b edges with their
+    * support INSIDE the truss.
+    *
+    * Same scale discipline as [[kCore]]: ≤ `localSolveMaxEdges`
+    * peels on the driver; above it, each round derives the
+    * symmetrized adjacency from the CURRENT edge frame, counts
+    * common neighbors with two hash equi-joins (edge × adj on the a
+    * endpoint, matched to adj on (b, w) — every triangle certifying
+    * an edge is counted once per wing, never a cartesian), drops
+    * weak edges, checkpoints. The edge frame only ever shrinks;
+    * per-round cost is the triangle join over what remains —
+    * bounded by the degree distribution the upstream minShared
+    * threshold caps. */
+  def kTruss(pairs: DataFrame, k: Int,
+             aCol: String = "doc_a", bCol: String = "doc_b",
+             maxIter: Int = 50,
+             localSolveMaxEdges: Long = defaultLocalSolveMaxEdges): DataFrame = {
+    require(k >= 2, "kTruss needs k >= 2 (2-truss = every edge)")
+    val sp = pairs.sparkSession
+    import sp.implicits._
+    // canonical a<b edges, deduped (duplicate input pairs must not
+    // double a support count)
+    val e0 = pairs.select(
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeRows = e0.count()
+    if (edgeRows <= localSolveMaxEdges) {
+      val edgeArr = e0.as[(Long, Long)].collect()
+      e0.unpersist()
+      log.info(s"kTruss: $edgeRows edges <= $localSolveMaxEdges — peeled " +
+        "driver-side; distributed loop not entered")
+      return localKTruss(edgeArr, k).toDF("a", "b", "support")
+    }
+    var cur = e0.localCheckpoint()
+    e0.unpersist()
+    var prevCount = edgeRows
+    var converged = false
+    var iter = 0
+    def supportOf(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      e.join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    while (!converged && iter < maxIter) {
+      val next = cur.join(supportOf(cur), Seq("a", "b"), "left")
+        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+        .select("a", "b")
+        .localCheckpoint()
+      val n = next.count()
+      converged = n == prevCount
+      prevCount = n
+      cur = next
+      iter += 1
+    }
+    if (!converged)
+      log.warn(s"kTruss: exited at maxIter=$maxIter still peeling — " +
+        "result is a SUPERSET of the k-truss; raise maxIter")
+    cur.join(supportOf(cur), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        coalesce(col("sup"), lit(0L)).as("support"))
+  }
+
   /** Driver-side twin of the distributed [[pageRank]] loop — same
     * integer arithmetic, iteration for iteration (ComponentsSpec pins
     * equality on a seeded fuzz graph). */

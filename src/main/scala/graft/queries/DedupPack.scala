@@ -294,6 +294,18 @@ object DedupPack extends QueryPack {
           minShared = 2))
         .select(col("id").as("doc_id"), col("pr_scaled"))),
 
+    // the EDGE-level cohesion filter: 4-truss of the overlap graph —
+    // every surviving edge certified by ≥2 triangles, which keeps
+    // mutual template clusters and drops the hub-and-spoke shapes a
+    // k-core can't tell apart (a hub holds the core together while
+    // its spokes share nothing)
+    "q_dup_ktruss" -> ((s, d) =>
+      graft.operators.Components.kTruss(
+        Dedup.sharedGramPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 2), k = 4)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("support"))),
+
     // incremental-run bookkeeping: diff two corpus versions derived
     // deterministically from the gate table (docs dropped on each
     // side, a third of the survivors rewritten)
@@ -373,6 +385,11 @@ object DedupPack extends QueryPack {
     "q_dup_pagerank" -> ((s, d) =>
       graft.operators.Components.pageRank(benchOverlapPairs(s, d))
         .select(col("id").as("doc_id"), col("pr_scaled"))),
+
+    "q_dup_ktruss" -> ((s, d) =>
+      graft.operators.Components.kTruss(benchOverlapPairs(s, d), k = 4)
+        .select(col("a").as("doc_a"), col("b").as("doc_b"),
+          col("support"))),
 
     "q_dedup_bundle" -> ((s, d) => {
       import org.apache.spark.sql.functions.{bit_count, isnotnull}
@@ -1026,6 +1043,57 @@ object DedupPack extends QueryPack {
          |UNION ALL
          |SELECT CAST(-1 AS BIGINT) AS doc_id, CAST(-1 AS BIGINT) AS core_degree
          |WHERE (SELECT count(*) FROM s15) != (SELECT count(*) FROM s16)""".stripMargin
+    },
+
+    // edge peeling replayed by unrolling (the k-core pattern at the
+    // EDGE level): per stage, support = common-neighbor count via the
+    // same two-wing adjacency join the Spark side runs, weak edges
+    // dropped, 8 stages over the observed 3-round depth, with the
+    // stage-7≠8 canary row turning a deeper peel loudly red
+    "q_dup_ktruss" -> {
+      val k = 4
+      val stages = (1 to 8).map { i =>
+        s"""y$i AS MATERIALIZED (
+           |  SELECT a AS u, b AS v FROM e${i - 1}
+           |  UNION ALL SELECT b AS u, a AS v FROM e${i - 1}
+           |),
+           |t$i AS MATERIALIZED (
+           |  SELECT e.a, e.b, count(*) AS sup
+           |  FROM e${i - 1} e
+           |  JOIN y$i s1 ON s1.u = e.a
+           |  JOIN y$i s2 ON s2.u = e.b AND s2.v = s1.v
+           |  GROUP BY 1, 2
+           |),
+           |e$i AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e${i - 1} e
+           |  LEFT JOIN t$i t ON t.a = e.a AND t.b = e.b
+           |  WHERE coalesce(t.sup, 0) >= ${k - 2}
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramExCte,
+         |e0 AS MATERIALIZED (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |$stages,
+         |yf AS MATERIALIZED (
+         |  SELECT a AS u, b AS v FROM e8 UNION ALL SELECT b AS u, a AS v FROM e8
+         |),
+         |tf AS MATERIALIZED (
+         |  SELECT e.a, e.b, count(*) AS sup
+         |  FROM e8 e
+         |  JOIN yf s1 ON s1.u = e.a
+         |  JOIN yf s2 ON s2.u = e.b AND s2.v = s1.v
+         |  GROUP BY 1, 2
+         |)
+         |SELECT e.a AS doc_a, e.b AS doc_b,
+         |  CAST(coalesce(t.sup, 0) AS BIGINT) AS support
+         |FROM e8 e LEFT JOIN tf t ON t.a = e.a AND t.b = e.b
+         |UNION ALL
+         |SELECT CAST(-1 AS BIGINT) AS doc_a, CAST(-1 AS BIGINT) AS doc_b,
+         |  CAST(-1 AS BIGINT) AS support
+         |WHERE (SELECT count(*) FROM e7) != (SELECT count(*) FROM e8)""".stripMargin
     },
 
     // the integer power iteration replayed round for round: // is

@@ -365,6 +365,73 @@ class ComponentsSpec extends AnyFunSuite {
     assert(prOf(dup, 0L) === ref)
   }
 
+  /** Reference truss: recompute every edge's common-neighbor count,
+    * drop the weak, repeat — the dumbest correct form. */
+  private def refKTruss(edges: Seq[(Long, Long)],
+                        k: Int): Map[(Long, Long), Long] = {
+    var es = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    var sup = Map.empty[(Long, Long), Int]
+    var changed = true
+    while (changed) {
+      val adj = es.toSeq.flatMap(e => Seq(e, e.swap))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      sup = es.iterator.map(e => e -> (adj(e._1) & adj(e._2)).size).toMap
+      val weak = es.filter(e => sup(e) < k - 2)
+      changed = weak.nonEmpty
+      es = es -- weak
+    }
+    es.iterator.map(e => e -> sup(e).toLong).toMap
+  }
+
+  private def ktrussOf(edges: Seq[(Long, Long)], k: Int,
+                       localMax: Long): Map[(Long, Long), Long] = {
+    val s = spark
+    import s.implicits._
+    Components.kTruss(edges.toDF("doc_a", "doc_b"), k,
+        localSolveMaxEdges = localMax)
+      .collect().map(r => (r.getAs[Long]("a"), r.getAs[Long]("b"))
+        -> r.getAs[Long]("support")).toMap
+  }
+
+  test("kTruss known graphs: K4 is a 4-truss, a shared-edge bowtie cascades to empty") {
+    // K4: every edge has exactly 2 common neighbors — the smallest
+    // 4-truss, nothing peels
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val ex4 = k4.map(e => e -> 2L).toMap
+    assert(ktrussOf(k4, 4, 0L) === ex4, "distributed kernel")
+    assert(ktrussOf(k4, 4, Long.MaxValue) === ex4, "driver fast path")
+    assert(refKTruss(k4, 4) === ex4, "reference self-check")
+    // two triangles sharing edge (1,2): the shared edge has support 2
+    // but every other edge has 1 — round 1 peels them, round 2 then
+    // peels the shared edge (its support collapsed): a genuinely
+    // iterative edge cascade ending empty
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    assert(ktrussOf(bowtie, 4, 0L).isEmpty)
+    assert(ktrussOf(bowtie, 4, Long.MaxValue).isEmpty)
+    // but it IS a 3-truss (every edge in >= 1 triangle)
+    assert(ktrussOf(bowtie, 3, 0L).keySet === bowtie.toSet)
+    // truss is stricter than core: the hub-and-spoke star is a
+    // 2-core under duplicate-edge noise but never a 3-truss
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L))
+    assert(ktrussOf(star, 3, Long.MaxValue).isEmpty)
+  }
+
+  test("kTruss fuzz: distributed kernel == driver peel == reference (seeded)") {
+    val rnd = new scala.util.Random(1357)
+    val edges = Seq.fill(600)((rnd.nextInt(90).toLong, rnd.nextInt(90).toLong))
+      .filter(e => e._1 != e._2)
+    for (k <- Seq(3, 4, 5)) {
+      val ref = refKTruss(edges, k)
+      assert(ktrussOf(edges, k, Long.MaxValue) === ref, s"driver path, k=$k")
+      assert(ktrussOf(edges, k, 0L) === ref, s"distributed kernel, k=$k")
+    }
+    // duplicate pairs and reversed orientations must not double support
+    val noisy = edges ++ edges.map(_.swap)
+    assert(ktrussOf(noisy, 4, Long.MaxValue) === refKTruss(edges, 4))
+    assert(ktrussOf(noisy, 4, 0L) === refKTruss(edges, 4))
+  }
+
   test("degreeHistogram and triangleCount on known graphs") {
     val spark2 = SparkSuite.spark
     import spark2.implicits._
