@@ -37,6 +37,13 @@ object EventAnalytics {
     * above its own smoothed history — the spike score the moving-
     * average query can't give without double-sum drift.
     *
+    * PRECONDITION: (groupCol, orderCol) must be UNIQUE — the lag()
+    * window orders by `orderCol` alone, so duplicate order keys
+    * within a group make the lag sequence tie-broken by partition
+    * order (nondeterministic, and free to diverge across engines).
+    * Current call sites aggregate to one row per (group, period)
+    * first; any new caller must do the same.
+    *
     * Decay is per OBSERVATION (row), not per calendar gap: lag(j)
     * skips absent periods, the standard choice when the upstream
     * aggregate only materializes nonempty groups. Shape at scale:

@@ -766,10 +766,22 @@ object Similarity {
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val probe = base.select(size(col("v")).as("d")).take(1)
-      require(probe.nonEmpty,
+      // MODAL dimension, not take(1): a first-row probe follows
+      // partition order, so mixed-dimension input would silently fit
+      // whichever population happened to come first (r15 advice).
+      // The (count desc, dim asc) sort is deterministic; the distinct
+      // dimension list is tiny by construction.
+      val dims = base.groupBy(size(col("v")).as("d"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy { case (d, n) => (-n, d) }
+      require(dims.nonEmpty,
         "pqFit: input has no non-null vectors — nothing to fit")
-      val dim = probe(0).getInt(0)
+      val (dim, kept) = dims.head
+      val excluded = dims.iterator.map(_._2).sum - kept
+      if (excluded > 0)
+        log.warn(s"pqFit: $excluded rows excluded — vector dim != modal " +
+          s"dim $dim ($kept rows); they will also be absent from pqEncode")
       require(dim % m == 0, s"pqFit: dim $dim must divide by m=$m")
       val subDim = dim / m
       // dim mismatches are EXCLUDED from the fit, matching pqEncode's

@@ -120,7 +120,9 @@ object Sketch {
     val eu = kmvDistinct(
         a.select(col(valueCol)).unionAll(b.select(col(valueCol))), valueCol, k)
       .select(col("approx_docs").as("approx_union"))
-    ea.crossJoin(eb).crossJoin(eu)
+    // all three sides are 1-row aggregates; broadcast for intent
+    // and stats-miss safety (the file's threshold idiom below)
+    ea.crossJoin(broadcast(eb)).crossJoin(broadcast(eu))
       .withColumn("approx_intersection",
         greatest(lit(0L), col("approx_a") + col("approx_b") - col("approx_union")))
       .withColumn("approx_jaccard",
@@ -238,7 +240,7 @@ object Sketch {
     val total = vals.agg(count(lit(1)).as("n"))
     vals.join(broadcast(candidates), Seq("v"), "left_semi")
       .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .crossJoin(total)
+      .crossJoin(broadcast(total))
       .filter(col("cnt") >= ceil(lit(support) * col("n")))
       .select(col("v").as(valueCol), col("cnt"))
   }

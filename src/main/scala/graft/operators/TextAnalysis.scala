@@ -927,7 +927,7 @@ object TextAnalysis {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = joined.agg(sum(col("cnt_a")).as("na"),
       sum(col("cnt_b")).as("nb"))
-    val crossed = joined.crossJoin(totals)
+    val crossed = joined.crossJoin(broadcast(totals))
       .withColumn("cross",
         abs(col("cnt_a").cast("decimal(38,0)") * col("nb")
           - col("cnt_b").cast("decimal(38,0)") * col("na")))
@@ -944,7 +944,7 @@ object TextAnalysis {
       .withColumn("drift", round(col("cross").cast("double")
         / (col("na").cast("double") * col("nb").cast("double")), 6))
       .select(col("term"), col("cnt_a"), col("cnt_b"), col("drift"))
-      .crossJoin(tv)
+      .crossJoin(broadcast(tv))
     graft.operators.MetricListener.releaseAfterFirstAction(result, joined,
       isnotnull(col("term")) && length(col("term")) < 0, Seq(joined))
   }

@@ -306,6 +306,17 @@ object DedupPack extends QueryPack {
         .select(col("a").as("doc_a"), col("b").as("doc_b"),
           col("support"))),
 
+    // WEIGHTED hub scoring: the same integer PageRank with each
+    // share proportional to the shared-gram COUNT the unweighted
+    // kernel discards — a 200-gram overlap outranks a 2-gram one, so
+    // template centers rank by how much they share, not just with
+    // how many neighbors
+    "q_dup_pagerank_weighted" -> ((s, d) =>
+      graft.operators.Components.pageRankWeighted(
+        Dedup.sharedGramPairs(Tables.documents(s, d), "doc_id", "text",
+          minShared = 2), "shared")
+        .select(col("id").as("doc_id"), col("pr_scaled"))),
+
     // incremental-run bookkeeping: diff two corpus versions derived
     // deterministically from the gate table (docs dropped on each
     // side, a third of the survivors rewritten)
@@ -384,6 +395,11 @@ object DedupPack extends QueryPack {
 
     "q_dup_pagerank" -> ((s, d) =>
       graft.operators.Components.pageRank(benchOverlapPairs(s, d))
+        .select(col("id").as("doc_id"), col("pr_scaled"))),
+
+    "q_dup_pagerank_weighted" -> ((s, d) =>
+      graft.operators.Components.pageRankWeighted(
+          benchOverlapPairs(s, d), "shared")
         .select(col("id").as("doc_id"), col("pr_scaled"))),
 
     "q_dup_ktruss" -> ((s, d) =>
@@ -1128,6 +1144,43 @@ object DedupPack extends QueryPack {
          |),
          |p0 AS MATERIALIZED (
          |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM deg
+         |),
+         |$stages
+         |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM p8""".stripMargin
+    },
+
+    // the weighted power iteration replayed round for round: share =
+    // (pr · w) // wsum per EDGE (the division can't factor out to one
+    // row per node), w = the shared-gram count the edge CTE already
+    // aggregates; same //-is-floor / HUGEINT-promotes / cast-back
+    // contract as q_dup_pagerank
+    "q_dup_pagerank_weighted" -> {
+      val stages = (1 to 8).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT e.dst AS id,
+           |    150000 + (17 * sum((p.pr * e.w) // g.wsum)) // 20 AS pr
+           |  FROM sym e
+           |  JOIN p${i - 1} p ON p.id = e.src
+           |  JOIN ws g ON g.id = e.src
+           |  GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramExCte,
+         |edges AS MATERIALIZED (
+         |  SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS w
+         |  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= 2
+         |),
+         |sym AS MATERIALIZED (
+         |  SELECT src, dst, w FROM edges
+         |  UNION ALL
+         |  SELECT dst AS src, src AS dst, w FROM edges
+         |),
+         |ws AS MATERIALIZED (
+         |  SELECT src AS id, sum(w) AS wsum FROM sym GROUP BY 1
+         |),
+         |p0 AS MATERIALIZED (
+         |  SELECT id, CAST(1000000 AS BIGINT) AS pr FROM ws
          |),
          |$stages
          |SELECT id AS doc_id, CAST(pr AS BIGINT) AS pr_scaled FROM p8""".stripMargin

@@ -38,11 +38,11 @@ object EventPack extends QueryPack {
     // bit-for-bit in DuckDB (16-term interleave over the identical
     // double normalization)
     "q_zorder" -> ((s, d) => {
-      import org.apache.spark.sql.functions.{col, min, max}
+      import org.apache.spark.sql.functions.{broadcast, col, min, max}
       val ev = Tables.events(s, d)
       val bounds = ev.agg(min(col("value")).as("alo"), max(col("value")).as("ahi"),
         min(col("user_id")).as("blo"), max(col("user_id")).as("bhi"))
-      ev.crossJoin(bounds)
+      ev.crossJoin(broadcast(bounds))
         .select(col("event_id"),
           graft.functions.ZOrder.zValue(
             col("value"), col("alo"), col("ahi"),

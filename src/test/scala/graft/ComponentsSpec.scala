@@ -365,6 +365,97 @@ class ComponentsSpec extends AnyFunSuite {
     assert(prOf(dup, 0L) === ref)
   }
 
+  /** Reference WEIGHTED iteration spelled out naively — share =
+    * ⌊pr(u)·w(u,v)/W(u)⌋ per edge, duplicate canonical pairs collapse
+    * by summing weights (the operator's documented semantics). */
+  private def refPageRankWeighted(edges: Seq[(Long, Long, Long)],
+                                  iterations: Int): Map[Long, Long] = {
+    val canon = edges.filter(e => e._1 != e._2)
+      .map { case (a, b, w) => ((math.min(a, b), math.max(a, b)), w) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nbrs = canon.toSeq
+      .flatMap { case ((a, b), w) => Seq((a, (b, w)), (b, (a, w))) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val wsum = nbrs.view.mapValues(_.map(_._2).sum).toMap
+    var pr: Map[Long, Long] = nbrs.map { case (n, _) => n -> 1000000L }
+    for (_ <- 1 to iterations) {
+      pr = nbrs.map { case (v, ns) =>
+        v -> (150000L + 17L * ns.map { case (u, w) =>
+          pr(u) * w / wsum(u)
+        }.sum / 20L)
+      }
+    }
+    pr
+  }
+
+  private def prwOf(edges: Seq[(Long, Long, Long)], localMax: Long,
+                    iterations: Int = 8): Map[Long, Long] = {
+    val s = spark
+    import s.implicits._
+    Components.pageRankWeighted(edges.toDF("doc_a", "doc_b", "shared"),
+        "shared", iterations = iterations, localSolveMaxEdges = localMax)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pr_scaled"))
+      .toMap
+  }
+
+  test("pageRankWeighted: uniform weights reproduce the unweighted kernel bit-for-bit") {
+    val rnd = new scala.util.Random(8642)
+    // CANONICAL unique edges: with both orientations present the two
+    // kernels legitimately differ — unweighted `distinct`s them into
+    // one edge, weighted sums them to w=2 (its documented dup rule)
+    val edges = Seq.fill(500)((rnd.nextInt(100).toLong, rnd.nextInt(100).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val uniform = edges.map { case (a, b) => (a, b, 1L) }
+    val unweighted = prOf(edges, Long.MaxValue)
+    assert(prwOf(uniform, Long.MaxValue) === unweighted, "driver path")
+    assert(prwOf(uniform, 0L) === unweighted, "distributed kernel")
+  }
+
+  test("pageRankWeighted fuzz: distributed == driver == reference; dup pairs SUM weights") {
+    val rnd = new scala.util.Random(97531)
+    val edges = Seq.fill(500)((rnd.nextInt(100).toLong,
+      rnd.nextInt(100).toLong, rnd.nextInt(50).toLong + 1))
+      .filter(e => e._1 != e._2)
+    val ref = refPageRankWeighted(edges, 8)
+    assert(prwOf(edges, Long.MaxValue) === ref, "driver path")
+    assert(prwOf(edges, 0L) === ref, "distributed kernel")
+    // a duplicated pair list doubles every edge weight — same result
+    // as doubling each w explicitly (collapse-by-sum, not distinct)
+    val doubled = edges.map { case (a, b, w) => (a, b, 2 * w) }
+    assert(prwOf(edges ++ edges, Long.MaxValue) ===
+      refPageRankWeighted(doubled, 8))
+    // weight skew actually matters: a heavy edge must outrank a
+    // uniform graph's flat profile (sanity that w isn't discarded)
+    val star = Seq((1L, 2L, 100L), (1L, 3L, 1L), (1L, 4L, 1L))
+    val p = prwOf(star, Long.MaxValue)
+    assert(p(2L) > p(3L) && p(3L) === p(4L),
+      "the heavy spoke must collect more of the hub's mass")
+  }
+
+  test("kCore/kTruss surface maxIter exhaustion: throw by default, warn-superset on opt-out") {
+    val s = spark
+    import s.implicits._
+    // 8-chain at k=2 peels one endpoint pair per round — needs 4
+    val chain = (1L to 7L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val exCore = intercept[IllegalStateException] {
+      Components.kCore(chain, 2, maxIter = 1, localSolveMaxEdges = 0L).count()
+    }
+    assert(exCore.getMessage.contains("maxIter"))
+    // opting out keeps the old warn-and-return-superset behavior
+    assert(Components.kCore(chain, 2, maxIter = 1, localSolveMaxEdges = 0L,
+      failOnMaxIter = false).count() > 0)
+    // bowtie at k=4 cascades over 2 rounds — maxIter=1 must throw
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("doc_a", "doc_b")
+    val exTruss = intercept[IllegalStateException] {
+      Components.kTruss(bowtie, 4, maxIter = 1, localSolveMaxEdges = 0L).count()
+    }
+    assert(exTruss.getMessage.contains("maxIter"))
+    assert(Components.kTruss(bowtie, 4, maxIter = 1, localSolveMaxEdges = 0L,
+      failOnMaxIter = false).count() >= 0)
+  }
+
   /** Reference truss: recompute every edge's common-neighbor count,
     * drop the weak, repeat — the dumbest correct form. */
   private def refKTruss(edges: Seq[(Long, Long)],
