@@ -870,6 +870,52 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF+PQ composite probe — THE production ANN shape at corpus
+    * scale, composing the two layers this file already serves
+    * separately: a coarse [[kMeans]] quantizer prunes WHICH rows are
+    * read (the stored frame is written
+    * `putPartitioned(..., clusterCol)`, so the nprobe-nearest-cluster
+    * filter resolves to PartitionFilters at planning time — the
+    * [[ivfTopKStored]] discipline), and product-quantized codes
+    * decide HOW CHEAPLY each read row is scored (m integer table
+    * lookups + adds per row, no float vector touched — the [[pqTopK]]
+    * discipline). [[pqTopK]] alone scans every code row; [[ivfTopKStored]]
+    * alone rescans full float vectors inside the probed clusters;
+    * the composite reads nprobe/k of the corpus at 32× fewer bytes
+    * per row.
+    *
+    * `stored` carries (idCol, clusterCol, code_0 … code_{m−1}) — the
+    * output of [[pqEncode]] joined to the coarse assignment and
+    * written partitioned by cluster. Probe selection is the same
+    * driver-side argmax (centroid·q, index tie-break) as
+    * [[ivfTopKStored]]; scoring is the same 1e-6 fixed-point ADC as
+    * [[pqTopK]], so the whole probe sits under the hash gate via the
+    * artifact replay (q_ann_ivfpq). Codes are raw-vector PQ (one
+    * global codebook), not residual-encoded: residuals would need a
+    * per-cluster table build per query for a fine-ranking gain the
+    * shortlist's float rerank recovers anyway, and raw codes keep
+    * encode map-side and cluster-independent.
+    * Output: (idCol, adc_fp) — adc_fp/1e6 ≈ squared distance. */
+  def ivfPqTopK(stored: DataFrame, idCol: String,
+                centroids: IndexedSeq[IndexedSeq[Double]],
+                model: PqModel, query: Seq[Double], topK: Int,
+                nprobe: Int = 3, clusterCol: String = "cluster"): DataFrame = {
+    require(nprobe >= 1 && centroids.nonEmpty,
+      "ivfPqTopK needs nprobe >= 1 and at least one centroid")
+    val probes = centroids.indices
+      .sortBy(j => (-seqDot(centroids(j).toIndexedSeq, query.toIndexedSeq), j))
+      .take(nprobe)
+    val table = pqTableFp(query, model)
+    val dist = (0 until model.m).map { j =>
+      element_at(typedLit(table(j)), col(s"code_$j") + 1)
+    }.reduce(_ + _)
+    stored
+      .filter(col(clusterCol).isin(probes: _*))
+      .select(col(idCol), dist.as("adc_fp"))
+      .orderBy(col("adc_fp").asc, col(idCol).asc)
+      .limit(topK)
+  }
+
   /** Multi-probe top-k over the FULL production ANN layout:
     * [[withLshBucket]] + [[quantizeInt8]] written
     * `putPartitioned(..., "bucket")` — so `stored` carries (idCol,

@@ -53,6 +53,23 @@ object EventPack extends QueryPack {
     "q_event_window" -> ((s, d) =>
       EventStream.hourlyBatch(Tables.events(s, d))),
 
+    // approx distinct users per hour: the streaming windowed-KMV's
+    // batch twin (EventStreamSpec pins stream == batch bit-for-bit;
+    // the stream holds ≤ k longs per open window where an exact
+    // streaming distinct retains every key ever seen). k=16 so the
+    // estimator genuinely estimates at gate scale; the exact count
+    // rides along so the gate rows show the sketch error
+    "q_event_kmv_window" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventStream.kmvWindowedBatch(ev, "cast(user_id as string)",
+          windowSec = 3600L, k = 16)
+        .join(ev.select(window(col("ts"), "3600 seconds")("start")
+              .cast("long").as("window_start"), col("user_id"))
+            .groupBy("window_start")
+            .agg(countDistinct(col("user_id")).as("exact_users")),
+          Seq("window_start"))
+    }),
+
     // blob metadata projection: binary column + typed struct
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
@@ -273,6 +290,44 @@ object EventPack extends QueryPack {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // the per-window KMV replayed (the q_approx_distinct_grouped
+    // construction with the hour bucket as the group): distinct
+    // 60-bit md5 hashes per window, k-smallest cut via the window
+    // rank, the same max/count read-out and double expression.
+    // Spark's 3600 s tumbling windows are epoch-aligned, so
+    // date_trunc('hour') under the UTC session is the same bucket
+    "q_event_kmv_window" -> {
+      val fold = TextPack.hexFoldSql("h", 15)
+      s"""WITH hx AS (
+         |  SELECT DISTINCT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+         |      AS window_start,
+         |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+         |  FROM events WHERE user_id IS NOT NULL
+         |),
+         |hv AS (SELECT DISTINCT window_start, $fold AS hv FROM hx),
+         |topk AS (
+         |  SELECT window_start, hv, row_number() OVER (
+         |    PARTITION BY window_start ORDER BY hv) AS rn
+         |  FROM hv
+         |),
+         |ks AS (
+         |  SELECT window_start, max(hv) AS hk, count(*) AS m
+         |  FROM topk WHERE rn <= 16 GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+         |    count(DISTINCT user_id) AS exact_users
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT ks.window_start,
+         |  CASE WHEN m < 16 THEN m
+         |       ELSE CAST(floor(15.0 / (CAST(hk AS DOUBLE)
+         |                               / 1152921504606846976.0)) AS BIGINT)
+         |  END AS approx_distinct,
+         |  exact_users
+         |FROM ks JOIN ex USING (window_start)""".stripMargin
+    },
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

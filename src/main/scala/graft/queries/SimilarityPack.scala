@@ -191,6 +191,35 @@ object SimilarityPack extends QueryPack {
         "vec_id", queryVec, model, topK = 10)
     }),
 
+    // IVF+PQ composite — the production ANN shape: the coarse kMeans
+    // quantizer prunes WHICH partitions are read (the codes store is
+    // written partitioned by cluster; the nprobe filter resolves to
+    // PartitionFilters), PQ codes make each read row m integer table
+    // lookups (no float vector touched). q_ann_pq scans every code
+    // row and q_ann_ivf_stored rescans floats — this entry is their
+    // composition and fixes both. Centroids + codebooks + the stored
+    // layout's assignment persist to [[ivfPqGateRoot]]; the oracle
+    // replays probe selection, the ENCODE argmax, and the integer
+    // ADC — only the two fits stay unreplayed (q_kmeans precedent).
+    "q_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val km = Similarity.kMeans(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 5, seed = 7L)
+      val cat = new graft.catalog.Catalog(s, storeRoot("ivfpqstore", d))
+      cat.putPartitioned("ann_ivfpq_store",
+        Similarity.pqEncode(emb, "vec_id", "embedding", model)
+          .join(km.assignments, "vec_id"),
+        "cluster")
+      val stored = cat.get("ann_ivfpq_store")
+      writeIvfPqGateArtifacts(s, stored, km.centroids, model)
+      val out = Similarity.ivfPqTopK(stored, "vec_id", km.centroids,
+        model, queryVec, topK = 10, nprobe = 3)
+      cat.close()
+      out
+    }),
+
     // JL dimensionality reduction: 64-dim embeddings down to 8 dense
     // components over the seeded plane family — the oracle replays the
     // exact projection from the interpolated plane literals. Exploded
@@ -317,6 +346,31 @@ object SimilarityPack extends QueryPack {
         "embedding", "cluster", centroids, queryVec, k = 10, nprobe = 3)
     }),
 
+    // gate-artifact write is Verify-only ([[ivfPqGateRoot]]
+    // single-writer contract); the bench builds the whole layout
+    // (two fits + partitioned codes store) once per data dir and
+    // times the probe alone — the partition-pruned integer-ADC scan
+    // that IS the per-query serving cost
+    "q_ann_ivfpq" -> ((s, d) => {
+      val (centroids, model) = ivfPqBenchBuilt.computeIfAbsent(d, _ => {
+        val emb = Tables.embeddings(s, d)
+        val km = Similarity.kMeans(emb, "vec_id", "embedding",
+          k = 8, iters = 5, seed = 7L)
+        val m = Similarity.pqFit(emb, "vec_id", "embedding",
+          m = 8, k = 16, iters = 5, seed = 7L)
+        val cat = new graft.catalog.Catalog(s, storeRoot("ivfpqstore", d))
+        cat.putPartitioned("ann_ivfpq_store",
+          Similarity.pqEncode(emb, "vec_id", "embedding", m)
+            .join(km.assignments, "vec_id"),
+          "cluster")
+        cat.close()
+        (km.centroids, m)
+      })
+      val cat = new graft.catalog.Catalog(s, storeRoot("ivfpqstore", d))
+      Similarity.ivfPqTopK(cat.get("ann_ivfpq_store"), "vec_id",
+        centroids, model, queryVec, topK = 10, nprobe = 3)
+    }),
+
     // gate-artifact write is Verify-only ([[pqGateRoot]] single-writer
     // contract); the bench pays the codebook fit once per data dir
     // and times encode + ADC — the per-query serving cost
@@ -330,6 +384,41 @@ object SimilarityPack extends QueryPack {
         "vec_id", queryVec, model, topK = 10)
     }),
   )
+
+  /** Build-once memo for the IVF+PQ bench probe (data dir →
+    * (coarse centroids, pq model)); the codes store lives in
+    * [[storeRoot]]'s temp dir. */
+  private val ivfPqBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, (IndexedSeq[IndexedSeq[Double]], Similarity.PqModel)]()
+
+  /** Fixed root for the q_ann_ivfpq oracle-replay artifacts (the
+    * [[gateStoreRoot]] contract: non-temp, overwrite-in-place,
+    * single-writer; its own root so gate entries never couple). */
+  private val ivfPqGateRoot = "/tmp/graft-gate-store/ivfpq"
+
+  /** Persist everything the q_ann_ivfpq oracle replays from: coarse
+    * centroids (probe selection), PQ codebooks + half-norms (encode
+    * argmax + ADC table), and the stored layout's (vec_id, cluster)
+    * — read back from the STORE so the artifact is exactly what the
+    * probe prunes over. */
+  private def writeIvfPqGateArtifacts(s: SparkSession, stored: DataFrame,
+      centroids: IndexedSeq[IndexedSeq[Double]],
+      model: Similarity.PqModel): Unit = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$ivfPqGateRoot/centroids.parquet")
+    (for { j <- 0 until model.m; c <- 0 until model.k } yield {
+      val cb = model.codebooks(j)(c)
+      (j, c, cb.toArray, cb.map(x => x * x).sum / 2)
+    }).toDF("subspace", "code", "centroid", "half")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$ivfPqGateRoot/codebooks.parquet")
+    stored.select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$ivfPqGateRoot/assignments.parquet")
+  }
 
   /** Build-once memo for the stored-IVF bench probe (data dir →
     * centroids); the store itself lives in [[storeRoot]]'s temp dir. */
@@ -652,6 +741,71 @@ object SimilarityPack extends QueryPack {
            |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
            |  FROM embeddings
            |  WHERE embedding IS NOT NULL AND len(embedding) = 64
+           |),
+           |codes AS (
+           |  SELECT vec_id, subspace, code FROM (
+           |    SELECT v.vec_id, cb.subspace, cb.code,
+           |      row_number() OVER (PARTITION BY v.vec_id, cb.subspace
+           |        ORDER BY list_dot_product(
+           |            v.emb[cb.subspace * 8 + 1 : cb.subspace * 8 + 8],
+           |            cb.c) - cb.half DESC,
+           |          cb.code ASC) AS rn
+           |    FROM v CROSS JOIN cb
+           |  ) WHERE rn = 1
+           |),
+           |tbl AS (
+           |  SELECT subspace, code,
+           |    CAST(round(((CASE subspace $qqCase END)
+           |      - 2 * list_dot_product(CASE subspace $qCase END, c)
+           |      + list_dot_product(c, c)) * 1000000, 0) AS BIGINT) AS t_fp
+           |  FROM cb
+           |)
+           |SELECT vec_id, CAST(sum(t_fp) AS BIGINT) AS adc_fp
+           |FROM codes JOIN tbl USING (subspace, code)
+           |GROUP BY 1
+           |ORDER BY adc_fp, vec_id LIMIT 10""".stripMargin
+      },
+      // the q_ann_ivf_stored probe replay COMPOSED with the q_ann_pq
+      // encode+ADC replay, all from the [[ivfPqGateRoot]] artifacts:
+      // probe = top-nprobe clusters by centroid·q (index tie-break),
+      // membership = the stored layout's own (vec_id, cluster),
+      // codes re-derived from the codebooks (argmax tie-break ↔
+      // row_number ORDER BY s DESC, code ASC), distance = integer
+      // Σ over the m joined fixed-point table rows. Only the two
+      // FITS stay unreplayed.
+      "q_ann_ivfpq" -> {
+        val subDim = 8
+        def qj(j: Int): IndexedSeq[Double] =
+          queryVec.slice(j * subDim, (j + 1) * subDim).toIndexedSeq
+        def qLit(j: Int): String =
+          qj(j).map(_.toString).mkString("[", ", ", "]")
+        val qCase = (0 until 8).map(j =>
+          s"WHEN $j THEN CAST(${qLit(j)} AS DOUBLE[])").mkString(" ")
+        val qqCase = (0 until 8).map(j =>
+          s"WHEN $j THEN ${Similarity.seqDot(qj(j), qj(j))}").mkString(" ")
+        s"""WITH cent AS (
+           |  SELECT cluster, centroid
+           |  FROM read_parquet('$ivfPqGateRoot/centroids.parquet/*.parquet')
+           |),
+           |probed AS (
+           |  SELECT cluster FROM cent
+           |  ORDER BY list_dot_product(CAST(centroid AS DOUBLE[]),
+           |                            CAST($lit AS DOUBLE[])) DESC, cluster
+           |  LIMIT 3
+           |),
+           |a AS (
+           |  SELECT vec_id, cluster
+           |  FROM read_parquet('$ivfPqGateRoot/assignments.parquet/*.parquet')
+           |),
+           |cb AS (
+           |  SELECT subspace, code, CAST(centroid AS DOUBLE[]) AS c, half
+           |  FROM read_parquet('$ivfPqGateRoot/codebooks.parquet/*.parquet')
+           |),
+           |v AS (
+           |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+           |  WHERE a.cluster IN (SELECT cluster FROM probed)
+           |    AND e.embedding IS NOT NULL AND len(e.embedding) = 64
            |),
            |codes AS (
            |  SELECT vec_id, subspace, code FROM (

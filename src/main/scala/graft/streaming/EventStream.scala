@@ -32,6 +32,19 @@ case class BandState(docs: List[BandEntry])
   * min(dup_of) by doc_id downstream for the per-doc verdict). */
 case class NearDupHit(doc_id: Long, dup_of: Long)
 
+/** Hash row for streaming windowed-KMV state (`ts` carries the
+  * watermark into the grouped input, [[WatermarkedEvent]] convention). */
+case class KmvEvent(window_start: Long, hv: Long, ts: java.sql.Timestamp)
+
+/** Per-window KMV state: the k-smallest DISTINCT 60-bit hashes seen
+  * so far, ascending — ≤ k longs per open window, regardless of how
+  * many events the window received. */
+case class KmvState(hashes: List[Long])
+
+/** Final per-window distinct estimate, emitted exactly once when the
+  * watermark closes the window. */
+case class KmvWindow(window_start: Long, approx_distinct: Long)
+
 /** Event row for streaming gap extraction (`ts` carries the watermark,
   * [[WatermarkedEvent]] convention; microseconds — not ms — because
   * the batch twin floors µs differences and flooring ms views first
@@ -125,6 +138,84 @@ object EventStream {
                 state.getCurrentWatermarkMs() + 1))
               merged.init.iterator
             }
+          }
+      }.toDF()
+  }
+
+  /** Batch twin of [[kmvWindowedStream]]: approx distinct `valueExpr`
+    * per tumbling `windowSec` window via the KMV sketch —
+    * [[graft.operators.Sketch.kmvDistinctGrouped]] with the window
+    * start as the group. Output: (window_start, approx_distinct).
+    * EventStreamSpec pins stream == batch bit-for-bit. */
+  def kmvWindowedBatch(events: DataFrame, valueExpr: String,
+                       windowSec: Long = 3600L, k: Int = 16): DataFrame =
+    graft.operators.Sketch.kmvDistinctGrouped(
+      events.select(window(col("ts"), s"$windowSec seconds").as("w"),
+          expr(valueExpr).as("v"))
+        .select(col("w.start").cast("long").as("window_start"), col("v")),
+      "window_start", "v", k)
+
+  /** The KMV read-out over a retained ascending k-smallest distinct
+    * hash list — the same double expression as
+    * [[graft.operators.Sketch.kmvDistinct]]'s column form (m when the
+    * window saw fewer than k distinct hashes, else ⌊(k−1)/(h_k/2^60)⌋),
+    * so the streaming estimate equals the batch one bit-for-bit. */
+  private def kmvEstimate(hashes: List[Long], k: Int): Long =
+    if (hashes.size < k) hashes.size.toLong
+    else math.floor((k - 1).toDouble /
+      (hashes.last.toDouble / graft.operators.Sketch.M60)).toLong
+
+  /** Streaming DISTINCT-per-window under a watermark — the sketch
+    * that answers "how many distinct users/texts per hour" over an
+    * unbounded stream with BOUNDED state, where an exact streaming
+    * distinct would retain every key it has ever seen. State per open
+    * window is the k smallest distinct 60-bit hashes (the KMV cut —
+    * ≤ k longs however large the window), merged per micro-batch;
+    * the estimate is emitted exactly ONCE, when the event-time
+    * watermark passes the window end and the EventTimeTimeout fires —
+    * append-mode cannot retract, so the final number is the only
+    * honest one to emit (the [[sessionizeStream]] discipline). State
+    * for a closed window is removed on emission, so total state is
+    * (open windows within the lateness bound) × k longs.
+    *
+    * Same 60-bit md5 hash and the same read-out expression as the
+    * batch estimator, so stream == batch exactly on a finite feed
+    * (EventStreamSpec). `valueExpr` is any SQL expression over the
+    * event row (e.g. `"cast(user_id as string)"`). */
+  def kmvWindowedStream(spark: SparkSession, dir: String, valueExpr: String,
+                        windowSec: Long = 3600L, k: Int = 16,
+                        delay: String = "10 minutes"): DataFrame = {
+    require(k >= 3, s"kmvWindowedStream needs k >= 3, got $k")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(dir).schema
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", delay)
+      .select(window(col("ts"), s"$windowSec seconds").as("w"),
+        expr(graft.operators.Sketch.md5Hash60Sql(valueExpr)).as("hv"),
+        col("ts"))
+      .filter(col("hv").isNotNull)
+      .select(col("w.start").cast("long").as("window_start"), col("hv"),
+        col("ts"))
+      .as[KmvEvent]
+    ev.groupByKey(_.window_start)
+      .flatMapGroupsWithState[KmvState, KmvWindow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ws: Long, it: Iterator[KmvEvent], state: GroupState[KmvState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: the sketch is final
+            val hs = state.get.hashes
+            state.remove()
+            Iterator(KmvWindow(ws, kmvEstimate(hs, k)))
+          } else {
+            val merged = (state.getOption.map(_.hashes).getOrElse(Nil)
+              ++ it.map(_.hv)).distinct.sorted.take(k)
+            state.update(KmvState(merged))
+            // fire when the watermark clears the window end (must stay
+            // ahead of the current watermark, sessionizeStream note)
+            state.setTimeoutTimestamp(math.max((ws + windowSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
           }
       }.toDF()
   }
