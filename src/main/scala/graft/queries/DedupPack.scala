@@ -382,6 +382,15 @@ object DedupPack extends QueryPack {
     s.read.parquet(path)
   }
 
+  /** Build both pair-store memos off the clock (r15 verdict #6: the
+    * first dup-graph query to run was paying the store build inside
+    * its first timed run, spreading the family's runs up to 3.8×). */
+  override def benchWarm(spark: SparkSession, sfDir: String): Unit = {
+    benchPairs(spark, sfDir)
+    benchOverlapPairs(spark, sfDir)
+    ()
+  }
+
   override def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dup_degree" -> ((s, d) =>
       graft.operators.Components.degreeHistogram(benchPairs(s, d))),

@@ -294,6 +294,17 @@ object SimilarityPack extends QueryPack {
     * bare per-row projection would be column-pruned away under the
     * bench's `.count()` and the timing would measure an empty scan,
     * not the quantization. */
+  /** Warm the three memoized ANN layouts (stored-IVF, PQ codebooks,
+    * IVF+PQ codes store) off the clock: invoking each override runs
+    * its computeIfAbsent build and returns only a lazy probe frame,
+    * so this is exactly the memo construction and nothing else. */
+  override def benchWarm(spark: SparkSession, sfDir: String): Unit = {
+    benchOverrides("q_ann_ivf_stored")(spark, sfDir)
+    benchOverrides("q_ann_pq")(spark, sfDir)
+    benchOverrides("q_ann_ivfpq")(spark, sfDir)
+    ()
+  }
+
   override def benchOverrides: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quantize" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
