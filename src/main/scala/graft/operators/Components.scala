@@ -165,9 +165,11 @@ object Components {
       .union(e1.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = sym.select(col("src").as("id")).distinct()
+    val labels0 = sym.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
+    val nodeCount = labels0.count()
+    var labels = resetLeafStats(labels0, nodeCount, 48)
     // sym is materialized by the checkpoint above; the raw orientation
     // is no longer needed
     e1.unpersist()
@@ -230,7 +232,7 @@ object Components {
           next.filter(col("comp") < col("old")).count()
         }
       converged = loweredCount == 0L
-      labels = next.select("id", "comp")
+      labels = resetLeafStats(next, nodeCount, 56).select("id", "comp")
       iter += 1
     }
     sym.unpersist()
@@ -452,6 +454,21 @@ object Components {
     *   signal above `localSolveMaxEdges`); pass `false` to accept the
     *   superset with the warning. The driver fast path always peels
     *   to the fixpoint. */
+  /** Re-leaf a just-checkpointed round frame with honest measured
+    * statistics (rows × widthBytes). Without this, localCheckpoint
+    * carries the child plan's stats forward and every inner/outer
+    * join in the next round's plan MULTIPLIES them — sizeInBytes
+    * compounds exponentially in the round number, and by round ~5 of
+    * the sf1 truss peel Catalyst's single-threaded stats walk was
+    * grinding multi-million-digit BigInteger multiplies for tens of
+    * minutes per round (jstack'd live) while every executor idled.
+    * [[kCore]] is exempt by shape: its rounds prune with ANTI joins,
+    * whose stats visitor takes the left side only — no compounding. */
+  private def resetLeafStats(chk: DataFrame, rows: Long,
+                             widthBytes: Int): DataFrame =
+    org.apache.spark.sql.graftbridge.DatasetBridge.withStats(
+      chk, BigInt(math.max(rows, 1L)) * widthBytes)
+
   def kCore(pairs: DataFrame, k: Int,
             aCol: String = "doc_a", bCol: String = "doc_b",
             maxIter: Int = 50,
@@ -580,20 +597,21 @@ object Components {
     *
     * Same scale discipline as [[kCore]]: ≤ `localSolveMaxEdges`
     * peels on the driver; above it, each round derives the
-    * symmetrized adjacency from the CURRENT edge frame, counts
-    * common neighbors with two hash equi-joins (edge × adj on the a
-    * endpoint, matched to adj on (b, w) — every triangle certifying
-    * an edge is counted once per wing, never a cartesian), drops
-    * weak edges, checkpoints. The edge frame only ever shrinks;
-    * per-round cost is the triangle join over what remains —
-    * bounded by the degree distribution the upstream minShared
-    * threshold caps. */
+    * triangle set ONCE with a degree-oriented wedge join (per-key
+    * fan-out O(√E) — hub-skew-proof) and then MAINTAINS it: each
+    * round recounts support with one explode+aggregate over the
+    * surviving triangles and drops the ones touching peeled edges
+    * with three anti joins — triangles only ever die, so
+    * re-enumeration per round is pure waste (it dominated the first
+    * sf1 measurement at ~20 s/round). Never a cartesian anywhere. */
   def kTruss(pairs: DataFrame, k: Int,
              aCol: String = "doc_a", bCol: String = "doc_b",
              maxIter: Int = 50,
              localSolveMaxEdges: Long = defaultLocalSolveMaxEdges,
              failOnMaxIter: Boolean = true): DataFrame = {
     require(k >= 2, "kTruss needs k >= 2 (2-truss = every edge)")
+    require(maxIter >= 1, "kTruss needs maxIter >= 1 (the first round " +
+      "applies the support threshold at all)")
     val sp = pairs.sparkSession
     import sp.implicits._
     // canonical a<b edges, deduped (duplicate input pairs must not
@@ -612,27 +630,123 @@ object Components {
         "driver-side; distributed loop not entered")
       return localKTruss(edgeArr, k).toDF("a", "b", "support")
     }
-    var cur = e0.localCheckpoint()
+    val cur = resetLeafStats(e0.localCheckpoint(), edgeRows, 48)
     e0.unpersist()
+    // Triangles are enumerated ONCE, degree-oriented, then MAINTAINED
+    // as the peel shrinks — the distributed analog of the driver
+    // peel's incremental support. Two sf1 lessons baked in:
+    //
+    //  1. Orientation (skew): the naive two-wing join (edge × full
+    //     adjacency per endpoint) hash-partitions on the node id, so
+    //     ONE task holds a hub's deg² intermediate rows — at sf1 the
+    //     overlap graph's hubs pinned a single core while 31 idled.
+    //     Orienting every edge from its lower-(degree, id) endpoint
+    //     bounds each node's OUT-degree by O(√E) (a degree-d node
+    //     only points at ≥-degree nodes, of which there are ≤ 2E/d),
+    //     so the wedge join's per-key fan-out — the largest shuffle
+    //     task — is O(√E) instead of O(max-degree). Each triangle
+    //     {x<v<w in rank} is found exactly once: two out-edges from
+    //     its minimum-rank corner, closed by the oriented (v, w)
+    //     edge.
+    //  2. Maintenance (no re-enumeration): a triangle can only DIE
+    //     (one of its edges peels), never appear — so each round
+    //     drops triangles touching removed edges with three anti
+    //     joins over the canonical side columns and recounts support
+    //     with one explode+aggregate pass, instead of re-running the
+    //     wedge join (which dominated: ~20 s/round at sf1).
+    //
+    // tri always equals the EXACT triangle set of `cur`, so support
+    // counts match the naive per-round recompute row for row
+    // (ComponentsSpec fuzz pins distributed == driver == reference).
+    def enumerateTriangles(e: DataFrame): DataFrame = {
+      val degs = e.select(col("a").as("n"))
+        .unionAll(e.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val oriented = e
+        .join(degs.select(col("n").as("a"), col("deg").as("da")), Seq("a"))
+        .join(degs.select(col("n").as("b"), col("deg").as("db")), Seq("b"))
+        .select(
+          when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+            struct(col("a").as("src"), col("b").as("dst"),
+              col("db").as("ddst")))
+            .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+              col("da").as("ddst"))).as("o"))
+        .select(col("o.src").as("src"), col("o.dst").as("dst"),
+          col("o.ddst").as("ddst"))
+        .localCheckpoint()
+      val wedges = oriented.select(col("src"), col("dst").as("v"),
+          col("ddst").as("dv"))
+        .join(oriented.select(col("src"), col("dst").as("w"),
+          col("ddst").as("dw")), Seq("src"))
+        .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      wedges
+        .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+          Seq("v", "w"), "left_semi")
+        .select(
+          least(col("src"), col("v")).as("e1a"),
+          greatest(col("src"), col("v")).as("e1b"),
+          least(col("src"), col("w")).as("e2a"),
+          greatest(col("src"), col("w")).as("e2b"),
+          least(col("v"), col("w")).as("e3a"),
+          greatest(col("v"), col("w")).as("e3b"))
+    }
+    def supportFromTri(t: DataFrame): DataFrame =
+      t.select(explode(array(
+          struct(col("e1a").as("a"), col("e1b").as("b")),
+          struct(col("e2a").as("a"), col("e2b").as("b")),
+          struct(col("e3a").as("a"), col("e3b").as("b")))).as("t"))
+        .groupBy(col("t.a").as("a"), col("t.b").as("b"))
+        .agg(count(lit(1)).as("sup"))
+    var tri = enumerateTriangles(cur).localCheckpoint()
+    // one count at enumeration; later rounds reuse it as an upper
+    // bound for the shrinking frame's leaf stats (sane, not exact)
+    val triRows = tri.count()
+    tri = resetLeafStats(tri, triRows, 64)
     var prevCount = edgeRows
     var converged = false
     var iter = 0
-    def supportOf(e: DataFrame): DataFrame = {
-      val sym = e.select(col("a").as("u"), col("b").as("v"))
-        .union(e.select(col("b").as("u"), col("a").as("v")))
-      e.join(sym.select(col("u").as("a"), col("v").as("w")), Seq("a"))
-        .join(sym.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
-        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
-    }
+    // support is COUNTED once (the round-0 full explode+aggregate)
+    // and then MAINTAINED by deltas: when edges peel, one tagging
+    // pass over tri marks each triangle touching a removed edge
+    // (exactly once, however many of its sides were removed — a
+    // per-row flag cannot double-count the way a unioned semi-join
+    // would), the dead rows' exploded sides aggregate into per-edge
+    // decrements, and survivors subtract. Re-counting from scratch
+    // each round re-shuffled 3×|tri| rows for numbers that mostly
+    // had not changed.
+    var scored = resetLeafStats(
+      cur.join(supportFromTri(tri), Seq("a", "b"), "left")
+        .select(col("a"), col("b"),
+          coalesce(col("sup"), lit(0L)).as("sup"))
+        .localCheckpoint(), prevCount, 56)
     while (!converged && iter < maxIter) {
-      val next = cur.join(supportOf(cur), Seq("a", "b"), "left")
-        .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
-        .select("a", "b")
-        .localCheckpoint()
+      val next = scored.filter(col("sup") >= lit(k - 2).cast("long"))
       val n = next.count()
       converged = n == prevCount
       prevCount = n
-      cur = next
+      if (!converged) {
+        val removed = scored.filter(col("sup") < lit(k - 2).cast("long"))
+          .select(col("a"), col("b"))
+        var tagged = tri
+        Seq(("e1a", "e1b", "r1"), ("e2a", "e2b", "r2"),
+          ("e3a", "e3b", "r3")).foreach { case (ca, cb, flag) =>
+          tagged = tagged.join(
+            removed.select(col("a").as(ca), col("b").as(cb))
+              .withColumn(flag, lit(1)),
+            Seq(ca, cb), "left")
+        }
+        val tagChk = resetLeafStats(tagged.localCheckpoint(), triRows, 72)
+        val alive = col("r1").isNull && col("r2").isNull && col("r3").isNull
+        tri = tagChk.filter(alive)
+          .select("e1a", "e1b", "e2a", "e2b", "e3a", "e3b")
+        val delta = supportFromTri(tagChk.filter(!alive))
+          .select(col("a"), col("b"), col("sup").as("dead"))
+        scored = resetLeafStats(
+          next.join(delta, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("sup") - coalesce(col("dead"), lit(0L))).as("sup"))
+            .localCheckpoint(), n, 56)
+      }
       iter += 1
     }
     if (!converged) {
@@ -644,9 +758,13 @@ object Components {
       log.warn(s"kTruss: exited at maxIter=$maxIter still peeling — " +
         "result is a SUPERSET of the k-truss; raise maxIter")
     }
-    cur.join(supportOf(cur), Seq("a", "b"), "left")
-      .select(col("a"), col("b"),
-        coalesce(col("sup"), lit(0L)).as("support"))
+    // on BOTH exits the maintained scored frame IS the answer: a
+    // converged round removed nothing (every row passed the filter,
+    // sup = support inside the final truss — recounting would
+    // re-scan the whole triangle set for identical numbers), and a
+    // non-converged warn-exit left scored = the survivors with their
+    // exact maintained support in the current graph.
+    scored.select(col("a"), col("b"), col("sup").as("support"))
   }
 
   /** Driver-side twin of the distributed [[pageRank]] loop — same
@@ -724,10 +842,15 @@ object Components {
           .toSeq.toDF("id", "pr_scaled")
       case Right(s) => s
     }
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    val deg0 = sym.groupBy("src").agg(count(lit(1)).as("deg"))
       .localCheckpoint()
-    var pr = deg.select(col("src").as("id")).withColumn("pr", lit(scale))
-      .localCheckpoint()
+    // node count once: the per-round leaves never change cardinality,
+    // so every round's checkpoint re-leafs with this measured size
+    val nodes = deg0.count()
+    val deg = resetLeafStats(deg0, nodes, 48)
+    var pr = resetLeafStats(
+      deg.select(col("src").as("id")).withColumn("pr", lit(scale))
+        .localCheckpoint(), nodes, 48)
     for (_ <- 1 to iterations) {
       // `div` (never `/`): Spark's `/` on longs is DOUBLE division,
       // which loses exactness past 2^53 — the whole point here is
@@ -738,10 +861,10 @@ object Components {
         .groupBy(col("dst").as("id")).agg(sum(col("share")).as("acc"))
       // every node has degree >= 1 in the symmetrized graph, so acc
       // is total (left join + coalesce would mask a broken join key)
-      pr = pr.select(col("id")).join(acc, Seq("id"))
+      pr = resetLeafStats(pr.select(col("id")).join(acc, Seq("id"))
         .select(col("id"),
           expr(s"$base + ($dampNum * acc) div $dampDen").as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(), nodes, 48)
     }
     pr.select(col("id"), col("pr").as("pr_scaled"))
   }
@@ -837,10 +960,13 @@ object Components {
       .unionAll(e1.select(col("b").as("src"), col("a").as("dst"), col("w")))
       .localCheckpoint()
     e1.unpersist()
-    val wsum = sym.groupBy("src").agg(sum(col("w")).as("wsum"))
+    val wsum0 = sym.groupBy("src").agg(sum(col("w")).as("wsum"))
       .localCheckpoint()
-    var pr = wsum.select(col("src").as("id")).withColumn("pr", lit(scale))
-      .localCheckpoint()
+    val nodes = wsum0.count()
+    val wsum = resetLeafStats(wsum0, nodes, 48)
+    var pr = resetLeafStats(
+      wsum.select(col("src").as("id")).withColumn("pr", lit(scale))
+        .localCheckpoint(), nodes, 48)
     for (_ <- 1 to iterations) {
       // per-EDGE share (pr·w) div W(u) — unlike the uniform kernel
       // the division can't factor out to one row per node, but it is
@@ -851,10 +977,10 @@ object Components {
         .join(wsum, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(expr("(pr * w) div wsum")).as("acc"))
-      pr = pr.select(col("id")).join(acc, Seq("id"))
+      pr = resetLeafStats(pr.select(col("id")).join(acc, Seq("id"))
         .select(col("id"),
           expr(s"$base + ($dampNum * acc) div $dampDen").as("pr"))
-        .localCheckpoint()
+        .localCheckpoint(), nodes, 48)
     }
     pr.select(col("id"), col("pr").as("pr_scaled"))
   }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql.graftbridge
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic
 
@@ -13,4 +13,38 @@ import org.apache.spark.sql.classic
 object DatasetBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Rebuild a CHECKPOINTED frame's LogicalRDD leaf with explicit
+    * statistics, reusing the already-materialized RDD.
+    *
+    * Why this exists: `Dataset.localCheckpoint` copies the child
+    * plan's `Statistics` onto the leaf (`originStats`). An iterative
+    * kernel that checkpoints every round therefore feeds round r's
+    * stats into round r+1's plan, and because the size-only stats
+    * visitor MULTIPLIES child sizes at every inner/outer join,
+    * `sizeInBytes` compounds EXPONENTIALLY in the round number —
+    * measured live at sf1, the k-truss peel's fifth round carried a
+    * multi-million-digit BigInt and Catalyst's single-threaded stats
+    * walk sat in BigInteger Toom-Cook multiplies for tens of minutes
+    * while every executor core idled. Re-leafing with an honest
+    * measured size (the caller knows the row count — the checkpoint
+    * is eager and counted anyway) makes each round's planning cost
+    * independent of the round number, and gives the join strategies
+    * a real size instead of an astronomically inflated one.
+    *
+    * Non-LogicalRDD inputs are returned unchanged (this is only
+    * meaningful right after a checkpoint). The origin constraints are
+    * dropped — the iterative callers re-derive nothing from them. */
+  def withStats(df: DataFrame, sizeInBytes: BigInt): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical.Statistics
+    import org.apache.spark.sql.execution.LogicalRDD
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.queryExecution.analyzed match {
+      case LogicalRDD(output, rdd, part, ord, streaming, stream) =>
+        classic.Dataset.ofRows(cdf.sparkSession,
+          LogicalRDD(output, rdd, part, ord, streaming, stream)(
+            cdf.sparkSession, Some(Statistics(sizeInBytes)), None))
+      case _ => df
+    }
+  }
 }
