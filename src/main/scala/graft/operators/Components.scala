@@ -724,6 +724,22 @@ object Components {
       val n = next.count()
       converged = n == prevCount
       prevCount = n
+      // HYBRID HANDOFF: peeling a subgraph that still contains the
+      // truss yields the same unique fixpoint, so once the survivors
+      // fit the driver bound the incremental local peel finishes in
+      // one queue pass — the distributed loop's remaining rounds are
+      // each ~2 s of scheduling/checkpoint overhead for ever-smaller
+      // removals (measured at sf1: rounds 4..~17 removed 5-50k edges
+      // each while costing a fixed ~2 s; the handoff takes ~17 s off
+      // the 38 s full-loop wall). localSolveMaxEdges = 0 (the spec's
+      // pure-distributed pin) never hands off.
+      if (!converged && n <= localSolveMaxEdges) {
+        val edgeArr = next.select(col("a"), col("b"))
+          .as[(Long, Long)].collect()
+        log.info(s"kTruss: $n surviving edges <= $localSolveMaxEdges " +
+          s"after ${iter + 1} distributed round(s) — finishing driver-side")
+        return localKTruss(edgeArr, k).toDF("a", "b", "support")
+      }
       if (!converged) {
         val removed = scored.filter(col("sup") < lit(k - 2).cast("long"))
           .select(col("a"), col("b"))

@@ -516,6 +516,9 @@ class ComponentsSpec extends AnyFunSuite {
       val ref = refKTruss(edges, k)
       assert(ktrussOf(edges, k, Long.MaxValue) === ref, s"driver path, k=$k")
       assert(ktrussOf(edges, k, 0L) === ref, s"distributed kernel, k=$k")
+      // a mid bound forces >= 1 distributed round and then the
+      // hybrid handoff to the driver peel once survivors fit
+      assert(ktrussOf(edges, k, 100L) === ref, s"hybrid handoff, k=$k")
     }
     // duplicate pairs and reversed orientations must not double support
     val noisy = edges ++ edges.map(_.swap)
