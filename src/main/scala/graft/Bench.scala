@@ -111,13 +111,29 @@ object Bench {
     val canaryEveryN = math.max(1, sys.env.get("SPARK_GRAFT_CANARY_EVERY")
       .flatMap(_.toIntOption).getOrElse(8))
     val healthyRef = 0.15
-    val canarySamples = scala.collection.mutable.ListBuffer[(Int, Double)](
-      0 -> canaryStart)
+    // Self-reporting contamination check (round-16 verdict #1b): the
+    // r16 driver bench had canary samples at 10× healthy mid-suite and
+    // nothing flagged it — the normalization corrected the trend but a
+    // burst BETWEEN samples still inflated raw medians 5-20× with no
+    // signal. Any sample over ~3× healthy now warns immediately on
+    // stderr and is counted in the summary JSON, so a contaminated
+    // run self-identifies instead of reading as a code regression.
+    val contaminationX = 3.0
+    val canarySamples = scala.collection.mutable.ListBuffer.empty[(Int, Double)]
+    def recordCanary(pos: Int, c: Double): Unit = {
+      canarySamples += (pos -> c)
+      if (c > contaminationX * healthyRef)
+        System.err.println(
+          f"[bench] WARNING: canary sample at query index $pos is $c%.3f s " +
+            f"(> ${contaminationX}%.0fx healthy $healthyRef%.2f s) — external " +
+            "load detected; raw medians near this point are inflated")
+    }
+    recordCanary(0, canaryStart)
     val ordered = SparkEntry.benchQueries.toSeq.sortBy(_._1)
     val results: Seq[(String, Seq[Double])] =
       ordered.zipWithIndex.map { case ((name, fn), qi) =>
         if (qi > 0 && qi % canaryEveryN == 0) {
-          canarySamples += (qi -> canaryMedian(3))
+          recordCanary(qi, canaryMedian(3))
           spark.catalog.clearCache()
         }
         val runs = scala.collection.mutable.ListBuffer.empty[Double]
@@ -142,6 +158,14 @@ object Bench {
     val medians = results.map { case (k, rs) =>
       k -> (if (rs.head < 0) -1.0 else rs.sorted.apply(rs.size / 2))
     }
+    // Min-of-runs travels alongside the medians (round-16 verdict
+    // #1b): co-scheduled load can only INFLATE a run, never deflate
+    // it, so the per-query min is the contention-robust lower bound —
+    // cross-round regression flags should require BOTH the normalized
+    // median and the min to regress before blaming the code.
+    val mins = results.map { case (k, rs) =>
+      k -> (if (rs.head < 0) -1.0 else rs.min)
+    }
     // 6-decimal (µs) rendering: full-precision doubles print 17+
     // chars each and the driver's BENCH_r{n}.json keeps only a ~2 KB
     // stdout TAIL — µs precision fits ~2.5× more per-query data into
@@ -152,6 +176,8 @@ object Bench {
         .bigDecimal.toPlainString
     val qs = medians.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val runsJson = results.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -160,7 +186,7 @@ object Bench {
     // end canary AFTER the loop, BEFORE the bookkeeping below, so it
     // reflects the host state the last queries actually saw
     val canaryEnd = canaryMedian()
-    canarySamples += (ordered.size -> canaryEnd)
+    recordCanary(ordered.size, canaryEnd)
     // Host-speed estimate at a fractional query position: linear
     // interpolation between the bracketing canary samples (each
     // sample was taken BEFORE the query at its index ran, the end
@@ -201,14 +227,17 @@ object Bench {
     // per-sample run counts, not a single "runs" (the old field said 5
     // while most samples are 3-run interleaved medians): start/end
     // samples median 5 runs, interleaved samples 3
-    val canary = s"""{"query":"q_project","median_sec":$canaryMedianAll,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs_start_end":5,"runs_interleaved":3,"healthy_ref_sec_sf01":$healthyRef,"every_n":$canaryEveryN,"samples":$samplesJson}"""
+    val contaminated = samplesV.filter(_._2 > contaminationX * healthyRef)
+    val contaminatedJson = contaminated
+      .map { case (p, c) => s"[$p,$c]" }.mkString("[", ",", "]")
+    val canary = s"""{"query":"q_project","median_sec":$canaryMedianAll,"canary_start":$canaryStart,"canary_end":$canaryEnd,"runs_start_end":5,"runs_interleaved":3,"healthy_ref_sec_sf01":$healthyRef,"every_n":$canaryEveryN,"contaminated_samples":$contaminatedJson,"samples":$samplesJson}"""
     // Field ORDER is deliberate: the driver's BENCH_r{n}.json keeps
     // only the LAST ~2 KB of stdout, so the big per-run arrays go
     // first and the cross-round essentials (normalized medians →
     // errors → canary → mem) go last — the tail then carries the end
     // of queries_norm plus every summary field instead of cutting
     // mid-`runs` (r15 verdict #5). JSON consumers are order-blind.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runsJson,"queries":$qs,"queries_norm":$qsNorm,"errors":$errJson,"canary":$canary,"mem":$mem}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runsJson,"queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"errors":$errJson,"canary":$canary,"mem":$mem}"""
     println(line)
     // the driver stores only a truncated stdout tail (round 12 lost
     // queries_norm — the field regression flags are computed from), so
@@ -223,13 +252,24 @@ object Bench {
     // bench out of git history for the cross-round comparison. Each
     // run also appends its full line here, timestamped, so ONE
     // committed file carries every bench this repo ever ran.
+    // Anchor the archive at the repo root (nearest ancestor of cwd
+    // holding build.sbt), not bare cwd — running Bench from elsewhere
+    // used to silently grow a second history file in the wrong place
+    // (round-16 advice). The absolute path is logged so a misplaced
+    // write is visible, not silent.
     try {
-      val hist = java.nio.file.Paths.get("bench_archive/BENCH_HISTORY.jsonl")
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      val repoRoot = Iterator.iterate(cwd)(_.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+      val hist = repoRoot.resolve("bench_archive/BENCH_HISTORY.jsonl")
       java.nio.file.Files.createDirectories(hist.getParent)
       java.nio.file.Files.writeString(hist,
         s"""{"at":"${java.time.Instant.now()}","out":"$outFile","bench":$line}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      System.err.println(s"[bench] appended history to $hist")
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not append history: ${e.getMessage}")
     }

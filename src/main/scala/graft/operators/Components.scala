@@ -446,14 +446,6 @@ object Components {
     }
   }
 
-  /** @param failOnMaxIter the distributed peel runs at most `maxIter`
-    *   rounds; if weak nodes remain the result is a SUPERSET of the
-    *   true core. `true` (default) turns that into an
-    *   IllegalStateException so large-scale callers cannot silently
-    *   consume an unfinished peel (r15 advice — a log.warn is no
-    *   signal above `localSolveMaxEdges`); pass `false` to accept the
-    *   superset with the warning. The driver fast path always peels
-    *   to the fixpoint. */
   /** Re-leaf a just-checkpointed round frame with honest measured
     * statistics (rows × widthBytes). Without this, localCheckpoint
     * carries the child plan's stats forward and every inner/outer
@@ -469,6 +461,18 @@ object Components {
     org.apache.spark.sql.graftbridge.DatasetBridge.withStats(
       chk, BigInt(math.max(rows, 1L)) * widthBytes)
 
+  /** Nodes of the maximal subgraph where every node keeps degree >= k
+    * (one anti-join peel round per iteration; driver fast path below
+    * `localSolveMaxEdges` peels to the fixpoint in one pass).
+    *
+    * @param failOnMaxIter the distributed peel runs at most `maxIter`
+    *   rounds; if weak nodes remain the result is a SUPERSET of the
+    *   true core. `true` (default) turns that into an
+    *   IllegalStateException so large-scale callers cannot silently
+    *   consume an unfinished peel (r15 advice — a log.warn is no
+    *   signal above `localSolveMaxEdges`); pass `false` to accept the
+    *   superset with the warning. The driver fast path always peels
+    *   to the fixpoint. [[kTruss]] carries the same contract. */
   def kCore(pairs: DataFrame, k: Int,
             aCol: String = "doc_a", bCol: String = "doc_b",
             maxIter: Int = 50,
@@ -719,51 +723,88 @@ object Components {
         .select(col("a"), col("b"),
           coalesce(col("sup"), lit(0L)).as("sup"))
         .localCheckpoint(), prevCount, 56)
+    // CASCADED rounds (r16 verdict #5): at true scale the driver
+    // handoff never applies (survivors > localSolveMaxEdges), and the
+    // pure-distributed loop paid a fixed ~2 s of checkpoint/stats/
+    // scheduling overhead for EVERY threshold pass — ~17 passes at sf1
+    // = 38-42 s of mostly overhead for ever-smaller removals. The peel
+    // has a unique fixpoint, so passes compose: each super-round now
+    // chains up to `cascadePasses` threshold passes LAZILY — the
+    // intra-round intermediates are persist()ed (lazy, no job; each
+    // pass's count() materializes the previous pass's pending work
+    // exactly once) — and pays the localCheckpoint + stats re-leaf
+    // ONCE at the round boundary. Same passes, same counts, ~1/3 the
+    // checkpoint jobs and driver planning walks. Plan depth within a
+    // round is bounded by cascadePasses, so join-stats growth stays
+    // polynomial until the boundary re-leaf resets it (the
+    // exponential-stats trap only bites when an INFLATED stat is fed
+    // back as a leaf, which the re-leaf prevents).
+    val cascadePasses = 3
     while (!converged && iter < maxIter) {
-      val next = scored.filter(col("sup") >= lit(k - 2).cast("long"))
-      val n = next.count()
-      converged = n == prevCount
-      prevCount = n
-      // HYBRID HANDOFF: peeling a subgraph that still contains the
-      // truss yields the same unique fixpoint, so once the survivors
-      // fit the driver bound the incremental local peel finishes in
-      // one queue pass — the distributed loop's remaining rounds are
-      // each ~2 s of scheduling/checkpoint overhead for ever-smaller
-      // removals (measured at sf1: rounds 4..~17 removed 5-50k edges
-      // each while costing a fixed ~2 s; the handoff takes ~17 s off
-      // the 38 s full-loop wall). localSolveMaxEdges = 0 (the spec's
-      // pure-distributed pin) never hands off.
-      if (!converged && n <= localSolveMaxEdges) {
-        val edgeArr = next.select(col("a"), col("b"))
-          .as[(Long, Long)].collect()
-        log.info(s"kTruss: $n surviving edges <= $localSolveMaxEdges " +
-          s"after ${iter + 1} distributed round(s) — finishing driver-side")
-        return localKTruss(edgeArr, k).toDF("a", "b", "support")
-      }
-      if (!converged) {
-        val removed = scored.filter(col("sup") < lit(k - 2).cast("long"))
-          .select(col("a"), col("b"))
-        var tagged = tri
-        Seq(("e1a", "e1b", "r1"), ("e2a", "e2b", "r2"),
-          ("e3a", "e3b", "r3")).foreach { case (ca, cb, flag) =>
-          tagged = tagged.join(
-            removed.select(col("a").as(ca), col("b").as(cb))
-              .withColumn(flag, lit(1)),
-            Seq(ca, cb), "left")
+      var cascadeScored = scored
+      var cascadeTri = tri
+      val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+      var p = 0
+      while (!converged && p < cascadePasses && iter < maxIter) {
+        val next = cascadeScored.filter(col("sup") >= lit(k - 2).cast("long"))
+        val n = next.count()
+        converged = n == prevCount
+        prevCount = n
+        // HYBRID HANDOFF: peeling a subgraph that still contains the
+        // truss yields the same unique fixpoint, so once the
+        // survivors fit the driver bound the incremental local peel
+        // finishes in one queue pass (measured at sf1: ~17 s off the
+        // full-loop wall). localSolveMaxEdges = 0 (the spec's
+        // pure-distributed pin) never hands off.
+        if (!converged && n <= localSolveMaxEdges) {
+          val edgeArr = next.select(col("a"), col("b"))
+            .as[(Long, Long)].collect()
+          persisted.foreach(_.unpersist())
+          log.info(s"kTruss: $n surviving edges <= $localSolveMaxEdges " +
+            s"after ${iter + 1} distributed pass(es) — finishing driver-side")
+          return localKTruss(edgeArr, k).toDF("a", "b", "support")
         }
-        val tagChk = resetLeafStats(tagged.localCheckpoint(), triRows, 72)
-        val alive = col("r1").isNull && col("r2").isNull && col("r3").isNull
-        tri = tagChk.filter(alive)
-          .select("e1a", "e1b", "e2a", "e2b", "e3a", "e3b")
-        val delta = supportFromTri(tagChk.filter(!alive))
-          .select(col("a"), col("b"), col("sup").as("dead"))
-        scored = resetLeafStats(
-          next.join(delta, Seq("a", "b"), "left")
+        if (!converged) {
+          val removed = cascadeScored
+            .filter(col("sup") < lit(k - 2).cast("long"))
+            .select(col("a"), col("b"))
+          var tagged = cascadeTri
+          Seq(("e1a", "e1b", "r1"), ("e2a", "e2b", "r2"),
+            ("e3a", "e3b", "r3")).foreach { case (ca, cb, flag) =>
+            tagged = tagged.join(
+              removed.select(col("a").as(ca), col("b").as(cb))
+                .withColumn(flag, lit(1)),
+              Seq(ca, cb), "left")
+          }
+          // two consumers (surviving triangles + the dead rows'
+          // support deltas) — persisted so the tagging joins run once
+          tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
+          persisted += tagged
+          val alive = col("r1").isNull && col("r2").isNull && col("r3").isNull
+          cascadeTri = tagged.filter(alive)
+            .select("e1a", "e1b", "e2a", "e2b", "e3a", "e3b")
+          val delta = supportFromTri(tagged.filter(!alive))
+            .select(col("a"), col("b"), col("sup").as("dead"))
+          cascadeScored = next.join(delta, Seq("a", "b"), "left")
             .select(col("a"), col("b"),
               (col("sup") - coalesce(col("dead"), lit(0L))).as("sup"))
-            .localCheckpoint(), n, 56)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          persisted += cascadeScored
+        }
+        p += 1
+        iter += 1
       }
-      iter += 1
+      // round boundary: materialize the cascade once, re-leaf stats,
+      // release the intra-round caches (the checkpoints own copies).
+      // `prevCount`/`triRows` are upper bounds for the stats after
+      // an un-counted final pass — sane, not exact, like tri's.
+      if (persisted.nonEmpty) {
+        scored = resetLeafStats(cascadeScored.localCheckpoint(),
+          prevCount, 56)
+        if (!converged)
+          tri = resetLeafStats(cascadeTri.localCheckpoint(), triRows, 64)
+        persisted.foreach(_.unpersist())
+      }
     }
     if (!converged) {
       if (failOnMaxIter)

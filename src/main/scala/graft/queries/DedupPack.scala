@@ -239,9 +239,9 @@ object DedupPack extends QueryPack {
     "q_approx_distinct" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       graft.operators.Sketch.kmvDistinct(docs, "text", k = 1024)
-        .crossJoin(docs.agg(
+        .crossJoin(org.apache.spark.sql.functions.broadcast(docs.agg(
           org.apache.spark.sql.functions.countDistinct(
-            org.apache.spark.sql.functions.col("text")).as("exact_docs")))
+            org.apache.spark.sql.functions.col("text")).as("exact_docs"))))
     }),
 
     // the grouped sketch: approx distinct texts PER SOURCE, k=16 so

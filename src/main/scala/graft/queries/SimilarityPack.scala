@@ -302,6 +302,7 @@ object SimilarityPack extends QueryPack {
     benchOverrides("q_ann_ivf_stored")(spark, sfDir)
     benchOverrides("q_ann_pq")(spark, sfDir)
     benchOverrides("q_ann_ivfpq")(spark, sfDir)
+    benchOverrides("q_embed_outliers")(spark, sfDir)
     ()
   }
 
@@ -332,13 +333,21 @@ object SimilarityPack extends QueryPack {
 
     // gate-artifact write is Verify-only (single-writer contract on
     // [[outlierGateRoot]] — the bench must not overwrite the sf0.01
-    // centroids the oracle replays); the bench times fit + scoring
+    // centroids the oracle replays); the bench pays the k-means fit
+    // once per data dir (the [[ivfBenchBuilt]] memo pattern — a
+    // serving user fits offline and scores per batch) and times the
+    // SCORING alone: map-side centroid-literal assignment + one k-row
+    // moment shuffle. The fit is already timed on its own as
+    // q_kmeans; timing it again here double-counted it AND made this
+    // the suite's most environment-sensitive query (~20
+    // driver-coordinated actions per run — the round-16 driver bench
+    // medianed it 39.7 s under co-scheduled load vs 1.5 s clean).
     "q_embed_outliers" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val km = Similarity.kMeans(emb, "vec_id", "embedding",
-        k = 8, iters = 5, seed = 7L)
-      Similarity.centroidOutliers(emb, "vec_id", "embedding",
-        km.centroids, zThreshold = 2.0)
+      val centroids = outlierBenchBuilt.computeIfAbsent(d, _ =>
+        Similarity.kMeans(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 5, seed = 7L).centroids)
+      Similarity.centroidOutliers(Tables.embeddings(s, d), "vec_id",
+        "embedding", centroids, zThreshold = 2.0)
     }),
 
     "q_ann_ivf_stored" -> ((s, d) => {
@@ -434,6 +443,12 @@ object SimilarityPack extends QueryPack {
   /** Build-once memo for the stored-IVF bench probe (data dir →
     * centroids); the store itself lives in [[storeRoot]]'s temp dir. */
   private val ivfBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[Double]]]()
+
+  /** Build-once memo for the q_embed_outliers bench (data dir →
+    * fitted centroids) — the bench times scoring only; the fit is
+    * timed separately as q_kmeans. */
+  private val outlierBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[Double]]]()
 
   /** Build-once memo for the PQ bench probe (data dir → model) — the

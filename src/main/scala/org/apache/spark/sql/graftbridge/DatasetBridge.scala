@@ -32,9 +32,15 @@ object DatasetBridge {
     * independent of the round number, and gives the join strategies
     * a real size instead of an astronomically inflated one.
     *
-    * Non-LogicalRDD inputs are returned unchanged (this is only
-    * meaningful right after a checkpoint). The origin constraints are
-    * dropped — the iterative callers re-derive nothing from them. */
+    * Non-LogicalRDD inputs are returned unchanged — but LOUDLY
+    * (stderr warning): every current caller passes a frame straight
+    * out of localCheckpoint, whose analyzed plan IS a bare
+    * LogicalRDD. If a future refactor wraps the checkpoint (an extra
+    * projection, a new Spark minor changing the plan shape), a silent
+    * fall-through would quietly re-open the exponential-stats hole
+    * and the multi-minute sf1 Catalyst stalls would return with no
+    * signal (r16 advice). The origin constraints are dropped — the
+    * iterative callers re-derive nothing from them. */
   def withStats(df: DataFrame, sizeInBytes: BigInt): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical.Statistics
     import org.apache.spark.sql.execution.LogicalRDD
@@ -44,7 +50,12 @@ object DatasetBridge {
         classic.Dataset.ofRows(cdf.sparkSession,
           LogicalRDD(output, rdd, part, ord, streaming, stream)(
             cdf.sparkSession, Some(Statistics(sizeInBytes)), None))
-      case _ => df
+      case other =>
+        System.err.println(
+          s"[graftbridge] withStats: analyzed plan is ${other.nodeName}, " +
+            "not a bare LogicalRDD — stats re-leaf NOT applied; iterative " +
+            "checkpoint loops may re-enter exponential sizeInBytes growth")
+        df
     }
   }
 }
