@@ -70,6 +70,37 @@ object EventPack extends QueryPack {
           Seq("window_start"))
     }),
 
+    // SLIDING (overlapping) windows — "the last hour every 15 min":
+    // each event lands in dur/slide = 4 epoch-aligned windows; same
+    // expressions as the streaming query (EventStreamSpec asserts
+    // stream == batch), membership arithmetic replayed in the oracle
+    "q_event_sliding" -> ((s, d) =>
+      EventStream.slidingBatch(Tables.events(s, d), "1 hour", "15 minutes")),
+
+    // sliding windowed-KMV: approx distinct users over "the last day
+    // every 6 h" — day windows so per-window distinct clears k and the
+    // estimator genuinely estimates (hour windows hold ~14 events at
+    // gate scale); exact count rides along like q_event_kmv_window
+    "q_event_kmv_sliding" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventStream.kmvWindowedBatch(ev, "cast(user_id as string)",
+          windowSec = 86400L, k = 16, slideSec = 21600L)
+        .join(ev.groupBy(window(col("ts"), "86400 seconds", "21600 seconds")
+              .as("w"))
+            .agg(countDistinct(col("user_id")).as("exact_users"))
+            .select(col("w.start").cast("long").as("window_start"),
+              col("exact_users")),
+          Seq("window_start"))
+    }),
+
+    // exact per-window heavy hitters — the batch twin the streaming
+    // Misra-Gries summary is pinned against (EventStreamSpec
+    // containment property); day windows at 1.5% support so the cut
+    // genuinely selects (~227 of ~4500 window-user pairs at sf0.01)
+    "q_event_heavy_window" -> ((s, d) =>
+      EventStream.heavyHittersWindowedBatch(Tables.events(s, d),
+        "cast(user_id as string)", support = 0.015, windowSec = 86400L)),
+
     // blob metadata projection: binary column + typed struct
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
@@ -328,6 +359,75 @@ object EventPack extends QueryPack {
          |  exact_users
          |FROM ks JOIN ex USING (window_start)""".stripMargin
     },
+
+    // sliding-window membership replayed: an event at t belongs to the
+    // 4 epoch-aligned hour windows starting at (t_us // slide_us − j)
+    // · 900 s for j = 0..3 — exactly Spark's window(ts, 1h, 15m)
+    // assignment when dur divides by slide (integral //, so boundary
+    // events land deterministically on both engines)
+    "q_event_sliding" ->
+      """WITH w AS (
+        |  SELECT event_type, value,
+        |    ((epoch_us(ts) // 900000000) - j) * 900 AS window_start
+        |  FROM events, generate_series(0, 3) AS t(j)
+        |)
+        |SELECT window_start, event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // the q_event_kmv_window replay over SLIDING day/6 h membership:
+    // same exploded window-start arithmetic as q_event_sliding, then
+    // the identical distinct-hash / k-smallest / read-out machinery
+    "q_event_kmv_sliding" -> {
+      val fold = TextPack.hexFoldSql("h", 15)
+      s"""WITH ew AS (
+         |  SELECT ((epoch_us(ts) // 21600000000) - j) * 21600 AS window_start,
+         |    user_id
+         |  FROM events, generate_series(0, 3) AS t(j)
+         |  WHERE user_id IS NOT NULL
+         |),
+         |hx AS (
+         |  SELECT DISTINCT window_start,
+         |    substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS h
+         |  FROM ew
+         |),
+         |hv AS (SELECT DISTINCT window_start, $fold AS hv FROM hx),
+         |topk AS (
+         |  SELECT window_start, hv, row_number() OVER (
+         |    PARTITION BY window_start ORDER BY hv) AS rn
+         |  FROM hv
+         |),
+         |ks AS (
+         |  SELECT window_start, max(hv) AS hk, count(*) AS m
+         |  FROM topk WHERE rn <= 16 GROUP BY 1
+         |),
+         |ex AS (
+         |  SELECT window_start, count(DISTINCT user_id) AS exact_users
+         |  FROM ew GROUP BY 1
+         |)
+         |SELECT ks.window_start,
+         |  CASE WHEN m < 16 THEN m
+         |       ELSE CAST(floor(15.0 / (CAST(hk AS DOUBLE)
+         |                               / 1152921504606846976.0)) AS BIGINT)
+         |  END AS approx_distinct,
+         |  exact_users
+         |FROM ks JOIN ex USING (window_start)""".stripMargin
+    },
+
+    // exact windowed heavy hitters: per-day value counts vs the
+    // ceil(support · window-rows) cut — identical IEEE double ceil on
+    // both engines
+    "q_event_heavy_window" ->
+      """WITH w AS (
+        |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
+        |    CAST(user_id AS VARCHAR) AS v
+        |  FROM events WHERE user_id IS NOT NULL
+        |),
+        |t AS (SELECT window_start, count(*) AS n_window FROM w GROUP BY 1),
+        |c AS (SELECT window_start, v, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT c.window_start, c.v, c.cnt, t.n_window
+        |FROM c JOIN t USING (window_start)
+        |WHERE cnt >= ceil(0.015 * n_window)""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Structured Streaming over the `events` table shape: tumbling-window
@@ -45,6 +45,21 @@ case class KmvState(hashes: List[Long])
   * watermark closes the window. */
 case class KmvWindow(window_start: Long, approx_distinct: Long)
 
+/** Value row for streaming windowed heavy hitters (`ts` carries the
+  * watermark into the grouped input, [[WatermarkedEvent]] convention). */
+case class HhEvent(window_start: Long, v: String, ts: java.sql.Timestamp)
+
+/** Per-window Misra–Gries state: rows seen so far + the ≤ c surviving
+  * counters — constant memory per open window however many distinct
+  * values the window receives. */
+case class HhState(n: Long, counts: Map[String, Long])
+
+/** One candidate heavy hitter, emitted exactly once when the
+  * watermark closes the window: `mg_count` is the Misra–Gries
+  * UNDER-estimate (true count ∈ [mg_count, mg_count + n_window/(c+1)]). */
+case class HhHit(window_start: Long, v: String, mg_count: Long,
+                 n_window: Long)
+
 /** Event row for streaming gap extraction (`ts` carries the watermark,
   * [[WatermarkedEvent]] convention; microseconds — not ms — because
   * the batch twin floors µs differences and flooring ms views first
@@ -76,6 +91,62 @@ object EventStream {
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     windowed(stream.withWatermark("ts", "10 minutes"))
+  }
+
+  /** Shared SLIDING-window aggregation: count + sum per event_type
+    * per OVERLAPPING window — "the last `dur` every `slide`", the most
+    * common production windowing ask the tumbling form can't express.
+    * Spark's native `window(ts, dur, slide)` generates every window
+    * containing the row (epoch-aligned starts at multiples of
+    * `slide`), so each event contributes to ⌈dur/slide⌉ windows —
+    * that factor is the extra shuffle volume AND, on the streaming
+    * side, the extra per-window state; size `slide` accordingly
+    * (hour/15 min = 4× is the conventional trade). */
+  private def slidingWindowed(df: DataFrame, dur: String,
+                              slide: String): DataFrame =
+    df.groupBy(window(col("ts"), dur, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").cast("long").as("window_start"),
+              col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Batch formulation of the sliding aggregate (gate-checkable: the
+    * DuckDB oracle replays the epoch-aligned membership arithmetic). */
+  def slidingBatch(events: DataFrame, dur: String = "1 hour",
+                   slide: String = "15 minutes"): DataFrame =
+    slidingWindowed(events, dur, slide)
+
+  /** Streaming formulation — the identical expressions under a
+    * watermark; in append mode a window emits once, when the
+    * watermark passes its END (so a row's last containing window
+    * finalizes `dur` after its first). EventStreamSpec pins
+    * stream == batch on a finite feed. */
+  def slidingStream(spark: SparkSession, dir: String,
+                    dur: String = "1 hour", slide: String = "15 minutes",
+                    delay: String = "10 minutes"): DataFrame = {
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    slidingWindowed(stream.withWatermark("ts", delay), dur, slide)
+  }
+
+  /** Epoch-aligned overlapping-window membership as an exploded
+    * column of window START seconds: for an event at time t the
+    * starts are (t_us div slide_us − j) · slide for j < dur/slide —
+    * exactly the windows Spark's native sliding `window()` assigns
+    * (dur must divide evenly by slide so membership is a constant
+    * dur/slide windows; integral `div`, never a double divide, so
+    * boundary events land deterministically). Used where the sliding
+    * assignment must be an explicit column — the KMV stream keys
+    * flatMapGroupsWithState state by window start, and `window(ts,
+    * dur, slide)` only resolves under an aggregation. */
+  private def slidingStartsCol(durSec: Long, slideSec: Long): Column = {
+    require(durSec > 0 && slideSec > 0 && durSec % slideSec == 0,
+      s"sliding windows need dur ($durSec s) a positive multiple of " +
+        s"slide ($slideSec s)")
+    val n = durSec / slideSec
+    val slideUs = slideSec * 1000000L
+    explode(expr(
+      s"transform(sequence(0, ${n - 1}), " +
+        s"j -> (unix_micros(ts) div $slideUs - j) * $slideSec)"))
   }
 
   /** Stateful sessionization: custom per-key state via
@@ -148,12 +219,22 @@ object EventStream {
     * start as the group. Output: (window_start, approx_distinct).
     * EventStreamSpec pins stream == batch bit-for-bit. */
   def kmvWindowedBatch(events: DataFrame, valueExpr: String,
-                       windowSec: Long = 3600L, k: Int = 16): DataFrame =
-    graft.operators.Sketch.kmvDistinctGrouped(
-      events.select(window(col("ts"), s"$windowSec seconds").as("w"),
-          expr(valueExpr).as("v"))
-        .select(col("w.start").cast("long").as("window_start"), col("v")),
-      "window_start", "v", k)
+                       windowSec: Long = 3600L, k: Int = 16,
+                       slideSec: Long = 0L): DataFrame = {
+    val grouped =
+      if (slideSec <= 0L || slideSec == windowSec)
+        events.select(window(col("ts"), s"$windowSec seconds").as("w"),
+            expr(valueExpr).as("v"))
+          .select(col("w.start").cast("long").as("window_start"), col("v"))
+      else
+        // sliding: each value lands in its dur/slide containing
+        // windows ([[slidingStartsCol]] — identical membership to the
+        // native sliding window())
+        events.select(expr(valueExpr).as("v"), col("ts"))
+          .select(slidingStartsCol(windowSec, slideSec).as("window_start"),
+            col("v"))
+    graft.operators.Sketch.kmvDistinctGrouped(grouped, "window_start", "v", k)
+  }
 
   /** The KMV read-out over a retained ascending k-smallest distinct
     * hash list — the same double expression as
@@ -184,20 +265,31 @@ object EventStream {
     * event row (e.g. `"cast(user_id as string)"`). */
   def kmvWindowedStream(spark: SparkSession, dir: String, valueExpr: String,
                         windowSec: Long = 3600L, k: Int = 16,
-                        delay: String = "10 minutes"): DataFrame = {
+                        delay: String = "10 minutes",
+                        slideSec: Long = 0L): DataFrame = {
     require(k >= 3, s"kmvWindowedStream needs k >= 3, got $k")
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(dir).schema
-    val ev = spark.readStream.schema(schema).parquet(dir)
+    val hashed = spark.readStream.schema(schema).parquet(dir)
       .withWatermark("ts", delay)
-      .select(window(col("ts"), s"$windowSec seconds").as("w"),
-        expr(graft.operators.Sketch.md5Hash60Sql(valueExpr)).as("hv"),
+      .select(expr(graft.operators.Sketch.md5Hash60Sql(valueExpr)).as("hv"),
         col("ts"))
       .filter(col("hv").isNotNull)
-      .select(col("w.start").cast("long").as("window_start"), col("hv"),
-        col("ts"))
-      .as[KmvEvent]
+    // sliding (slideSec < windowSec): each hash feeds the state of
+    // ALL dur/slide containing windows — state cost scales by exactly
+    // that factor (the [[slidingBatch]] trade), emit-on-close
+    // unchanged because state is keyed by window START and the
+    // timeout below fires at start + dur either way
+    val ev = (if (slideSec <= 0L || slideSec == windowSec)
+        hashed.select(window(col("ts"), s"$windowSec seconds").as("w"),
+            col("hv"), col("ts"))
+          .select(col("w.start").cast("long").as("window_start"), col("hv"),
+            col("ts"))
+      else
+        hashed.select(slidingStartsCol(windowSec, slideSec)
+            .as("window_start"), col("hv"), col("ts"))
+      ).as[KmvEvent]
     ev.groupByKey(_.window_start)
       .flatMapGroupsWithState[KmvState, KmvWindow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -211,6 +303,120 @@ object EventStream {
             val merged = (state.getOption.map(_.hashes).getOrElse(Nil)
               ++ it.map(_.hv)).distinct.sorted.take(k)
             state.update(KmvState(merged))
+            // fire when the watermark clears the window end (must stay
+            // ahead of the current watermark, sessionizeStream note)
+            state.setTimeoutTimestamp(math.max((ws + windowSec) * 1000L,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }.toDF()
+  }
+
+  /** Batch twin of [[heavyHittersWindowedStream]] — EXACT per-window
+    * heavy hitters: every `valueExpr` value whose count within its
+    * tumbling `windowSec` window is ≥ `support` · (window rows), with
+    * the exact count and the window total. One shuffle on the
+    * compound (window, value) key with map-side partial aggregation —
+    * shuffle rows are bounded by distinct (window, value) pairs per
+    * partition, not input rows — plus a broadcast of the tiny
+    * per-window totals. At vocabulary-scale cardinality compose with
+    * [[graft.operators.Sketch.heavyHitters]]'s Misra–Gries candidate
+    * pre-filter per window; the gate pins this exact form. */
+  def heavyHittersWindowedBatch(events: DataFrame, valueExpr: String,
+                                support: Double,
+                                windowSec: Long = 3600L): DataFrame = {
+    require(support > 0 && support < 1,
+      s"heavyHittersWindowedBatch needs support in (0,1), got $support")
+    val w = events
+      .select(window(col("ts"), s"$windowSec seconds").as("w"),
+        expr(valueExpr).cast("string").as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("w.start").cast("long").as("window_start"), col("v"))
+    val totals = w.groupBy("window_start").agg(count(lit(1)).as("n_window"))
+    w.groupBy("window_start", "v").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("window_start"))
+      .filter(col("cnt") >= ceil(lit(support) * col("n_window")))
+      .select(col("window_start"), col("v"), col("cnt"), col("n_window"))
+  }
+
+  /** Streaming HEAVY HITTERS per window under a watermark — the
+    * frequent-items complement to [[kmvWindowedStream]]'s distinct
+    * count, with the same bounded-state discipline: per open window
+    * the state is a Misra–Gries summary (≤ c counters + the row
+    * total — constant memory however many distinct values arrive),
+    * merged per micro-batch with the standard summary merge (add
+    * counts, then subtract the (size−c)-th smallest and drop the
+    * non-positive — total under-count stays ≤ n/(c+1)), and emitted
+    * exactly ONCE when the event-time watermark passes the window end
+    * (append-mode cannot retract; the [[sessionizeStream]]
+    * discipline).
+    *
+    * What is emitted is the honest streaming answer: every retained
+    * value whose count COULD reach the support threshold
+    * (mg_count + ⌊n/(c+1)⌋ ≥ ⌈support·n⌉) with its under-estimate and
+    * the window total. Because a true heavy hitter's counter survives
+    * with mg_count ≥ true − ⌊n/(c+1)⌋, the emitted set is a
+    * guaranteed SUPERSET of [[heavyHittersWindowedBatch]]'s exact
+    * answer whenever c + 1 ≥ 1/support (enforced; default
+    * c = ⌈2/support⌉, the [[graft.operators.Sketch.heavyHitters]]
+    * margin) — EventStreamSpec pins containment and the error band.
+    * A batch recount of the emitted candidates (the Sketch pass-2
+    * trick over the closed window's rows) exactifies offline. */
+  def heavyHittersWindowedStream(spark: SparkSession, dir: String,
+                                 valueExpr: String, support: Double,
+                                 windowSec: Long = 3600L, counters: Int = 0,
+                                 delay: String = "10 minutes"): DataFrame = {
+    require(support > 0 && support < 1,
+      s"heavyHittersWindowedStream needs support in (0,1), got $support")
+    val c = if (counters > 0) counters else math.ceil(2.0 / support).toInt
+    require(c + 1 >= 1.0 / support,
+      s"counters=$c cannot guarantee support=$support " +
+        s"(need counters + 1 >= ${1.0 / support})")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val schema = spark.read.parquet(dir).schema
+    val ev = spark.readStream.schema(schema).parquet(dir)
+      .withWatermark("ts", delay)
+      .select(window(col("ts"), s"$windowSec seconds").as("w"),
+        expr(valueExpr).cast("string").as("v"), col("ts"))
+      .filter(col("v").isNotNull)
+      .select(col("w.start").cast("long").as("window_start"), col("v"),
+        col("ts"))
+      .as[HhEvent]
+    ev.groupByKey(_.window_start)
+      .flatMapGroupsWithState[HhState, HhHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ws: Long, it: Iterator[HhEvent], state: GroupState[HhState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the window end: the summary is final
+            val st = state.get
+            state.remove()
+            val slack = st.n / (c + 1)
+            val thr = math.ceil(support * st.n).toLong
+            st.counts.iterator.collect {
+              case (v, cnt) if cnt + slack >= thr => HhHit(ws, v, cnt, st.n)
+            }
+          } else {
+            val st = state.getOption.getOrElse(HhState(0L, Map.empty))
+            val counts = scala.collection.mutable.HashMap
+              .empty[String, Long] ++= st.counts
+            var arrived = 0L
+            it.foreach { e =>
+              counts.update(e.v, counts.getOrElse(e.v, 0L) + 1L)
+              arrived += 1L
+            }
+            val merged =
+              if (counts.size <= c) counts.toMap
+              else {
+                // summary merge: subtracting the (size−c)-th smallest
+                // zeroes ≥ size−c counters; survivors keep cnt − cut
+                val cut = counts.valuesIterator.toArray.sorted
+                  .apply(counts.size - c - 1)
+                counts.iterator.collect {
+                  case (v, cnt) if cnt > cut => v -> (cnt - cut)
+                }.toMap
+              }
+            state.update(HhState(st.n + arrived, merged))
             // fire when the watermark clears the window end (must stay
             // ahead of the current watermark, sessionizeStream note)
             state.setTimeoutTimestamp(math.max((ws + windowSec) * 1000L,

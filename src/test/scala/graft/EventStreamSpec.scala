@@ -193,6 +193,142 @@ class EventStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding window stream equals the batch formulation; each event lands in dur/slide windows") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-sslide").toString
+    val ev = Tables.events(spark, SparkSuite.sf0001)
+      .select(col("ts"), col("event_type"), col("value"))
+    // append-mode sliding windows emit only when the watermark passes
+    // their END — a finite feed needs one far-future sentinel to drag
+    // the watermark past every real window (the kmvWindowedStream
+    // flush pattern); the sentinel's own 4 windows stay open
+    val flush = ev.agg((max(col("ts")) + expr("INTERVAL 30 DAYS")).as("ts"))
+      .select(col("ts"), lit("zz_flush").as("event_type"),
+        lit(0.0).as("value"))
+    ev.union(flush).write.mode("overwrite").parquet(dir)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val real = spark.read.parquet(dir).filter(col("event_type") =!= "zz_flush")
+    val batch = key(EventStream.slidingBatch(real, "1 hour", "15 minutes"))
+    val q = EventStream.slidingStream(spark, dir, "1 hour", "15 minutes",
+        delay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sslide").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = key(spark.table("graft_sslide")
+      .filter(col("event_type") =!= "zz_flush"))
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // overlap accounting: every event contributes to exactly
+    // dur/slide = 4 windows, so summed counts are 4 x the input
+    assert(batch.toSeq.map(_._3).sum === 4L * real.count())
+  }
+
+  test("sliding windowed KMV stream equals the sliding batch estimator") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft-kmvslide").toString
+    val ev = Tables.events(spark, SparkSuite.sf0001)
+      .select(col("user_id"), col("ts"))
+    val flush = ev.agg(max(col("ts")).as("ts"))
+      .select(lit(-1L).as("user_id"),
+        (col("ts") + expr("INTERVAL 30 DAYS")).as("ts"))
+    ev.union(flush).write.mode("overwrite").parquet(dir)
+    val batch = EventStream.kmvWindowedBatch(
+        spark.read.parquet(dir).filter(col("user_id") =!= -1L),
+        "cast(user_id as string)", windowSec = 3600L, k = 16,
+        slideSec = 900L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = EventStream.kmvWindowedStream(spark, dir,
+        "cast(user_id as string)", windowSec = 3600L, k = 16,
+        delay = "0 seconds", slideSec = 900L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_kmvslide").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_kmvslide").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty)
+    // sliding: ~4x the tumbling window count over the same feed
+    val tumbling = EventStream.kmvWindowedBatch(
+        spark.read.parquet(dir).filter(col("user_id") =!= -1L),
+        "cast(user_id as string)", windowSec = 3600L, k = 16)
+      .count()
+    assert(batch.size > 2 * tumbling,
+      s"sliding produced ${batch.size} windows vs $tumbling tumbling — " +
+        "overlap factor missing")
+  }
+
+  test("streaming Misra-Gries heavy hitters: superset of exact batch HH, counts within the MG band") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shh").toString
+    val t0 = 1704067200L // 2024-01-01 00:00 UTC, window-aligned
+    // window A (hour 0): one hot value x30 + 20 singletons (n=50,
+    // thr=ceil(0.2*50)=10 -> exact HH = {hot}); window B (hour 1):
+    // two hots x15 + 20 singletons (n=50 -> {hotB1, hotB2}). 21
+    // distinct values per window > c=10 counters, so the MG trim
+    // genuinely fires; window A arrives split across two appends so
+    // the summary MERGE path is exercised too.
+    def rows(win: Int, vs: Seq[String]): Seq[(String, Long)] =
+      vs.zipWithIndex.map { case (v, i) =>
+        (v, t0 + win * 3600L + 60L + i % 3000)
+      }
+    val winA = rows(0, Seq.fill(30)("hotA") ++ (1 to 20).map(i => s"sa$i"))
+    val winB = rows(1, Seq.fill(15)("hotB1") ++ Seq.fill(15)("hotB2")
+      ++ (1 to 20).map(i => s"sb$i"))
+    def write(rs: Seq[(String, Long)], mode: String): Unit =
+      rs.toDF("v", "tss")
+        .select(col("v"), expr("timestamp_seconds(tss)").as("ts"))
+        .write.mode(mode).parquet(dir)
+    write(winA.take(25), "overwrite")
+    val support = 0.2
+    val c = 10
+    val q = EventStream.heavyHittersWindowedStream(spark, dir, "v",
+        support = support, windowSec = 3600L, counters = c,
+        delay = "0 seconds")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_shh").start()
+    try {
+      q.processAllAvailable()
+      write(winA.drop(25) ++ winB, "append")
+      q.processAllAvailable()
+      // flush sentinel drags the watermark past both windows
+      write(Seq(("zz", t0 + 40L * 24 * 3600)), "append")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("graft_shh").collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val real = spark.read.parquet(dir).filter(col("v") =!= "zz")
+    val exactHH = EventStream.heavyHittersWindowedBatch(
+        real, "v", support, 3600L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val exactCnt = real
+      .select(window(col("ts"), "3600 seconds")("start").cast("long")
+        .as("ws"), col("v"))
+      .groupBy("ws", "v").count().collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(exactHH.size === 3, s"fixture: expected 3 exact HHs, got $exactHH")
+    // containment: every exact heavy hitter was emitted
+    exactHH.foreach { case (k, cnt) =>
+      assert(streamed.contains(k), s"exact HH $k (cnt=$cnt) missing from stream")
+    }
+    // error band: mg_count <= exact <= mg_count + n/(c+1), and the
+    // emitted n_window is the true window total
+    streamed.foreach { case (k @ (ws, _), (mg, n)) =>
+      val ex = exactCnt.getOrElse(k, 0L)
+      assert(mg <= ex && ex <= mg + n / (c + 1),
+        s"$k: mg=$mg exact=$ex n=$n")
+      assert(n === exactCnt.collect { case ((w, _), cn) if w == ws => cn }.sum)
+    }
+    // selectivity: the singletons (mg + slack < threshold) were NOT
+    // emitted — on this fixture the candidate set is exactly the HH set
+    assert(streamed.keySet === exactHH.keySet,
+      s"expected only the 3 hot values, got ${streamed.keySet}")
+  }
+
   test("streaming as-of enrichment equals the batch as-of join on finite input") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-sasof").toString
