@@ -29,11 +29,30 @@ import graft.operators.Similarity
   *    very few probed cells.
   *
   * MEASURED (sf0.01: 500×64-dim uniform / 2000×64-dim clustered,
-  * k=10, 10 queries, kMeans k=32, σ=0.15) — RECALL_r12.json:
+  * k=10, 10 queries, kMeans k=32, σ=0.15) — RECALL_r17.json
+  * (IVF/LSH rows unchanged from RECALL_r12):
   * uniform   IVF 0.10/0.20/0.41/0.61 at nprobe 1/2/4/8,
   *           LSH 0.10/0.37/0.75 at probeFlips 0/1/2;
   * clustered IVF 0.99/1.00/1.00/1.00 at nprobe 1/2/4/8,
   *           LSH 0.10/0.62/0.91 at probeFlips 0/1/2.
+  *
+  * PQ paths (new in r17). Clustered: plain PQ ADC saturates at its
+  * QUANTIZATION ceiling — 0.38 (m=8) / 0.49 (m=16) full-scan, and
+  * IVF+PQ hits the same ceiling from nprobe=1 (the coarse probe is
+  * near-perfect; resolution, not routing, is the bottleneck). The
+  * float RERANK stage closes it: a 4×k ADC shortlist rescored with
+  * exact dots reaches 0.95/0.92, an 8×k shortlist 0.99–1.00 —
+  * matching the exact-float stored-IVF row at nprobe ≥ 2 (m=16·sf8:
+  * 1.00 at nprobe 2/4/8) while the scan stays PQ-cheap: the rescore
+  * reads only shortlist rows from the probed partitions. Uniform:
+  * rerank ≈ min(IVF routing recall, shortlist survival) — 0.61 ceiling
+  * at nprobe=8, exactly the scanned-fraction bound, confirming the
+  * structureless corpus gains nothing from finer ADC. Quantized LSH
+  * (int8 + bucket store) tracks float LSH to the 4th decimal at every
+  * flip count on BOTH corpora — int8 costs no measurable recall.
+  * Sizing guidance: probe by the [[Similarity.ivfPqTopK]] L2 proxy,
+  * shortlistFactor 4 for throughput, 8 when recall must match
+  * exact-float serving.
   * Two findings. (1) The IVF knee is exactly where the index's design
   * says it should be: on a clustered corpus nprobe=1 already recalls
   * 0.99 while scanning ~1/32 of the rows, and nprobe=2 is exhaustive
@@ -105,10 +124,16 @@ object RecallBench {
     val noise = 0.15
     val mixSeed = 42L
 
-    /** recall@k curves for one corpus: IVF over nprobe, LSH over
-      * probeFlips, truth = exact brute force per query. */
+    /** recall@k curves for one corpus — IVF over nprobe, LSH over
+      * probeFlips, PQ over m, IVF+PQ over the nprobe × m grid,
+      * quantized-LSH over probeFlips — truth = exact brute force per
+      * query (dot ranking; identical to L2 ranking on these
+      * unit-normalized corpora, so the PQ paths' L2 ADC is measured
+      * against the same truth). */
     def sweep(emb0: DataFrame, queries: Seq[Seq[Double]]):
-        (Seq[(Int, Double)], Seq[(Int, Double)], Long) = {
+        (Seq[(Int, Double)], Seq[(Int, Double)], Seq[(Int, Double)],
+          Seq[((Int, Int), Double)], Seq[((Int, Int), Double)],
+          Seq[(Int, Double)], Long) = {
       val emb = emb0.select("vec_id", "embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = emb.count()
@@ -140,26 +165,103 @@ object RecallBench {
         pf -> recall(queries.map(q => ids(Similarity.lshTopK(
           emb, "vec_id", "embedding", q, k, numBits = 4, probeFlips = pf))))
       }
+
+      // PQ paths (round-17: the r12 artifact predates pqTopK/ivfPqTopK
+      // and the quantized store). Codebooks are fit once per
+      // (corpus, m) and the codes frame joined to the SAME standing
+      // clustering as the IVF rows — exactly the serving layout the
+      // q_ann_ivfpq store holds. m=8 → 8-dim subspaces (32× code
+      // compression at 64-dim), m=16 → 4-dim (finer ADC resolution).
+      val pqGrid = Seq(8, 16)
+      val pqModels = pqGrid.map(m => m -> Similarity.pqFit(
+        emb, "vec_id", "embedding", m = m, k = 16, iters = 5, seed = 7L))
+      val pqCurves = pqModels.map { case (m, model) =>
+        val codes = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        codes.count()
+        val r = recall(queries.map(q =>
+          ids(Similarity.pqTopK(codes, "vec_id", q, model, k))))
+        codes.unpersist()
+        m -> r
+      }
+      // floats with the cluster column: the rerank's rescore read is
+      // pruned to the probed cells, exactly the serving layout
+      val floatsByCluster = emb.join(km.assignments, "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      floatsByCluster.count()
+      val pqPairs = pqModels.map { case (m, model) =>
+        val stored = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+          .join(km.assignments, "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stored.count()
+        val adc = Seq(1, 2, 4, 8).map { np =>
+          (m, np) -> recall(queries.map(q => ids(Similarity.ivfPqTopK(
+            stored, "vec_id", km.centroids, model, q, k, nprobe = np))))
+        }
+        // + the float rerank of an sf×k ADC shortlist — the serving
+        // pipeline's final stage; measures how much of the PQ
+        // quantization ceiling the rescore recovers, and how the
+        // residual (true neighbors dropped from the shortlist by ADC
+        // ordering error) shrinks as the shortlist grows
+        val rr = for {
+          sf <- Seq(4, 8)
+          np <- Seq(1, 2, 4, 8)
+        } yield (m * 100 + sf, np) -> recall(queries.map(q =>
+          ids(Similarity.ivfPqTopKReranked(stored, floatsByCluster,
+            "vec_id", "embedding", km.centroids, model, q, k,
+            nprobe = np, shortlistFactor = sf))))
+        stored.unpersist()
+        (adc, rr)
+      }
+      floatsByCluster.unpersist()
+      val ivfPqCurves = pqPairs.flatMap(_._1)
+      val rerankCurves = pqPairs.flatMap(_._2)
+      // the full production LSH layout: sign-bucketed + int8-quantized
+      val lshStored = Similarity.quantizeInt8(
+          Similarity.withLshBucket(emb, "embedding", 64, numBits = 4,
+            seed = 7L),
+          "vec_id", "embedding")
+        .select("vec_id", "scale", "qvec", "bucket")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      lshStored.count()
+      val lshqCurves = Seq(0, 1, 2).map { pf =>
+        pf -> recall(queries.map(q => ids(Similarity.lshTopKQuantized(
+          lshStored, "vec_id", q, k, numBits = 4, probeFlips = pf))))
+      }
       spark.catalog.clearCache()
-      (ivf, lsh, n)
+      (ivf, lsh, pqCurves, ivfPqCurves, rerankCurves, lshqCurves, n)
     }
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
     def curvesJson(ivf: Seq[(Int, Double)], lsh: Seq[(Int, Double)],
-                   n: Long): String = {
+                   pq: Seq[(Int, Double)], ivfpq: Seq[((Int, Int), Double)],
+                   rerank: Seq[((Int, Int), Double)],
+                   lshq: Seq[(Int, Double)], n: Long): String = {
       val i = ivf.map { case (np, r) => s""""nprobe_$np":${fmt(r)}""" }
         .mkString("{", ",", "}")
       val l = lsh.map { case (pf, r) => s""""flips_$pf":${fmt(r)}""" }
         .mkString("{", ",", "}")
-      s"""{"n":$n,"ivf":$i,"lsh":$l}"""
+      val p = pq.map { case (m, r) => s""""m_$m":${fmt(r)}""" }
+        .mkString("{", ",", "}")
+      val ip = ivfpq.map { case ((m, np), r) =>
+        s""""m${m}_nprobe_$np":${fmt(r)}""" }.mkString("{", ",", "}")
+      // rerank key carries the shortlist factor: m·100+sf encodes
+      // (m, shortlistFactor) — rendered as m{m}_sf{factor}_nprobe_{np}
+      val rr = rerank.map { case ((msf, np), r) =>
+        s""""m${msf / 100}_sf${msf % 100}_nprobe_$np":${fmt(r)}""" }
+        .mkString("{", ",", "}")
+      val lq = lshq.map { case (pf, r) => s""""flips_$pf":${fmt(r)}""" }
+        .mkString("{", ",", "}")
+      s"""{"n":$n,"ivf":$i,"lsh":$l,"pq":$p,"ivfpq":$ip,""" +
+        s""""ivfpq_rerank":$rr,"lsh_quantized":$lq}"""
     }
 
     // uniform = the real table, queried from off-corpus unit vectors
     // (unchanged from RECALL_r11 for cross-round comparability)
     val uniformQueries = (0 until nQueries).map(i =>
       Similarity.seededUnitVector(64, 1000L + i))
-    val (uIvf, uLsh, uN) =
+    val (uIvf, uLsh, uPq, uIvfPq, uRr, uLshQ, uN) =
       sweep(Tables.embeddings(spark, dir), uniformQueries)
 
     // clustered = the mixture corpus, queried from the SAME mixture
@@ -170,15 +272,24 @@ object RecallBench {
     val clusteredQueries = (0 until nQueries).map(i =>
       mixtureVector(centers, clusteredN + i, noise, mixSeed)
         .map(_.toDouble).toSeq)
-    val (cIvf, cLsh, cN) = sweep(
+    val (cIvf, cLsh, cPq, cIvfPq, cRr, cLshQ, cN) = sweep(
       clusteredEmbeddings(spark, clusteredN, 64, kmClusters, noise, mixSeed),
       clusteredQueries)
 
-    println("RECALL_JSON:" +
+    val line =
       s"""{"k":$k,"queries":$nQueries,"clusters":$kmClusters,""" +
       s""""noise":${fmt(noise)},""" +
-      s""""uniform":${curvesJson(uIvf, uLsh, uN)},""" +
-      s""""clustered":${curvesJson(cIvf, cLsh, cN)}}""")
+      s""""uniform":${curvesJson(uIvf, uLsh, uPq, uIvfPq, uRr, uLshQ, uN)},""" +
+      s""""clustered":${
+        curvesJson(cIvf, cLsh, cPq, cIvfPq, cRr, cLshQ, cN)}}"""
+    println("RECALL_JSON:" + line)
+    // the artifact the docs cite — committed next to RECALL_r12.json
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_r17.json")
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[recall] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -886,11 +886,19 @@ object Similarity {
     *
     * `stored` carries (idCol, clusterCol, code_0 … code_{m−1}) — the
     * output of [[pqEncode]] joined to the coarse assignment and
-    * written partitioned by cluster. Probe selection is the same
-    * driver-side argmax (centroid·q, index tie-break) as
-    * [[ivfTopKStored]]; scoring is the same 1e-6 fixed-point ADC as
+    * written partitioned by cluster. Probe selection is the
+    * driver-side argmax of the L2 PROXY centroid·q − |centroid|²/2
+    * (index tie-break) — i.e. the nprobe L2-NEAREST centroids, the
+    * [[kMeansAssign]] score — NOT [[ivfTopKStored]]'s bare max-dot:
+    * this composite ranks rows by L2 ADC distance, and k-means
+    * centroids are not comparable-norm (a spread cluster's mean is
+    * shorter), so a max-dot probe could rank a far-but-long centroid
+    * above the true L2-nearest and silently cost recall (r16 advice).
+    * [[ivfTopKStored]] keeps max-dot because ITS ranker is the dot
+    * product. Scoring is the same 1e-6 fixed-point ADC as
     * [[pqTopK]], so the whole probe sits under the hash gate via the
-    * artifact replay (q_ann_ivfpq). Codes are raw-vector PQ (one
+    * artifact replay (q_ann_ivfpq — the oracle replays the same L2
+    * proxy). Codes are raw-vector PQ (one
     * global codebook), not residual-encoded: residuals would need a
     * per-cluster table build per query for a fine-ranking gain the
     * shortlist's float rerank recovers anyway, and raw codes keep
@@ -903,7 +911,10 @@ object Similarity {
     require(nprobe >= 1 && centroids.nonEmpty,
       "ivfPqTopK needs nprobe >= 1 and at least one centroid")
     val probes = centroids.indices
-      .sortBy(j => (-seqDot(centroids(j).toIndexedSeq, query.toIndexedSeq), j))
+      .sortBy { j =>
+        val c = centroids(j).toIndexedSeq
+        (-(seqDot(c, query.toIndexedSeq) - seqDot(c, c) / 2), j)
+      }
       .take(nprobe)
     val table = pqTableFp(query, model)
     val dist = (0 until model.m).map { j =>
@@ -914,6 +925,55 @@ object Similarity {
       .select(col(idCol), dist.as("adc_fp"))
       .orderBy(col("adc_fp").asc, col(idCol).asc)
       .limit(topK)
+  }
+
+  /** [[ivfPqTopK]] + the float RERANK stage — the full production
+    * serving pipeline (coarse probe → cheap ADC shortlist → exact
+    * rescore of ONLY the shortlist). Plain ADC top-k is capped by PQ
+    * quantization resolution (RECALL_r17: the clustered corpus
+    * saturates at 0.38/0.50 recall@10 for m=8/16 however many cells
+    * are probed, while the coarse probe itself is near-perfect);
+    * reranking a `shortlistFactor`·k ADC shortlist against the true
+    * float vectors washes that error out — the true neighbors only
+    * need to SURVIVE the shortlist, not win it.
+    *
+    * `floats` carries (idCol, vecCol) and, when it also carries
+    * `clusterCol`, is pruned to the SAME probed cells before the
+    * shortlist semi-join — at corpus scale pass the cluster-partitioned
+    * float store so the rerank reads nprobe partitions, never the
+    * corpus; the shortlist itself is topK·shortlistFactor rows and
+    * broadcasts. Rerank score is the dot product (= L2 rank on
+    * unit-norm vectors, matching [[bruteForceTopK]]'s truth).
+    * Output: (idCol, sim) — sim rounded to 4 decimals AFTER the
+    * ordering, the [[lshTopKQuantized]] convention. */
+  def ivfPqTopKReranked(stored: DataFrame, floats: DataFrame, idCol: String,
+                        vecCol: String,
+                        centroids: IndexedSeq[IndexedSeq[Double]],
+                        model: PqModel, query: Seq[Double], topK: Int,
+                        nprobe: Int = 3, shortlistFactor: Int = 4,
+                        clusterCol: String = "cluster"): DataFrame = {
+    require(shortlistFactor >= 1, "ivfPqTopKReranked needs shortlistFactor >= 1")
+    graft.functions.DotProduct.register(stored.sparkSession)
+    val short = ivfPqTopK(stored, idCol, centroids, model, query,
+      topK * shortlistFactor, nprobe, clusterCol)
+    val pruned =
+      if (floats.columns.contains(clusterCol)) {
+        val probes = centroids.indices
+          .sortBy { j =>
+            val c = centroids(j).toIndexedSeq
+            (-(seqDot(c, query.toIndexedSeq) - seqDot(c, c) / 2), j)
+          }
+          .take(nprobe)
+        floats.filter(col(clusterCol).isin(probes: _*))
+      } else floats
+    pruned
+      .join(broadcast(short.select(col(idCol))), Seq(idCol), "left_semi")
+      .select(col(idCol),
+        expr(s"graft_dot(cast($vecCol as array<double>), " +
+          s"${vecLiteral(query)})").as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(topK)
+      .select(col(idCol), round(col("sim"), 4).as("sim"))
   }
 
   /** Multi-probe top-k over the FULL production ANN layout:

@@ -220,6 +220,36 @@ object SimilarityPack extends QueryPack {
       out
     }),
 
+    // the composite + the float RERANK stage — the full serving
+    // pipeline (probe → ADC shortlist → exact rescore of only the
+    // shortlist), closing the PQ quantization ceiling RECALL_r17
+    // measures (clustered recall saturates at 0.38/0.50 without it).
+    // Re-derives the same deterministic fits as q_ann_ivfpq; its
+    // oracle READS q_ann_ivfpq's gate artifacts (identical by
+    // determinism — the single-writer contract on [[ivfPqGateRoot]]
+    // is untouched) plus the embeddings table for the rescore.
+    "q_ann_ivfpq_rerank" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val km = Similarity.kMeans(emb, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      val model = Similarity.pqFit(emb, "vec_id", "embedding",
+        m = 8, k = 16, iters = 5, seed = 7L)
+      val cat = new graft.catalog.Catalog(s, storeRoot("ivfpqrstore", d))
+      cat.putPartitioned("ann_ivfpqr_store",
+        Similarity.pqEncode(emb, "vec_id", "embedding", model)
+          .join(km.assignments, "vec_id"),
+        "cluster")
+      val stored = cat.get("ann_ivfpqr_store")
+      // floats carry the cluster column, so the rescore read is
+      // pruned to the same probed cells as the shortlist
+      val out = Similarity.ivfPqTopKReranked(stored,
+        emb.join(km.assignments, "vec_id"), "vec_id", "embedding",
+        km.centroids, model, queryVec, topK = 10, nprobe = 3,
+        shortlistFactor = 4)
+      cat.close()
+      out
+    }),
+
     // JL dimensionality reduction: 64-dim embeddings down to 8 dense
     // components over the seeded plane family — the oracle replays the
     // exact projection from the interpolated plane literals. Exploded
@@ -793,7 +823,11 @@ object SimilarityPack extends QueryPack {
       },
       // the q_ann_ivf_stored probe replay COMPOSED with the q_ann_pq
       // encode+ADC replay, all from the [[ivfPqGateRoot]] artifacts:
-      // probe = top-nprobe clusters by centroid·q (index tie-break),
+      // probe = top-nprobe clusters by the L2 proxy
+      // centroid·q − |centroid|²/2 (index tie-break) — the composite
+      // ranks by L2 ADC, so the probe metric matches the ranker
+      // (ivfPqTopK's doc; unlike q_ann_ivf_stored's max-dot, whose
+      // ranker IS the dot),
       // membership = the stored layout's own (vec_id, cluster),
       // codes re-derived from the codebooks (argmax tie-break ↔
       // row_number ORDER BY s DESC, code ASC), distance = integer
@@ -816,7 +850,10 @@ object SimilarityPack extends QueryPack {
            |probed AS (
            |  SELECT cluster FROM cent
            |  ORDER BY list_dot_product(CAST(centroid AS DOUBLE[]),
-           |                            CAST($lit AS DOUBLE[])) DESC, cluster
+           |                            CAST($lit AS DOUBLE[]))
+           |      - list_dot_product(CAST(centroid AS DOUBLE[]),
+           |                         CAST(centroid AS DOUBLE[])) / 2
+           |    DESC, cluster
            |  LIMIT 3
            |),
            |a AS (
@@ -855,6 +892,81 @@ object SimilarityPack extends QueryPack {
            |FROM codes JOIN tbl USING (subspace, code)
            |GROUP BY 1
            |ORDER BY adc_fp, vec_id LIMIT 10""".stripMargin
+      },
+      // the q_ann_ivfpq replay with LIMIT 40 (the 4×k ADC shortlist)
+      // instead of 10, then the float rerank: exact dot against the
+      // full query over ONLY the shortlist ids, the final top-10 by
+      // unrounded sim (id tie-break) — identical double fold on both
+      // engines, the q_ann_brute discipline
+      "q_ann_ivfpq_rerank" -> {
+        val subDim = 8
+        def qj(j: Int): IndexedSeq[Double] =
+          queryVec.slice(j * subDim, (j + 1) * subDim).toIndexedSeq
+        def qLit(j: Int): String =
+          qj(j).map(_.toString).mkString("[", ", ", "]")
+        val qCase = (0 until 8).map(j =>
+          s"WHEN $j THEN CAST(${qLit(j)} AS DOUBLE[])").mkString(" ")
+        val qqCase = (0 until 8).map(j =>
+          s"WHEN $j THEN ${Similarity.seqDot(qj(j), qj(j))}").mkString(" ")
+        s"""WITH cent AS (
+           |  SELECT cluster, centroid
+           |  FROM read_parquet('$ivfPqGateRoot/centroids.parquet/*.parquet')
+           |),
+           |probed AS (
+           |  SELECT cluster FROM cent
+           |  ORDER BY list_dot_product(CAST(centroid AS DOUBLE[]),
+           |                            CAST($lit AS DOUBLE[]))
+           |      - list_dot_product(CAST(centroid AS DOUBLE[]),
+           |                         CAST(centroid AS DOUBLE[])) / 2
+           |    DESC, cluster
+           |  LIMIT 3
+           |),
+           |a AS (
+           |  SELECT vec_id, cluster
+           |  FROM read_parquet('$ivfPqGateRoot/assignments.parquet/*.parquet')
+           |),
+           |cb AS (
+           |  SELECT subspace, code, CAST(centroid AS DOUBLE[]) AS c, half
+           |  FROM read_parquet('$ivfPqGateRoot/codebooks.parquet/*.parquet')
+           |),
+           |v AS (
+           |  SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+           |  WHERE a.cluster IN (SELECT cluster FROM probed)
+           |    AND e.embedding IS NOT NULL AND len(e.embedding) = 64
+           |),
+           |codes AS (
+           |  SELECT vec_id, subspace, code FROM (
+           |    SELECT v.vec_id, cb.subspace, cb.code,
+           |      row_number() OVER (PARTITION BY v.vec_id, cb.subspace
+           |        ORDER BY list_dot_product(
+           |            v.emb[cb.subspace * 8 + 1 : cb.subspace * 8 + 8],
+           |            cb.c) - cb.half DESC,
+           |          cb.code ASC) AS rn
+           |    FROM v CROSS JOIN cb
+           |  ) WHERE rn = 1
+           |),
+           |tbl AS (
+           |  SELECT subspace, code,
+           |    CAST(round(((CASE subspace $qqCase END)
+           |      - 2 * list_dot_product(CASE subspace $qCase END, c)
+           |      + list_dot_product(c, c)) * 1000000, 0) AS BIGINT) AS t_fp
+           |  FROM cb
+           |),
+           |short AS (
+           |  SELECT vec_id FROM (
+           |    SELECT vec_id, CAST(sum(t_fp) AS BIGINT) AS adc_fp
+           |    FROM codes JOIN tbl USING (subspace, code)
+           |    GROUP BY 1
+           |    ORDER BY adc_fp, vec_id LIMIT 40
+           |  )
+           |)
+           |SELECT vec_id, round(sim, 4) AS sim FROM (
+           |  SELECT v.vec_id,
+           |    list_dot_product(v.emb, CAST($lit AS DOUBLE[])) AS sim
+           |  FROM v JOIN short USING (vec_id)
+           |  ORDER BY sim DESC, vec_id LIMIT 10
+           |)""".stripMargin
       },
       // replay kMeansAssign from the persisted final centroids:
       // score = dot(v,c) − dot(c,c)/2 (both engines fold the arrays

@@ -426,8 +426,13 @@ class SimilaritySpec extends AnyFunSuite {
     // surviving row's integer distance or the tie-broken order
     def dot(a: Seq[Double], b: Seq[Double]): Double =
       a.lazyZip(b).map(_ * _).sum
+    // the operator's probe metric: the L2 proxy c·q − |c|²/2 (matches
+    // the ADC ranker; r16 advice), not ivfTopKStored's bare max-dot
     val probes = km.centroids.indices
-      .sortBy(j => (-dot(km.centroids(j), SimilarityPack.queryVec), j)).take(3)
+      .sortBy { j =>
+        val c = km.centroids(j)
+        (-(dot(c, SimilarityPack.queryVec) - dot(c, c) / 2), j)
+      }.take(3)
     val restricted = Similarity.pqTopK(
         Similarity.pqEncode(emb, "vec_id", "embedding", model)
           .join(km.assignments.filter(col("cluster").isin(probes: _*)),
@@ -443,6 +448,55 @@ class SimilaritySpec extends AnyFunSuite {
     // clustered-data recall property is pinned in the pqTopK test);
     // what the composite must preserve is the integer ADC + pruning
     graft.catalog.Catalog.deleteRecursively(java.nio.file.Paths.get(dir))
+    spark.catalog.clearCache()
+  }
+
+  test("ivfPqTopKReranked: exact rescore of the ADC shortlist, pruned to the probed cells") {
+    // clustered corpus so the recall claim is meaningful: plain ADC
+    // saturates at the PQ quantization ceiling there (RECALL_r17)
+    // while the rerank recovers the true neighbors — they only need
+    // to SURVIVE the 4×k shortlist, not win it
+    val emb = RecallBench.clusteredEmbeddings(spark, 1000L, 64, 8, 0.15, 42L)
+      .select("vec_id", "embedding")
+    val km = Similarity.kMeans(emb, "vec_id", "embedding", k = 8, iters = 5,
+      seed = 7L)
+    val model = Similarity.pqFit(emb, "vec_id", "embedding",
+      m = 8, k = 16, iters = 5, seed = 7L)
+    val stored = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+      .join(km.assignments, "vec_id")
+    val floats = emb.join(km.assignments, "vec_id")
+    val query = Similarity.seededUnitVector(64, 42L) // near center 0
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    val got = Similarity.ivfPqTopKReranked(stored, floats, "vec_id",
+        "embedding", km.centroids, model, query, topK = 10, nprobe = 3,
+        shortlistFactor = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("sim")))
+      .toSeq
+    // reference: brute-force dot over exactly the ADC shortlist ids
+    val shortIds = Similarity.ivfPqTopK(stored, "vec_id", km.centroids,
+        model, query, topK = 40, nprobe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val expected = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id").isInCollection(shortIds)),
+        "vec_id", "embedding", query, 10)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        BigDecimal(r.getAs[Double]("sim"))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toSeq
+    assert(got === expected)
+    // and the rerank genuinely helps: recall@10 vs global brute force
+    // is at least the plain ADC top-10's
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        query, 10)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val adc10 = Similarity.ivfPqTopK(stored, "vec_id", km.centroids,
+        model, query, topK = 10, nprobe = 3)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val rr = got.map(_._1).toSet.intersect(exact).size
+    val plain = adc10.intersect(exact).size
+    assert(rr >= plain, s"rerank recall $rr < plain ADC $plain")
+    assert(rr >= 6, s"rerank recall@10 only $rr/10 on the clustered corpus")
     spark.catalog.clearCache()
   }
 
