@@ -80,6 +80,19 @@ object Components {
       ccMetrics.put(name, row.getAs[Long]("lowered"))
     }
 
+  // same plumbing for the truss peel's survivor count (the kTruss
+  // round's convergence metric rides its checkpoint pass, the
+  // connectedComponents discipline)
+  private val trussObsId = new java.util.concurrent.atomic.AtomicLong(0)
+  private val trussMetrics =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def ensureTrussListener(
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    MetricListener.ensure(spark, "graft_truss_next_") { (name, row) =>
+      trussMetrics.put(name, row.getAs[Long]("nxt"))
+    }
+
   /** Edge count at or below which the transitive closure is solved
     * ON THE DRIVER (union-find over the collected edge list) instead
     * of by the iterative distributed loop. Near-dup pair graphs are
@@ -701,11 +714,16 @@ object Components {
           struct(col("e3a").as("a"), col("e3b").as("b")))).as("t"))
         .groupBy(col("t.a").as("a"), col("t.b").as("b"))
         .agg(count(lit(1)).as("sup"))
+    val te0 = System.nanoTime()
     var tri = enumerateTriangles(cur).localCheckpoint()
     // one count at enumeration; later rounds reuse it as an upper
     // bound for the shrinking frame's leaf stats (sane, not exact)
     val triRows = tri.count()
     tri = resetLeafStats(tri, triRows, 64)
+    if (sys.env.contains("GRAFT_TRUSS_DEBUG"))
+      System.err.println(f"[kTruss] enumerate: " +
+        f"${(System.nanoTime() - te0) / 1e9}%.1fs, $triRows triangles, " +
+        s"$edgeRows edges")
     var prevCount = edgeRows
     var converged = false
     var iter = 0
@@ -718,93 +736,152 @@ object Components {
     // decrements, and survivors subtract. Re-counting from scratch
     // each round re-shuffled 3×|tri| rows for numbers that mostly
     // had not changed.
-    var scored = resetLeafStats(
+    // ONE-JOB maintenance rounds (r16 verdict #5, re-diagnosed by
+    // instrumented sf1 probes this round). The peel runs ~38 rounds
+    // at sf1 with a long tail of tiny removals (tens of edges), and
+    // every job in a round costs a near-fixed ~0.3-1 s of
+    // scheduling/codegen/checkpoint overhead over ≤ |tri| rows — so
+    // the wall is jobs × overhead, not data. (A cascaded variant that
+    // chained passes on persist()ed intermediates LOST — 72.8 s vs
+    // 52.2 s — because columnar InMemoryRelation caching of the
+    // triangle frame costs more than the checkpoint it replaced.)
+    // Three levers cut the old 3 jobs/round to ~1:
+    //
+    //  1. The survivor count rides the scored checkpoint as an
+    //     OBSERVED metric (the [[connectedComponentsWithStats]]
+    //     discipline, same listener/deadline/fallback machinery) —
+    //     the explicit per-round count() job disappears.
+    //  2. The removal frame is (prevCount − n) two-long rows — known
+    //     small from that metric — so it is broadcast explicitly and
+    //     the three tagging joins become map-side hash joins: no
+    //     shuffle of the triangle frame, and the tagging chain is
+    //     cheap enough to leave LAZY.
+    //  3. The tagged frame is therefore only re-CHECKPOINTED every
+    //     `triChkEvery` rounds (or when a removal is too big to
+    //     broadcast); between checkpoints `tri` is the lazy chain of
+    //     map-side tag+filter layers over the last checkpoint —
+    //     consumers re-scan the base (≤ |tri| rows, ~0.2 s) instead
+    //     of paying a full checkpoint write per round. Stats stay
+    //     bounded: the chain is ≤ 3·triChkEvery broadcast joins on a
+    //     re-leafed base, and every checkpoint re-leafs again.
+    //
+    // At 2^21 rows the removal broadcast is ~32 MB — routine for a
+    // real cluster's driver; bigger removals (only ever the first
+    // rounds of a very loose graph) take the shuffle path and an
+    // immediate checkpoint.
+    //
+    // Measured at sf1 (SCALE_r17.md): per-round wall fell ~0.3-1s×3
+    // jobs → 0.4-0.7s×1 job in the tail (round-work sum ~42 → ~36 s);
+    // end-to-end medians sit inside the host's ±20% swing because
+    // 38 sequential rounds × the local[32] scheduling floor dominates
+    // either way — a depth the cascade CANNOT cut without recomputing
+    // or caching the triangle frame per pass (both measured slower).
+    // On a real cluster the same three levers matter more, not less:
+    // per-job overhead is higher, and "no shuffle of tri, one action
+    // per round, checkpoint every 4th" is the shape that survives
+    // there. The production path remains the hybrid handoff (12.7 s
+    // vs ~50 s pure-distributed at sf1).
+    val broadcastMaxRemoved = 1L << 21
+    val triChkEvery = 4
+    val debugTimes = sys.env.contains("GRAFT_TRUSS_DEBUG")
+    ensureTrussListener(sp)
+    // below the observe threshold the count of a checkpointed
+    // three-long frame is tens of ms — cheaper than waiting out
+    // async listener delivery (the CC measurement)
+    var observeBroken = edgeRows < observeMinEdges
+    def pollTruss(obsName: String): Option[Long] = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var m = trussMetrics.remove(obsName)
+      while (m == null && System.nanoTime() < deadline) {
+        Thread.sleep(10)
+        m = trussMetrics.remove(obsName)
+      }
+      Option(m).map(_.longValue())
+    }
+    /** Checkpoint a maintained-support frame; returns it re-leafed
+      * plus a thunk yielding its ≥ k−2 survivor count — observed
+      * during the checkpoint pass when the metric path is healthy,
+      * an explicit count of the checkpoint otherwise. */
+    def checkpointScored(df: DataFrame, rows: Long): (DataFrame, () => Long) =
+      if (observeBroken) {
+        val chk = resetLeafStats(df.localCheckpoint(), rows, 56)
+        (chk, () => chk.filter(col("sup") >= lit(k - 2).cast("long")).count())
+      } else {
+        val obsName = s"graft_truss_next_${trussObsId.incrementAndGet()}"
+        val chk = resetLeafStats(
+          df.observe(obsName,
+            count(when(col("sup") >= lit(k - 2).cast("long"), 1)).as("nxt"))
+            .localCheckpoint(), rows, 56)
+        (chk, () => pollTruss(obsName).getOrElse {
+          observeBroken = true
+          chk.filter(col("sup") >= lit(k - 2).cast("long")).count()
+        })
+      }
+    var (scored, nextCount) = checkpointScored(
       cur.join(supportFromTri(tri), Seq("a", "b"), "left")
         .select(col("a"), col("b"),
-          coalesce(col("sup"), lit(0L)).as("sup"))
-        .localCheckpoint(), prevCount, 56)
-    // CASCADED rounds (r16 verdict #5): at true scale the driver
-    // handoff never applies (survivors > localSolveMaxEdges), and the
-    // pure-distributed loop paid a fixed ~2 s of checkpoint/stats/
-    // scheduling overhead for EVERY threshold pass — ~17 passes at sf1
-    // = 38-42 s of mostly overhead for ever-smaller removals. The peel
-    // has a unique fixpoint, so passes compose: each super-round now
-    // chains up to `cascadePasses` threshold passes LAZILY — the
-    // intra-round intermediates are persist()ed (lazy, no job; each
-    // pass's count() materializes the previous pass's pending work
-    // exactly once) — and pays the localCheckpoint + stats re-leaf
-    // ONCE at the round boundary. Same passes, same counts, ~1/3 the
-    // checkpoint jobs and driver planning walks. Plan depth within a
-    // round is bounded by cascadePasses, so join-stats growth stays
-    // polynomial until the boundary re-leaf resets it (the
-    // exponential-stats trap only bites when an INFLATED stat is fed
-    // back as a leaf, which the re-leaf prevents).
-    val cascadePasses = 3
+          coalesce(col("sup"), lit(0L)).as("sup")), prevCount)
+    var sinceTriChk = 0
     while (!converged && iter < maxIter) {
-      var cascadeScored = scored
-      var cascadeTri = tri
-      val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
-      var p = 0
-      while (!converged && p < cascadePasses && iter < maxIter) {
-        val next = cascadeScored.filter(col("sup") >= lit(k - 2).cast("long"))
-        val n = next.count()
-        converged = n == prevCount
-        prevCount = n
-        // HYBRID HANDOFF: peeling a subgraph that still contains the
-        // truss yields the same unique fixpoint, so once the
-        // survivors fit the driver bound the incremental local peel
-        // finishes in one queue pass (measured at sf1: ~17 s off the
-        // full-loop wall). localSolveMaxEdges = 0 (the spec's
-        // pure-distributed pin) never hands off.
-        if (!converged && n <= localSolveMaxEdges) {
-          val edgeArr = next.select(col("a"), col("b"))
-            .as[(Long, Long)].collect()
-          persisted.foreach(_.unpersist())
-          log.info(s"kTruss: $n surviving edges <= $localSolveMaxEdges " +
-            s"after ${iter + 1} distributed pass(es) — finishing driver-side")
-          return localKTruss(edgeArr, k).toDF("a", "b", "support")
+      val tr0 = System.nanoTime()
+      val n = nextCount()
+      converged = n == prevCount
+      val removedCount = prevCount - n
+      prevCount = n
+      val next = scored.filter(col("sup") >= lit(k - 2).cast("long"))
+      // HYBRID HANDOFF: peeling a subgraph that still contains the
+      // truss yields the same unique fixpoint, so once the survivors
+      // fit the driver bound the incremental local peel finishes in
+      // one queue pass (measured at sf1: ~17 s off the full-loop
+      // wall). localSolveMaxEdges = 0 (the spec's pure-distributed
+      // pin) never hands off.
+      if (!converged && n <= localSolveMaxEdges) {
+        val edgeArr = next.select(col("a"), col("b"))
+          .as[(Long, Long)].collect()
+        log.info(s"kTruss: $n surviving edges <= $localSolveMaxEdges " +
+          s"after ${iter + 1} distributed round(s) — finishing driver-side")
+        return localKTruss(edgeArr, k).toDF("a", "b", "support")
+      }
+      if (!converged) {
+        val small = removedCount <= broadcastMaxRemoved
+        val removedBase = scored.filter(col("sup") < lit(k - 2).cast("long"))
+          .select(col("a"), col("b"))
+        val removed =
+          if (small) broadcast(removedBase) else removedBase
+        var tagged = tri
+        Seq(("e1a", "e1b", "r1"), ("e2a", "e2b", "r2"),
+          ("e3a", "e3b", "r3")).foreach { case (ca, cb, flag) =>
+          tagged = tagged.join(
+            removed.select(col("a").as(ca), col("b").as(cb))
+              .withColumn(flag, lit(1)),
+            Seq(ca, cb), "left")
         }
-        if (!converged) {
-          val removed = cascadeScored
-            .filter(col("sup") < lit(k - 2).cast("long"))
-            .select(col("a"), col("b"))
-          var tagged = cascadeTri
-          Seq(("e1a", "e1b", "r1"), ("e2a", "e2b", "r2"),
-            ("e3a", "e3b", "r3")).foreach { case (ca, cb, flag) =>
-            tagged = tagged.join(
-              removed.select(col("a").as(ca), col("b").as(cb))
-                .withColumn(flag, lit(1)),
-              Seq(ca, cb), "left")
+        val alive = col("r1").isNull && col("r2").isNull && col("r3").isNull
+        val base =
+          if (!small || sinceTriChk >= triChkEvery - 1) {
+            sinceTriChk = 0
+            resetLeafStats(tagged.localCheckpoint(), triRows, 72)
+          } else {
+            sinceTriChk += 1
+            tagged // lazy: consumers re-scan the last checkpoint
           }
-          // two consumers (surviving triangles + the dead rows'
-          // support deltas) — persisted so the tagging joins run once
-          tagged = tagged.persist(StorageLevel.MEMORY_AND_DISK)
-          persisted += tagged
-          val alive = col("r1").isNull && col("r2").isNull && col("r3").isNull
-          cascadeTri = tagged.filter(alive)
-            .select("e1a", "e1b", "e2a", "e2b", "e3a", "e3b")
-          val delta = supportFromTri(tagged.filter(!alive))
-            .select(col("a"), col("b"), col("sup").as("dead"))
-          cascadeScored = next.join(delta, Seq("a", "b"), "left")
+        tri = base.filter(alive)
+          .select("e1a", "e1b", "e2a", "e2b", "e3a", "e3b")
+        val deltaBase = supportFromTri(base.filter(!alive))
+          .select(col("a"), col("b"), col("sup").as("dead"))
+        val delta = if (small) broadcast(deltaBase) else deltaBase
+        val sc = checkpointScored(
+          next.join(delta, Seq("a", "b"), "left")
             .select(col("a"), col("b"),
-              (col("sup") - coalesce(col("dead"), lit(0L))).as("sup"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          persisted += cascadeScored
-        }
-        p += 1
-        iter += 1
+              (col("sup") - coalesce(col("dead"), lit(0L))).as("sup")), n)
+        scored = sc._1
+        nextCount = sc._2
+        if (debugTimes)
+          System.err.println(f"[kTruss] round $iter: " +
+            f"${(System.nanoTime() - tr0) / 1e9}%.1fs n=$n " +
+            s"removed=$removedCount chk=${sinceTriChk == 0}")
       }
-      // round boundary: materialize the cascade once, re-leaf stats,
-      // release the intra-round caches (the checkpoints own copies).
-      // `prevCount`/`triRows` are upper bounds for the stats after
-      // an un-counted final pass — sane, not exact, like tri's.
-      if (persisted.nonEmpty) {
-        scored = resetLeafStats(cascadeScored.localCheckpoint(),
-          prevCount, 56)
-        if (!converged)
-          tri = resetLeafStats(cascadeTri.localCheckpoint(), triRows, 64)
-        persisted.foreach(_.unpersist())
-      }
+      iter += 1
     }
     if (!converged) {
       if (failOnMaxIter)
