@@ -112,6 +112,24 @@ object Similarity {
     (call_function("array_position", arr, array_max(arr)) - 1).cast("int")
   }
 
+  /** Attach the nearest-centroid assignment as a `cluster` column —
+    * map-side ([[kMeansAssign]]: centroids ride as literals in the
+    * codegen'd dot product), the serving-side way to co-partition a
+    * float frame with an EXISTING kMeans layout (e.g. the IVF+PQ
+    * rerank's float side) without refitting or joining the stored
+    * assignments. Null / wrong-dim vectors are dropped, matching the
+    * fit population. */
+  def assignedToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
+    require(centroids.nonEmpty, "assignedToCentroids needs >= 1 centroid")
+    graft.functions.DotProduct.register(emb.sparkSession)
+    val dim = centroids.head.size
+    emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull && size(col("__v")) === dim)
+      .withColumn("cluster", kMeansAssign("__v", centroids))
+      .select(col(idCol), col("__v").as(vecCol), col("cluster"))
+  }
+
   /** Final centroids plus the (id, cluster) assignment frame. */
   case class KMeansResult(centroids: IndexedSeq[IndexedSeq[Double]],
                           assignments: DataFrame)

@@ -101,6 +101,17 @@ object EventPack extends QueryPack {
       EventStream.heavyHittersWindowedBatch(Tables.events(s, d),
         "cast(user_id as string)", support = 0.015, windowSec = 86400L)),
 
+    // "top talkers over the last day, every 6 h" — the sliding
+    // composition of the two forms above: exact heavy hitters per
+    // OVERLAPPING window (each event judged against every containing
+    // window's own total); the streaming Misra-Gries twin takes the
+    // same slideSec and is pinned by the EventStreamSpec containment
+    // property
+    "q_event_heavy_sliding" -> ((s, d) =>
+      EventStream.heavyHittersWindowedBatch(Tables.events(s, d),
+        "cast(user_id as string)", support = 0.015, windowSec = 86400L,
+        slideSec = 21600L)),
+
     // blob metadata projection: binary column + typed struct
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.asBlobTable(Tables.documents(s, d), "doc_id", "text")
@@ -422,6 +433,21 @@ object EventPack extends QueryPack {
         |  SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS window_start,
         |    CAST(user_id AS VARCHAR) AS v
         |  FROM events WHERE user_id IS NOT NULL
+        |),
+        |t AS (SELECT window_start, count(*) AS n_window FROM w GROUP BY 1),
+        |c AS (SELECT window_start, v, count(*) AS cnt FROM w GROUP BY 1, 2)
+        |SELECT c.window_start, c.v, c.cnt, t.n_window
+        |FROM c JOIN t USING (window_start)
+        |WHERE cnt >= ceil(0.015 * n_window)""".stripMargin,
+
+    // the sliding form: the q_event_sliding membership explode feeding
+    // the q_event_heavy_window count-vs-ceil cut
+    "q_event_heavy_sliding" ->
+      """WITH w AS (
+        |  SELECT ((epoch_us(ts) // 21600000000) - j) * 21600 AS window_start,
+        |    CAST(user_id AS VARCHAR) AS v
+        |  FROM events, generate_series(0, 3) AS t(j)
+        |  WHERE user_id IS NOT NULL
         |),
         |t AS (SELECT window_start, count(*) AS n_window FROM w GROUP BY 1),
         |c AS (SELECT window_start, v, count(*) AS cnt FROM w GROUP BY 1, 2)

@@ -324,14 +324,21 @@ object EventStream {
     * pre-filter per window; the gate pins this exact form. */
   def heavyHittersWindowedBatch(events: DataFrame, valueExpr: String,
                                 support: Double,
-                                windowSec: Long = 3600L): DataFrame = {
+                                windowSec: Long = 3600L,
+                                slideSec: Long = 0L): DataFrame = {
     require(support > 0 && support < 1,
       s"heavyHittersWindowedBatch needs support in (0,1), got $support")
-    val w = events
-      .select(window(col("ts"), s"$windowSec seconds").as("w"),
-        expr(valueExpr).cast("string").as("v"))
-      .filter(col("v").isNotNull)
-      .select(col("w.start").cast("long").as("window_start"), col("v"))
+    val w = (if (slideSec <= 0L || slideSec == windowSec)
+        events.select(window(col("ts"), s"$windowSec seconds").as("w"),
+            expr(valueExpr).cast("string").as("v"))
+          .select(col("w.start").cast("long").as("window_start"), col("v"))
+      else
+        // sliding: a value counts toward every containing window, so
+        // a hitter's support is judged against each window's own total
+        events.select(expr(valueExpr).cast("string").as("v"), col("ts"))
+          .select(slidingStartsCol(windowSec, slideSec).as("window_start"),
+            col("v"))
+      ).filter(col("v").isNotNull)
     val totals = w.groupBy("window_start").agg(count(lit(1)).as("n_window"))
     w.groupBy("window_start", "v").agg(count(lit(1)).as("cnt"))
       .join(broadcast(totals), Seq("window_start"))
@@ -365,7 +372,8 @@ object EventStream {
   def heavyHittersWindowedStream(spark: SparkSession, dir: String,
                                  valueExpr: String, support: Double,
                                  windowSec: Long = 3600L, counters: Int = 0,
-                                 delay: String = "10 minutes"): DataFrame = {
+                                 delay: String = "10 minutes",
+                                 slideSec: Long = 0L): DataFrame = {
     require(support > 0 && support < 1,
       s"heavyHittersWindowedStream needs support in (0,1), got $support")
     val c = if (counters > 0) counters else math.ceil(2.0 / support).toInt
@@ -375,14 +383,23 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val schema = spark.read.parquet(dir).schema
-    val ev = spark.readStream.schema(schema).parquet(dir)
+    val valued = spark.readStream.schema(schema).parquet(dir)
       .withWatermark("ts", delay)
-      .select(window(col("ts"), s"$windowSec seconds").as("w"),
-        expr(valueExpr).cast("string").as("v"), col("ts"))
+      .select(expr(valueExpr).cast("string").as("v"), col("ts"))
       .filter(col("v").isNotNull)
-      .select(col("w.start").cast("long").as("window_start"), col("v"),
-        col("ts"))
-      .as[HhEvent]
+    // sliding (slideSec < windowSec): a value feeds the MG summary of
+    // ALL dur/slide containing windows — per-window state is still
+    // ≤ c counters, so total state scales by exactly that factor (the
+    // [[kmvWindowedStream]] sliding trade); emit-on-close unchanged
+    val ev = (if (slideSec <= 0L || slideSec == windowSec)
+        valued.select(window(col("ts"), s"$windowSec seconds").as("w"),
+            col("v"), col("ts"))
+          .select(col("w.start").cast("long").as("window_start"), col("v"),
+            col("ts"))
+      else
+        valued.select(slidingStartsCol(windowSec, slideSec)
+            .as("window_start"), col("v"), col("ts"))
+      ).as[HhEvent]
     ev.groupByKey(_.window_start)
       .flatMapGroupsWithState[HhState, HhHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

@@ -329,6 +329,50 @@ class EventStreamSpec extends AnyFunSuite {
       s"expected only the 3 hot values, got ${streamed.keySet}")
   }
 
+  test("sliding Misra-Gries heavy hitters: superset of the sliding exact batch per window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-shh-slide").toString
+    val t0 = 1704067200L // 2024-01-01 00:00 UTC, window-aligned
+    // one hot value x20 + 15 singletons in each half-hour block; hour
+    // windows sliding 30 min put each block in TWO windows, so the
+    // hot values must surface in every containing window
+    val rows = (0 until 2).flatMap { blk =>
+      (Seq.fill(20)(s"hot$blk") ++ (1 to 15).map(i => s"s${blk}_$i"))
+        .zipWithIndex.map { case (v, i) =>
+          (v, t0 + blk * 1800L + 60L + i % 1500)
+        }
+    }
+    rows.toDF("v", "tss")
+      .select(col("v"), expr("timestamp_seconds(tss)").as("ts"))
+      .write.mode("overwrite").parquet(dir)
+    Seq(("zz", t0 + 40L * 24 * 3600)).toDF("v", "tss")
+      .select(col("v"), expr("timestamp_seconds(tss)").as("ts"))
+      .write.mode("append").parquet(dir)
+    val support = 0.2
+    val q = EventStream.heavyHittersWindowedStream(spark, dir, "v",
+        support = support, windowSec = 3600L, counters = 10,
+        delay = "0 seconds", slideSec = 1800L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_shh_slide").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("graft_shh_slide").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val real = spark.read.parquet(dir).filter(col("v") =!= "zz")
+    val exactHH = EventStream.heavyHittersWindowedBatch(
+        real, "v", support, 3600L, slideSec = 1800L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(exactHH.nonEmpty, "fixture produced no sliding HHs — dead test")
+    // a hot value appears as an exact HH in MORE windows than the
+    // tumbling form could show (overlap factor)
+    assert(exactHH.count(_._2 == "hot0") >= 2,
+      s"hot0 should be a HH in >= 2 overlapping windows: $exactHH")
+    // containment: every exact sliding HH was emitted by the stream
+    assert(exactHH.subsetOf(streamed),
+      s"missing from stream: ${exactHH -- streamed}")
+    spark.catalog.clearCache()
+  }
+
   test("streaming as-of enrichment equals the batch as-of join on finite input") {
     import org.apache.spark.sql.functions._
     val dir = Files.createTempDirectory("graft-sasof").toString
