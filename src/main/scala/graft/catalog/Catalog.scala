@@ -233,6 +233,36 @@ final class Catalog(spark: SparkSession, root: String,
         .mode(SaveMode.Overwrite).save(dir)
     }
 
+  /** Append rows into the CURRENT version of a partitioned entry —
+    * incremental maintenance for layout stores (an IVF/LSH index
+    * absorbing late-arriving vectors, a bucketed corpus absorbing a
+    * new crawl slice) where the [[putPartitioned]] alternative
+    * rewrites the whole store for a sliver of new rows. Dynamic
+    * partition append: only the partitions the new rows land in gain
+    * files; existing files are never touched.
+    *
+    * This is the ONE write that mutates a version in place, and the
+    * trade is explicit: concurrent readers planned BEFORE the append
+    * keep their file-list snapshot (parquet scans list files at
+    * planning), readers planned after see the union — the same
+    * monotone-growth semantics as a warehouse table receiving a
+    * partition load, weaker than the immutable-version contract
+    * every other put keeps. The appended frame must carry the
+    * entry's exact schema (same column set and types, `partitionCol`
+    * included) — at scale a silent schema merge across files is a
+    * far worse failure than this require. */
+  def appendPartitioned(name: String, df: DataFrame, partitionCol: String,
+                        options: Map[String, String] = Map.empty): CatalogEntry =
+    synchronized {
+      ensureWriterLock()
+      val e = entries.getOrElse(name,
+        throw new IllegalArgumentException(
+          s"appendPartitioned: no entry '$name' — putPartitioned first"))
+      df.write.format(e.format).options(e.options ++ options)
+        .partitionBy(partitionCol).mode(SaveMode.Append).save(e.path)
+      e
+    }
+
   /** `put` with output files sized for the NEXT reader: repartitions
     * to ceil(estimatedBytes / targetFileBytes) before writing, so a
     * heavily-filtered result doesn't land as thousands of KB-sized

@@ -119,15 +119,18 @@ object Similarity {
     * rerank's float side) without refitting or joining the stored
     * assignments. Null / wrong-dim vectors are dropped, matching the
     * fit population. */
-  def assignedToCentroids(emb: DataFrame, idCol: String, vecCol: String,
+  def assignedToCentroids(emb: DataFrame, vecCol: String,
       centroids: IndexedSeq[IndexedSeq[Double]]): DataFrame = {
     require(centroids.nonEmpty, "assignedToCentroids needs >= 1 centroid")
     graft.functions.DotProduct.register(emb.sparkSession)
     val dim = centroids.head.size
-    emb.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-      .filter(col("__v").isNotNull && size(col("__v")) === dim)
-      .withColumn("cluster", kMeansAssign("__v", centroids))
-      .select(col(idCol), col("__v").as(vecCol), col("cluster"))
+    // every other column passes through UNCHANGED (including the
+    // vector's own float/double type) so the output can append
+    // directly into an existing store's schema; the dot upcasts
+    // per-element, so the assignment equals the fit-time one computed
+    // over the cast copy
+    emb.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .withColumn("cluster", kMeansAssign(vecCol, centroids))
   }
 
   /** Final centroids plus the (id, cluster) assignment frame. */

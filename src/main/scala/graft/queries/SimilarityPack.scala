@@ -157,6 +157,39 @@ object SimilarityPack extends QueryPack {
       out
     }),
 
+    // INCREMENTAL index maintenance end-to-end: fit + store on the
+    // even half of the corpus, then absorb the odd half the way a
+    // standing index absorbs a new crawl slice — assigned to the
+    // EXISTING centroids map-side ([[Similarity.assignedToCentroids]],
+    // no refit) and appended via [[graft.catalog.Catalog
+    // .appendPartitioned]] (only touched cluster partitions gain
+    // files; nothing is rewritten). The probe then runs over the
+    // combined store — partition-pruned exactly like q_ann_ivf_stored
+    // — and the oracle replays probe + membership from the APPENDED
+    // layout's own artifacts, so the hash certifies the append
+    // produced a correct, probeable index. (Centroid drift is the
+    // documented trade: refit offline when recall decays.)
+    "q_ann_ivf_append" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val km = Similarity.kMeans(base, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      val cat = new graft.catalog.Catalog(s, storeRoot("ivfappend", d))
+      cat.putPartitioned("ann_ivf_append",
+        base.join(km.assignments, "vec_id"), "cluster")
+      cat.appendPartitioned("ann_ivf_append",
+        Similarity.assignedToCentroids(
+          emb.filter(col("vec_id") % 2 =!= 0), "embedding", km.centroids),
+        "cluster")
+      val stored = cat.get("ann_ivf_append")
+      writeIvfAppendGateArtifacts(s, stored, km.centroids)
+      val out = Similarity.ivfTopKStored(stored, "vec_id",
+        "embedding", "cluster", km.centroids, queryVec, k = 10, nprobe = 3)
+      cat.close()
+      out
+    }),
+
     // the full production layout end-to-end: bucket + int8-quantize,
     // write partitioned by bucket, probe the re-read store — pruned
     // scan over 4×-smaller vectors, one rescale multiply per row
@@ -444,7 +477,7 @@ object SimilarityPack extends QueryPack {
       })
       val cat = new graft.catalog.Catalog(s, storeRoot("ivfpqstore", d))
       val floats = Similarity.assignedToCentroids(
-        Tables.embeddings(s, d), "vec_id", "embedding", centroids)
+        Tables.embeddings(s, d), "embedding", centroids)
       Similarity.ivfPqTopKReranked(cat.get("ann_ivfpq_store"), floats,
         "vec_id", "embedding", centroids, model, queryVec, topK = 10,
         nprobe = 3, shortlistFactor = 4)
@@ -573,6 +606,26 @@ object SimilarityPack extends QueryPack {
     * gate contract as the stores: only the Verify-form query writes
     * here, immediately before its oracle is replayed. */
   private val gateStoreRoot = "/tmp/graft-gate-store/ivf"
+
+  /** Fixed root for the q_ann_ivf_append oracle-replay artifacts
+    * (same non-temp, overwrite-in-place, single-writer contract). */
+  private val ivfAppendGateRoot = "/tmp/graft-gate-store/ivfappend"
+
+  /** The q_ann_ivf_append oracle's inputs: the even-half-fit centroids
+    * and the APPENDED store's own (vec_id, cluster) — read back from
+    * the store, so the artifact certifies what the append actually
+    * landed (base + assigned-without-refit rows). */
+  private def writeIvfAppendGateArtifacts(s: SparkSession, stored: DataFrame,
+      centroids: IndexedSeq[IndexedSeq[Double]]): Unit = {
+    import org.apache.spark.sql.functions.col
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$ivfAppendGateRoot/centroids.parquet")
+    stored.select(col("vec_id"), col("cluster"))
+      .write.mode("overwrite").parquet(s"$ivfAppendGateRoot/assignments.parquet")
+  }
 
   /** Persist the two data-dependent inputs the q_ann_ivf_stored
     * oracle needs: the fitted centroids and the layout's per-vector
@@ -789,6 +842,33 @@ object SimilarityPack extends QueryPack {
            |a AS (
            |  SELECT vec_id, cluster
            |  FROM read_parquet('$gateStoreRoot/assignments.parquet/*.parquet')
+           |)
+           |SELECT vec_id, round(sim, 4) AS sim FROM (
+           |  SELECT e.vec_id,
+           |    list_dot_product(CAST(e.embedding AS DOUBLE[]),
+           |                     CAST($lit AS DOUBLE[])) AS sim
+           |  FROM embeddings e JOIN a ON a.vec_id = e.vec_id
+           |  WHERE a.cluster IN (SELECT cluster FROM probed)
+           |  ORDER BY sim DESC, e.vec_id LIMIT 10
+           |)""".stripMargin,
+      // the q_ann_ivf_stored replay over the APPENDED layout's own
+      // artifacts: probe + membership come from the post-append
+      // store, so the hash certifies the no-refit append (the
+      // even-half centroids, EVERY row's cluster, pruned probe)
+      "q_ann_ivf_append" ->
+        s"""WITH cent AS (
+           |  SELECT cluster, centroid
+           |  FROM read_parquet('$ivfAppendGateRoot/centroids.parquet/*.parquet')
+           |),
+           |probed AS (
+           |  SELECT cluster FROM cent
+           |  ORDER BY list_dot_product(CAST(centroid AS DOUBLE[]),
+           |                            CAST($lit AS DOUBLE[])) DESC, cluster
+           |  LIMIT 3
+           |),
+           |a AS (
+           |  SELECT vec_id, cluster
+           |  FROM read_parquet('$ivfAppendGateRoot/assignments.parquet/*.parquet')
            |)
            |SELECT vec_id, round(sim, 4) AS sim FROM (
            |  SELECT e.vec_id,

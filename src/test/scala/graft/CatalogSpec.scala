@@ -115,6 +115,43 @@ class CatalogSpec extends AnyFunSuite {
       plan.contains("isnotnull(part"), s"expected partition pruning in:\n$plan")
   }
 
+  test("appendPartitioned: exact union on read-back, untouched partitions keep their files") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val base = Seq((1, "a"), (2, "b"), (3, "a")).toDF("id", "part")
+    val entry = cat.putPartitioned("parted", base, "part")
+    def files(p: String): Set[String] = {
+      val d = java.nio.file.Paths.get(entry.path, s"part=$p")
+      if (!java.nio.file.Files.exists(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try s.toArray.map(_.toString.split('/').last)
+          .filter(_.endsWith(".parquet")).toSet
+        finally s.close()
+      }
+    }
+    val aBefore = files("a")
+    val bBefore = files("b")
+    assert(aBefore.nonEmpty && bBefore.nonEmpty)
+    // append touches ONLY part=b and the new part=c
+    cat.appendPartitioned("parted",
+      Seq((4, "b"), (5, "c")).toDF("id", "part"), "part")
+    assert(files("a") === aBefore, "untouched partition files must not change")
+    assert(files("b").size > bBefore.size, "appended partition gains files")
+    assert(bBefore.subsetOf(files("b")), "existing files never rewritten")
+    assert(files("c").nonEmpty, "new partition value materializes")
+    // read-back is the exact union; pruning still works post-append
+    val got = cat.get("parted")
+    assert(got.collect().map(r => (r.getAs[Int]("id"), r.getAs[String]("part")))
+      .toSet === Set((1, "a"), (2, "b"), (3, "a"), (4, "b"), (5, "c")))
+    val plan = got.filter($"part" === "b").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"pruning lost after append:\n$plan")
+    // appending to a name that was never put is an error, not a create
+    intercept[IllegalArgumentException] {
+      cat.appendPartitioned("never_put", base, "part")
+    }
+  }
+
   test("putCompacted sizes the file count to the data, not the shuffle width") {
     val (cat, _) = freshCatalog()
     // 60000-row lineitem scan arrives pre-split; a naive put would
