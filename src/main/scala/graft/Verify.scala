@@ -54,7 +54,10 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query names — dev subset runs
+    // (the driver always calls with 2 args = the full suite)
+    val Array(sfDir, outDir) = args.take(2)
+    val subset = args.drop(2).headOption.map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -63,7 +66,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val failures = runQueries(spark, sfDir, outDir, SparkEntry.queries)
+    val qs = subset.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
+    val failures = runQueries(spark, sfDir, outDir, qs)
     writeArtifacts(outDir, SparkEntry.oracleSql, failures)
     spark.stop()
     if (failures.nonEmpty) {

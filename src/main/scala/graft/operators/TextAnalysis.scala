@@ -797,6 +797,18 @@ object TextAnalysis {
           / col("n_grams").cast("double"), 6).as("novelty"))
   }
 
+  /** The BPE symbol markers: U+001F opens and U+001E closes each
+    * symbol (chr(31)/chr(30) in the oracle), both outside every
+    * printable corpus alphabet. Two markers, not one shared
+    * delimiter: the merge pattern ends at r's CLOSE marker and the
+    * next occurrence starts at its own OPEN marker, so back-to-back
+    * occurrences never share a character and one left-to-right
+    * non-overlapping replace() pass IS exactly BPE's greedy merge
+    * (see [[bpeMerges]]). Shared by training and [[bpeWordPieces]]
+    * application — one wire format, one replay. */
+  private[graft] val BpeOpen = "\u001f"
+  private[graft] val BpeClose = "\u001e"
+
   /** BPE MERGE-TABLE training — the tokenizer-vocabulary induction
     * step of a training-data pipeline, as a deterministic Spark loop:
     * classic byte-pair encoding over the corpus's word-frequency
@@ -837,8 +849,8 @@ object TextAnalysis {
     // the oracle; both outside every printable corpus alphabet. Two
     // markers, not one shared delimiter: see the Scaladoc, this is
     // what makes one replace() pass exact on back-to-back runs.
-    val o = "\u001f"
-    val cl = "\u001e"
+    val o = BpeOpen
+    val cl = BpeClose
     val sp = docs.sparkSession
     import sp.implicits._
     var cur = docs
@@ -883,6 +895,92 @@ object TextAnalysis {
       }
     }
     out.toSeq.toDF("rank", "left", "right", "pair_cnt")
+  }
+
+  /** BPE ENCODE — apply a trained merge table ([[bpeMerges]] output)
+    * to a word dictionary: each merge is replayed ONCE, in rank
+    * order, as the same marker-wrapped `replace()` the trainer runs.
+    * That makes the semantics exact by construction: encoding the
+    * training corpus reproduces the trainer's final dictionary state
+    * segmentation bit-for-bit (the trainer IS this rewrite sequence
+    * applied to the same dictionary), and OOV words get the identical
+    * one-pass-in-rank-order rule. The deliberate divergence from
+    * Sennrich's re-scan encoder: a pair RE-EXPOSED by a later merge
+    * (rank-5's product landing adjacent to a rank-3 operand) is not
+    * re-merged — re-scanning would make encode disagree with the
+    * trainer's own segmentation of the very corpus it trained on,
+    * which is the wrong trade for corpus token accounting.
+    *
+    * Scale shape: all work is DICTIONARY-sized (distinct words, i.e.
+    * the corpus vocabulary — millions of rows at 100 TB, not
+    * trillions), and the merge table rides into the plan as literal
+    * `replace()` chains, `chunkSize` merges per projection with a
+    * localCheckpoint between chunks so a 50k-merge production vocab
+    * neither builds one 50k-deep expression tree (codegen/analysis
+    * blowup) nor stacks 50k plan nodes. The merge-table collect is a
+    * bounded model-artifact fetch (vocab-sized — the k-means
+    * centroid-read precedent).
+    *
+    * Returns (w, pieces array<string>, n_pieces) — the encode
+    * dictionary; join it to any (doc, word) exploded frame. */
+  def bpeWordPieces(words: DataFrame, wordCol: String,
+                    mergeTable: DataFrame,
+                    chunkSize: Int = 64): DataFrame = {
+    require(chunkSize >= 1, "bpeWordPieces needs chunkSize >= 1")
+    val o = BpeOpen
+    val cl = BpeClose
+    val ms = mergeTable.select("rank", "left", "right").orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    var cur = words
+      .select(col(wordCol).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("repr", array_join(expr(
+        s"transform(sequence(1, length(w)), i -> concat('$o', substr(w, i, 1), '$cl'))"),
+        ""))
+    val chunks = ms.grouped(chunkSize).toSeq
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val replaced = chunk.foldLeft(col("repr")) { case (c, (l, r)) =>
+        call_function("replace", c,
+          lit(o + l + cl + o + r + cl), lit(o + l + r + cl))
+      }
+      cur = cur.withColumn("repr", replaced)
+      if (i < chunks.size - 1) cur = cur.localCheckpoint()
+    }
+    cur.select(col("w"),
+      expr(s"filter(split(translate(repr, '$cl', '$o'), '$o'), x -> x != '')")
+        .as("pieces"))
+      .withColumn("n_pieces", size(col("pieces")))
+  }
+
+  /** Tokenizer-TRUE per-doc token counts under a trained BPE vocab —
+    * the number the pipeline's budgets, mix ratios and packing caps
+    * should be denominated in ([[tokenCount]] counts whitespace
+    * words; [[tokenEstimate]] guesses chars/4; this COUNTS what the
+    * tokenizer actually emits). One corpus pass explodes to
+    * (doc, word, count), the [[bpeWordPieces]] dictionary is built
+    * over the distinct words only, and a word-key equi-join + one
+    * partial-agg shuffle produces per-doc sums — the corpus-sized
+    * side never carries piece arrays, just one long per (doc, word).
+    * Docs with no words (empty/null text) count 0. Same single-space
+    * tokenizer as the trainer, so dictionary coverage is total —
+    * every corpus word hits the dictionary by construction. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String, textCol: String,
+                     mergeTable: DataFrame,
+                     chunkSize: Int = 64): DataFrame = {
+    val dw = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("c"))
+    val dict = bpeWordPieces(dw.select("w"), "w", mergeTable, chunkSize)
+      .select(col("w"), col("n_pieces"))
+    val sums = dw.join(dict, "w")
+      .groupBy(col(idCol))
+      .agg(sum(col("c") * col("n_pieces")).as("__bpe"))
+    docs.select(col(idCol))
+      .join(sums, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__bpe"), lit(0L)).as("bpe_tokens"))
   }
 
   /** Distribution DRIFT between two corpora — exact total-variation

@@ -218,6 +218,31 @@ object TextPack extends QueryPack {
     "q_bpe_vocab" -> ((s, d) =>
       TextAnalysis.bpeMerges(Tables.documents(s, d), "text", merges = 8)),
 
+    // BPE ENCODE: the trained merge table APPLIED back to the corpus
+    // — tokenizer-true per-doc token counts (what budgets and mix
+    // ratios should be denominated in). All heavy work is
+    // dictionary-sized; the whole train+apply round trip sits under
+    // the hash gate via the same staged-CTE replay as q_bpe_vocab
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        TextAnalysis.bpeMerges(docs, "text", merges = 8))
+    }),
+
+    // q_token_budget_mix's tokenizer-true twin: the same prefix rule,
+    // but budgets denominated in BPE tokens under the trained vocab
+    // instead of whitespace word counts
+    "q_token_budget_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        TextAnalysis.bpeMerges(docs, "text", merges = 8))
+      graft.operators.Sampling.tokenBudgetSample(
+          docs.join(counts, "doc_id"), "source", "doc_id",
+          col("bpe_tokens"),
+          Map("src0" -> 3000L, "src1" -> 4500L), defaultBudget = 1500L)
+        .select("doc_id", "source")
+    }),
+
     // corpus-version DRIFT: exact total-variation distance over
     // unigram frequencies between the corpus and its partially
     // rewritten next version (the q_corpus_diff construction), plus
@@ -462,6 +487,63 @@ object TextPack extends QueryPack {
     }),
   )
 
+  /** Shared CTE prefix for the BPE ENCODE oracles: the q_bpe_vocab
+    * training replay with the WORD carried through every rewrite
+    * stage (the trainer's s_i keep only (cnt, repr); encode needs
+    * w -> final repr), ending in `dict` (w, n_pieces), `dw`
+    * (doc_id, w, c) and `cnts` (doc_id, bpe_tokens). Applying each
+    * merge once in rank order IS the trainer's rewrite sequence --
+    * the exact semantics TextAnalysis.bpeWordPieces implements. */
+  private def bpeEncodeCtes(merges: Int): String = {
+    val stages = (1 to merges).map { i =>
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, list_filter(
+         |          string_split(replace(repr, chr(30), chr(31)), chr(31)),
+         |          x -> x != '') AS syms FROM s${i - 1}),
+         |       unnest(range(1, greatest(len(syms), 1))) AS t(i)
+         |  GROUP BY 1, 2
+         |),
+         |m$i AS MATERIALIZED (
+         |  SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1
+         |),
+         |s$i AS MATERIALIZED (
+         |  SELECT w, cnt, replace(repr,
+         |    chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+         |    chr(31) || m.l || m.r || chr(30)) AS repr
+         |  FROM s${i - 1}, m$i m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""w AS (
+       |  SELECT w, count(*) AS cnt FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w != '' GROUP BY 1
+       |),
+       |s0 AS MATERIALIZED (
+       |  SELECT w, cnt, array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> chr(31) || w[i] || chr(30)), '') AS repr
+       |  FROM w
+       |),
+       |$stages,
+       |dict AS (
+       |  SELECT w, len(list_filter(
+       |    string_split(replace(repr, chr(30), chr(31)), chr(31)),
+       |    x -> x != '')) AS n_pieces
+       |  FROM s$merges
+       |),
+       |dw AS (
+       |  SELECT doc_id, w, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |    FROM documents)
+       |  WHERE w != '' GROUP BY 1, 2
+       |),
+       |cnts AS (
+       |  SELECT doc_id, CAST(sum(c * n_pieces) AS BIGINT) AS bpe_tokens
+       |  FROM dw JOIN dict USING (w) GROUP BY 1
+       |)""".stripMargin
+  }
+
   private val stop = "('the', 'a', 'an', 'of', 'and', 'to', 'in', 'is', 'for', 'on')"
 
   override def oracleSql: Map[String, String] = Map(
@@ -665,6 +747,36 @@ object TextPack extends QueryPack {
          |$union
          |) ORDER BY rank""".stripMargin
     },
+
+    // the train+apply round trip replayed: the same staged merge CTEs
+    // with the word carried through, final dictionary piece counts
+    // joined back per doc (LEFT JOIN: wordless docs count 0)
+    "q_bpe_encode" ->
+      s"""WITH ${bpeEncodeCtes(8)}
+         |SELECT d.doc_id,
+         |  coalesce(cnts.bpe_tokens, CAST(0 AS BIGINT)) AS bpe_tokens
+         |FROM documents d LEFT JOIN cnts ON d.doc_id = cnts.doc_id""".stripMargin,
+
+    // the q_token_budget_mix prefix rule with the BPE-token counts as
+    // the budget unit: same md5 order, same inclusive cumulative sum
+    "q_token_budget_bpe" ->
+      s"""WITH ${bpeEncodeCtes(8)},
+         |t AS (
+         |  SELECT d.doc_id, d.source,
+         |    coalesce(cnts.bpe_tokens, CAST(0 AS BIGINT)) AS tok,
+         |    md5(coalesce(CAST(d.source AS VARCHAR), '')
+         |        || '#' || CAST(d.doc_id AS VARCHAR)) AS sk
+         |  FROM documents d LEFT JOIN cnts ON d.doc_id = cnts.doc_id
+         |),
+         |c AS (
+         |  SELECT doc_id, source,
+         |    sum(tok) OVER (PARTITION BY source ORDER BY sk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM t
+         |)
+         |SELECT doc_id, source FROM c
+         |WHERE cum <= CASE source WHEN 'src0' THEN 3000
+         |                         WHEN 'src1' THEN 4500 ELSE 1500 END""".stripMargin,
 
     // TV drift replayed: same ' ' tokenizer, full-outer term join,
     // HUGEINT cross-multiplication (the DECIMAL(38,0) twin), one

@@ -300,6 +300,71 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(got(1) === ((2, "na", "na", 10L)))
   }
 
+  /** Naive one-pass-in-rank-order merge application — the encode
+    * semantics bpeWordPieces promises (each merge applied once,
+    * leftmost-non-overlapping, in rank order: the trainer's own
+    * rewrite sequence). */
+  private def refApply(word: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(word.map(_.toString).toVector) { case (s0, (l, r)) =>
+      val b = Vector.newBuilder[String]; var i = 0
+      while (i < s0.length) {
+        if (i + 1 < s0.length && s0(i) == l && s0(i + 1) == r) {
+          b += l + r; i += 2
+        } else { b += s0(i); i += 1 }
+      }
+      b.result()
+    }
+
+  test("bpeWordPieces: encode == the trainer's final segmentation; OOV by the same rule") {
+    val spark2 = spark
+    import spark2.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val table = TextAnalysis.bpeMerges(docs, "text", merges = 6)
+    val ms = table.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    // corpus words + OOV words (never trained): same one-pass rule
+    val words = Seq("low", "lower", "newest", "widest",
+      "lowest", "wes", "x", "estest").toDF("w")
+    val got = TextAnalysis.bpeWordPieces(words, "w", table)
+      .collect().map(r => r.getAs[String]("w") ->
+        (r.getAs[scala.collection.Seq[String]]("pieces").toVector,
+          r.getAs[Int]("n_pieces"))).toMap
+    for (w <- Seq("low", "lower", "newest", "widest", "lowest", "wes", "x", "estest")) {
+      val exp = refApply(w, ms)
+      assert(got(w)._1 === exp, s"pieces of '$w'")
+      assert(got(w)._2 === exp.length, s"n_pieces of '$w'")
+    }
+    // chunkSize=1 (a localCheckpoint between every merge — the 50k-
+    // merge production path) must be bit-identical to one chunk
+    val chunked = TextAnalysis.bpeWordPieces(words, "w", table, chunkSize = 1)
+      .collect().map(r => r.getAs[String]("w") ->
+        r.getAs[scala.collection.Seq[String]]("pieces").toVector).toMap
+    assert(chunked === got.view.mapValues(_._1).toMap)
+  }
+
+  test("bpeTokenCounts: per-doc sums under the trained vocab; empty docs count 0") {
+    val spark2 = spark
+    import spark2.implicits._
+    val corpus = Seq(
+      (1L, "low low lower newest"),
+      (2L, "widest newest newest"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val table = TextAnalysis.bpeMerges(corpus, "text", merges = 4)
+    val ms = table.orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left"), r.getAs[String]("right"))).toSeq
+    val got = TextAnalysis.bpeTokenCounts(corpus, "doc_id", "text", table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def n(w: String) = refApply(w, ms).length.toLong
+    assert(got(1L) === 2 * n("low") + n("lower") + n("newest"))
+    assert(got(2L) === n("widest") + 2 * n("newest"))
+    assert(got(3L) === 0L, "empty text counts 0")
+    assert(got(4L) === 0L, "null text counts 0")
+    assert(got.size === 4, "every doc present")
+  }
+
   test("piiStats counts emails, phones and urls, zero on clean text") {
     val spark2 = spark
     import spark2.implicits._
