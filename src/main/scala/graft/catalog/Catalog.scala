@@ -4,7 +4,7 @@ import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, min}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, max, min, pmod, xxhash64}
 
 /** One catalog entry: where a named dataset lives and (simulated)
   * which hosts replicate it. On a real cluster the path would sit on
@@ -228,7 +228,12 @@ final class Catalog(spark: SparkSession, root: String,
   def putPartitioned(name: String, df: DataFrame, partitionCol: String,
                      format: String = "parquet",
                      options: Map[String, String] = Map.empty): CatalogEntry =
-    writeVersioned(name, format, options) { dir =>
+    // the partition column rides the entry (manifest-persisted, under
+    // a reserved graft.* key Spark sources ignore) so appendPartitioned
+    // and compactPartitioned can VALIDATE against it instead of
+    // trusting the caller to remember the layout
+    writeVersioned(name, format,
+      options + (Catalog.PartitionColKey -> partitionCol)) { dir =>
       df.write.format(format).options(options).partitionBy(partitionCol)
         .mode(SaveMode.Overwrite).save(dir)
     }
@@ -258,10 +263,134 @@ final class Catalog(spark: SparkSession, root: String,
       val e = entries.getOrElse(name,
         throw new IllegalArgumentException(
           s"appendPartitioned: no entry '$name' — putPartitioned first"))
+      // the layout checks the doc promises: the partition column must
+      // be the one the entry was put with, and the appended frame must
+      // carry the stored schema (same column names; same types for the
+      // data columns — the partition column is name-only because
+      // read-back re-infers its type from directory names). A silent
+      // mixed-schema append poisons every later read of the store.
+      e.options.get(Catalog.PartitionColKey).foreach { stored =>
+        require(stored == partitionCol,
+          s"appendPartitioned($name): entry is partitioned by '$stored', " +
+            s"not '$partitionCol'")
+      }
+      val stored = spark.read.format(e.format).options(e.options)
+        .load(e.path).schema
+      val dfTypes = df.schema.fields.map(f => f.name -> f.dataType).toMap
+      require(dfTypes.keySet == stored.fields.map(_.name).toSet,
+        s"appendPartitioned($name): column set mismatch — stored " +
+          s"${stored.fields.map(_.name).sorted.mkString("[", ", ", "]")} vs " +
+          s"appended ${df.schema.fields.map(_.name).sorted.mkString("[", ", ", "]")}")
+      stored.fields.filter(_.name != partitionCol).foreach { f =>
+        require(dfTypes(f.name) == f.dataType,
+          s"appendPartitioned($name): column '${f.name}' is ${f.dataType} " +
+            s"in the store but ${dfTypes(f.name)} in the appended frame")
+      }
       df.write.format(e.format).options(e.options ++ options)
         .partitionBy(partitionCol).mode(SaveMode.Append).save(e.path)
       e
     }
+
+  /** Fragmentation visibility for the [[filetable]] surface: data
+    * file count, total bytes, and first-level partition-directory
+    * count of an entry's CURRENT version — the number a maintenance
+    * loop watches to decide when [[compactPartitioned]] is due
+    * (every [[appendPartitioned]] adds files forever; scan planning
+    * cost is governed by file COUNT). Driver-side FS metadata walk,
+    * same class of work as Spark's own file-listing at planning. */
+  def fileStats(name: String): Catalog.FileStats = {
+    val e = entries.getOrElse(name,
+      throw new NoSuchElementException(s"no such dataset: $name"))
+    val root = Paths.get(e.path)
+    if (!Files.exists(root)) Catalog.FileStats(0L, 0L, 0)
+    else {
+      val files = {
+        val st = Files.walk(root)
+        try st.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            !p.getFileName.toString.startsWith("_") &&
+            !p.getFileName.toString.startsWith("."))
+          .map(Files.size(_)).toSeq
+        finally st.close()
+      }
+      val parts = {
+        val st = Files.list(root)
+        try st.iterator().asScala
+          .count(p => Files.isDirectory(p) &&
+            p.getFileName.toString.contains("="))
+        finally st.close()
+      }
+      Catalog.FileStats(files.size.toLong, files.sum, parts)
+    }
+  }
+
+  /** COMPACTION — the maintenance op that closes the
+    * [[appendPartitioned]] loop: after many append slices a partition
+    * is thousands of small files (the classic warehouse failure —
+    * footer/open overhead and listing time degrade scan planning).
+    * Rewrites the whole entry into a FRESH version (the normal
+    * immutable pointer-swap contract — readers planned against the
+    * old version finish on intact files; this is NOT an in-place
+    * write) with each partition's rows landing in
+    * ceil(partitionBytes / targetFileBytes) files.
+    *
+    * Per-partition file targets come from the on-disk byte sizes (a
+    * driver FS walk, partition-count-bounded), ride a broadcast join
+    * back onto the data keyed by the partition value, and a
+    * `repartition(partitionCol, bucket)` gives the dynamic-partition
+    * writer one task per (partition, bucket) — no task writes more
+    * than a handful of files, no partition exceeds its target count
+    * (hash collisions can only MERGE buckets, never split them).
+    * On-disk bytes are already compressed, so no compression-ratio
+    * correction is needed (unlike [[putCompacted]], whose estimate is
+    * the uncompressed plan statistic). */
+  def compactPartitioned(name: String,
+                         targetFileBytes: Long = 128L << 20): CatalogEntry = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val e = entries.getOrElse(name,
+      throw new NoSuchElementException(s"no such dataset: $name"))
+    val partitionCol = e.options.getOrElse(Catalog.PartitionColKey,
+      throw new IllegalArgumentException(
+        s"compactPartitioned($name): entry has no recorded partition " +
+          "column — only putPartitioned entries compact (use putCompacted " +
+          "for flat layouts)"))
+    val root = Paths.get(e.path)
+    // (partition value as unescaped string, target file count)
+    val spreads: Seq[(String, Int)] = {
+      val st = Files.list(root)
+      try st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$partitionCol="))
+        .map { p =>
+          val v = Catalog.unescapePathName(
+            p.getFileName.toString.drop(partitionCol.length + 1))
+          val bytes = Catalog.diskBytes(p)
+          val n = ((bytes + targetFileBytes - 1) / targetFileBytes)
+            .max(1).min(1 << 16).toInt
+          (v, n)
+        }.toSeq
+      finally st.close()
+    }
+    val df = get(name)
+    val sp = df.sparkSession
+    import sp.implicits._
+    val spreadDf = spreads.toDF("__pv", "__nf")
+    val dataCols = df.columns.filter(_ != partitionCol).map(col).toSeq
+    val rowHash = if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols: _*)
+    val bucketed = df
+      .join(broadcast(spreadDf),
+        col(partitionCol).cast("string") === col("__pv"), "left")
+      .withColumn("__b",
+        pmod(rowHash, coalesce(col("__nf"), lit(1)).cast("long")))
+    val width = spreads.map(_._2.toLong).sum.max(1L).min(1L << 16).toInt
+    val compacted = bucketed
+      .repartition(width, col(partitionCol), col("__b"))
+      .drop("__pv", "__nf", "__b")
+    writeVersioned(name, e.format, e.options) { dir =>
+      compacted.write.format(e.format).options(e.options)
+        .partitionBy(partitionCol).mode(SaveMode.Overwrite).save(dir)
+    }
+  }
 
   /** `put` with output files sized for the NEXT reader: repartitions
     * to ceil(estimatedBytes / targetFileBytes) before writing, so a
@@ -552,6 +681,37 @@ final class Catalog(spark: SparkSession, root: String,
 }
 
 object Catalog {
+
+  /** Reserved entry-option key recording a partitioned entry's
+    * partition column (Spark sources ignore unknown options, so it
+    * rides the normal options map and the manifest for free). */
+  val PartitionColKey = "graft.partitionBy"
+
+  /** [[Catalog.fileStats]] row: data-file count, data bytes, and
+    * first-level partition-directory count of an entry's current
+    * version. */
+  final case class FileStats(files: Long, bytes: Long, partitions: Int)
+
+  /** Inverse of Spark's partition-directory escaping (%XX of each
+    * special char — ExternalCatalogUtils.escapePathName): decodes
+    * `%2F` etc. back to the raw partition VALUE so [[Catalog
+    * .compactPartitioned]] can equi-join directory listings against
+    * the data's own column values. */
+  private[catalog] def unescapePathName(s: String): String = {
+    val b = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        val hex = s.substring(i + 1, i + 3)
+        val ok = hex.forall(ch => ch.isDigit ||
+          (ch >= 'A' && ch <= 'F') || (ch >= 'a' && ch <= 'f'))
+        if (ok) { b.append(Integer.parseInt(hex, 16).toChar); i += 3 }
+        else { b.append(c); i += 1 }
+      } else { b.append(c); i += 1 }
+    }
+    b.toString
+  }
   /** Stand-in for the reference's 10-VM membership list
     * (fileserver.py:22-25) when no host list is supplied. */
   val defaultHosts: Seq[String] = (1 to 10).map(i => f"node$i%02d")

@@ -86,6 +86,34 @@ object CatalogPack extends QueryPack {
       cat.close()
       out
     }),
+    // the append-then-compact maintenance loop end-to-end: a
+    // partitioned store absorbs an append slice (file count grows),
+    // compactPartitioned rewrites it into a fresh sized version (file
+    // count collapses — asserted via fileStats), and the gate hash
+    // proves the whole loop is read-invariant against DuckDB reading
+    // the source parquet directly
+    "q_catalog_compact" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val cat = new Catalog(s, storeRoot("compact", d))
+      val docs = Tables.documents(s, d).select("doc_id", "text", "source")
+      // split on doc_id%40 (source is doc_id%20 in this data, so a %2
+      // split would hand each half DISJOINT partitions and nothing
+      // would fragment) — this way every partition gets files from
+      // BOTH the put and the append
+      cat.putPartitioned("docs_c", docs.filter(col("doc_id") % 40 < 20),
+        "source")
+      cat.appendPartitioned("docs_c", docs.filter(col("doc_id") % 40 >= 20),
+        "source")
+      val frag = cat.fileStats("docs_c")
+      cat.compactPartitioned("docs_c", targetFileBytes = 8L << 20)
+      val stats = cat.fileStats("docs_c")
+      require(stats.files < frag.files,
+        s"compaction must reduce file count: $frag -> $stats")
+      val out = cat.get("docs_c").select("doc_id", "text", "source")
+      cat.close()
+      out
+    }),
+
     // ORC round trip — the other columnar interchange format Spark
     // ships natively (Hive-ecosystem handoff): schema and integer
     // widths survive in-format (no casts, unlike CSV/JSON), so a
@@ -110,6 +138,8 @@ object CatalogPack extends QueryPack {
     "q_source_csv" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     "q_source_orc" ->
+      "SELECT doc_id, text, source FROM documents",
+    "q_catalog_compact" ->
       "SELECT doc_id, text, source FROM documents",
   )
 }

@@ -152,6 +152,97 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("appendPartitioned enforces the stored layout: column set, types, partition column") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val base = Seq((1, "x", "a"), (2, "y", "b")).toDF("id", "v", "part")
+    cat.putPartitioned("parted", base, "part")
+    // wrong partition column
+    intercept[IllegalArgumentException] {
+      cat.appendPartitioned("parted",
+        Seq((3, "z", "c")).toDF("id", "v", "part"), "v")
+    }
+    // missing / extra columns
+    intercept[IllegalArgumentException] {
+      cat.appendPartitioned("parted", Seq((3, "c")).toDF("id", "part"), "part")
+    }
+    intercept[IllegalArgumentException] {
+      cat.appendPartitioned("parted",
+        Seq((3, "z", 1.0, "c")).toDF("id", "v", "extra", "part"), "part")
+    }
+    // wrong data-column type (id long, store has int)
+    intercept[IllegalArgumentException] {
+      cat.appendPartitioned("parted",
+        Seq((3L, "z", "c")).toDF("id", "v", "part"), "part")
+    }
+    // a conforming frame still appends
+    cat.appendPartitioned("parted", Seq((3, "z", "c")).toDF("id", "v", "part"), "part")
+    assert(cat.get("parted").count() === 3L)
+  }
+
+  test("compactPartitioned: append fragmentation collapses, reads identical, fresh version") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    def slice(lo: Int, hi: Int) =
+      (lo until hi).map(i => (i, s"v$i", s"p${i % 3}")).toDF("id", "v", "part")
+    val before = cat.putPartitioned("parted", slice(0, 20), "part")
+    // five append slices: file count grows with every one
+    (1 to 5).foreach(k => cat.appendPartitioned("parted",
+      slice(20 * k, 20 * (k + 1)), "part"))
+    val frag = cat.fileStats("parted")
+    assert(frag.partitions === 3)
+    assert(frag.files >= 6 * 3 / 2,
+      s"expected per-append file growth, got $frag") // >= 1 file per slice-partition touch
+    val rowsBefore = cat.get("parted").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("v"), r.getAs[String]("part")))
+      .sortBy(_._1)
+    val after = cat.compactPartitioned("parted", targetFileBytes = 64L << 20)
+    // fresh version: compaction keeps the immutable pointer-swap
+    // contract, never rewrites in place
+    assert(after.path !== before.path)
+    val stats = cat.fileStats("parted")
+    assert(stats.partitions === 3)
+    assert(stats.files === 3L,
+      s"tiny partitions must collapse to one file each, got $stats")
+    val rowsAfter = cat.get("parted").collect()
+      .map(r => (r.getAs[Int]("id"), r.getAs[String]("v"), r.getAs[String]("part")))
+      .sortBy(_._1)
+    assert(rowsAfter === rowsBefore, "compaction must be read-invariant")
+    // pruning still works on the compacted layout
+    val plan = cat.get("parted").filter($"part" === "p1")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"pruning lost after compact:\n$plan")
+    // partition column still recorded: a second compact round-trips
+    assert(cat.compactPartitioned("parted").path !== after.path)
+    assert(cat.get("parted").count() === 120L)
+  }
+
+  test("compactPartitioned honors targetFileBytes (multi-file partitions) and escaped values") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // partition values that need %XX path escaping, plus enough bytes
+    // per partition to force >1 target file at a tiny targetFileBytes
+    val df = (0 until 4000)
+      .map(i => (i, "x" * 64, if (i % 2 == 0) "a/b" else "c d"))
+      .toDF("id", "v", "part")
+    cat.putPartitioned("parted", df, "part")
+    val bytes = cat.fileStats("parted").bytes
+    val target = bytes / 6 // ~3 files per partition
+    val e = cat.compactPartitioned("parted", targetFileBytes = target)
+    val stats = cat.fileStats("parted")
+    assert(stats.files > 2 && stats.files <= 12,
+      s"expected a handful of sized files, got $stats")
+    // the escaped-directory join matched: every row survived
+    assert(cat.get("parted").count() === 4000L)
+    assert(cat.get("parted").groupBy("part").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      Map("a/b" -> 2000L, "c d" -> 2000L))
+    // compaction on a flat entry is a contract error
+    cat.put("flat", Seq(1).toDF("x"))
+    intercept[IllegalArgumentException](cat.compactPartitioned("flat"))
+    assert(e.options.get(Catalog.PartitionColKey) === Some("part"))
+  }
+
   test("putCompacted sizes the file count to the data, not the shuffle width") {
     val (cat, _) = freshCatalog()
     // 60000-row lineitem scan arrives pre-split; a naive put would
