@@ -138,15 +138,21 @@ object EventStream {
     * assignment must be an explicit column — the KMV stream keys
     * flatMapGroupsWithState state by window start, and `window(ts,
     * dur, slide)` only resolves under an aggregation. */
-  private def slidingStartsCol(durSec: Long, slideSec: Long): Column = {
+  private[graft] def slidingStartsCol(durSec: Long, slideSec: Long): Column = {
     require(durSec > 0 && slideSec > 0 && durSec % slideSec == 0,
       s"sliding windows need dur ($durSec s) a positive multiple of " +
         s"slide ($slideSec s)")
     val n = durSec / slideSec
     val slideUs = slideSec * 1000000L
+    // FLOOR division, not `div` (which truncates toward zero): native
+    // window() floor-aligns and DuckDB's `//` floor-divides, so a
+    // truncating div would mis-assign pre-1970 (negative unix_micros)
+    // timestamps by one slide. pmod is non-negative, so subtracting it
+    // makes the numerator an exact multiple and `div` then IS floor.
     explode(expr(
       s"transform(sequence(0, ${n - 1}), " +
-        s"j -> (unix_micros(ts) div $slideUs - j) * $slideSec)"))
+        s"j -> ((unix_micros(ts) - pmod(unix_micros(ts), $slideUs)) " +
+        s"div $slideUs - j) * $slideSec)"))
   }
 
   /** Stateful sessionization: custom per-key state via

@@ -25,12 +25,17 @@ class SlidingWindowPropertySpec extends AnyFunSuite {
     val base = 1704067200L * 1000000L // 2024-01-01 00:00 UTC in µs
     val rnd = new scala.util.Random(4242)
     val fuzz = Seq.fill(3000)(base + (rnd.nextDouble() * 3 * 86400e6).toLong)
-    // boundary adversaries: slide-aligned, window-end-aligned, ±1 µs
-    val edges = (0L to 10L).flatMap { k =>
-      val b = base + k * slideSec * 1000000L
+    // pre-1970 timestamps (negative unix_micros): truncating division
+    // would assign these one slide late — membership must floor-align
+    // exactly like native window() and DuckDB's `//` (round-17 ADVICE)
+    val preEpoch = Seq.fill(500)(-(rnd.nextDouble() * 3 * 86400e6).toLong - 1)
+    // boundary adversaries: slide-aligned, window-end-aligned, ±1 µs —
+    // on BOTH sides of the epoch (k<0 exercises negative boundaries)
+    val edges = (-11L to 10L).flatMap { k =>
+      val b = base * (if (k < 0) 0 else 1) + k * slideSec * 1000000L
       Seq(b - 1, b, b + 1)
     }
-    val rows = (fuzz ++ edges).zipWithIndex.map { case (us, i) => (i.toLong, us) }
+    val rows = (fuzz ++ preEpoch ++ edges).zipWithIndex.map { case (us, i) => (i.toLong, us) }
     val df = rows.toDF("id", "ts_us")
       .select(col("id"), timestamp_micros(col("ts_us")).as("ts"))
 
@@ -42,12 +47,11 @@ class SlidingWindowPropertySpec extends AnyFunSuite {
       .select(col("id"), col("w.start").cast("long").as("ws"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // explicit: the oracles' arithmetic, integral div throughout
-    val slideUs = slideSec * 1000000L
+    // explicit: THE OPERATOR'S OWN column (not a spec-local copy of
+    // the arithmetic — a fix to one must be pinned against the other)
     val explicit = df
-      .select(col("id"), explode(expr(
-        s"transform(sequence(0, ${n - 1}), " +
-          s"j -> (unix_micros(ts) div $slideUs - j) * $slideSec)")).as("ws"))
+      .select(col("id"),
+        EventStream.slidingStartsCol(durSec, slideSec).as("ws"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
     assert(explicit === native,
