@@ -155,7 +155,94 @@ object Bench {
         }
         name -> (if (failed) Seq(-1.0) else runs.toList)
       }
-    val medians = results.map { case (k, rs) =>
+    // Suspect RE-RUNS (round-17 verdict #4): interleaved canaries
+    // bound bursts they STRADDLE, and min-of-runs exonerates a query
+    // whose burst hit only some runs — but a burst that covers ALL of
+    // a query's runs still poisons its min (the r17 driver window
+    // medianed q_dedup_spans 4.69 s between two healthy canaries vs
+    // 0.36 s in every builder run). So: any query whose min-of-runs
+    // exceeds ~3x its own historical healthy min (from
+    // BENCH_HISTORY.jsonl at the same sf) is re-queued once at
+    // end-of-suite; if the re-run's min is cleaner, the re-run
+    // REPLACES the poisoned runs for the medians (self-healed) and
+    // both timings are reported under "requeued".
+    def extractNumObj(line: String, field: String): Map[String, Double] = {
+      val key = "\"" + field + "\":{"
+      val i = line.indexOf(key)
+      if (i < 0) Map.empty
+      else {
+        val start = i + key.length
+        val end = line.indexOf('}', start)
+        if (end < 0) Map.empty
+        else line.substring(start, end).split(",").toSeq
+          .map(_.split(":", 2)).collect {
+            case Array(k, v) if !v.contains("\"") =>
+              k.replace("\"", "") -> v.toDoubleOption
+          }.collect { case (k, Some(d)) if d >= 0 => k -> d }.toMap
+      }
+    }
+    val historyMins: Map[String, Double] = try {
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      val repoRoot = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+      val hist = repoRoot.resolve("bench_archive/BENCH_HISTORY.jsonl")
+      if (!java.nio.file.Files.exists(hist)) Map.empty
+      else java.nio.file.Files.readAllLines(hist).asScala.toSeq
+        .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+        .flatMap { line =>
+          val m = extractNumObj(line, "queries_min")
+          (if (m.nonEmpty) m else extractNumObj(line, "queries")).toSeq
+        }
+        .groupMapReduce(_._1)(_._2)(math.min)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history read failed: ${e.getMessage}")
+      Map.empty
+    }
+    val requeueX = 3.0
+    val requeueFloorSec = 0.15 // don't re-run sub-canary-scale jitter
+    val maxRequeues = 16
+    val suspects = results.collect {
+      case (k, rs) if rs.head >= 0 && historyMins.get(k).exists(h =>
+        rs.min > requeueX * h && rs.min - h > requeueFloorSec) => k
+    }.take(maxRequeues)
+    val requeued = scala.collection.mutable.LinkedHashMap
+      .empty[String, (Seq[Double], Seq[Double], Boolean)]
+    val healedResults: Seq[(String, Seq[Double])] =
+      if (suspects.isEmpty) results
+      else {
+        System.err.println(s"[bench] re-queuing ${suspects.size} suspect " +
+          s"quer${if (suspects.size == 1) "y" else "ies"} (min > " +
+          s"${requeueX}x historical healthy min): ${suspects.mkString(", ")}")
+        val byName = SparkEntry.benchQueries
+        val reruns: Map[String, Seq[Double]] = suspects.map { name =>
+          val rs = scala.collection.mutable.ListBuffer.empty[Double]
+          var i = 0
+          var ok = true
+          while (i < benchRuns && ok) {
+            val t0 = System.nanoTime()
+            try { byName(name)(spark, sfDir).count()
+              rs += (System.nanoTime() - t0) / 1e9 }
+            catch { case e: Throwable =>
+              ok = false
+              System.err.println(s"[bench] re-run of $name failed: ${e.getMessage}")
+            }
+            spark.catalog.clearCache()
+            i += 1
+          }
+          name -> rs.toList
+        }.toMap
+        results.map { case (k, rs) =>
+          reruns.get(k).filter(_.nonEmpty) match {
+            case Some(rr) =>
+              val healed = rr.min < rs.min
+              requeued(k) = (rs, rr, healed)
+              k -> (if (healed) rr else rs)
+            case None => k -> rs
+          }
+        }
+      }
+    val medians = healedResults.map { case (k, rs) =>
       k -> (if (rs.head < 0) -1.0 else rs.sorted.apply(rs.size / 2))
     }
     // Min-of-runs travels alongside the medians (round-16 verdict
@@ -163,7 +250,7 @@ object Bench {
     // it, so the per-query min is the contention-robust lower bound —
     // cross-round regression flags should require BOTH the normalized
     // median and the min to regress before blaming the code.
-    val mins = results.map { case (k, rs) =>
+    val mins = healedResults.map { case (k, rs) =>
       k -> (if (rs.head < 0) -1.0 else rs.min)
     }
     // 6-decimal (µs) rendering: full-precision doubles print 17+
@@ -178,8 +265,14 @@ object Bench {
       .mkString("{", ",", "}")
     val qsMin = mins.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val runsJson = results.map { case (k, rs) =>
+    val runsJson = healedResults.map { case (k, rs) =>
       "\"" + k + "\":" + rs.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // both timings of every re-queued suspect, healed or not
+    val requeuedJson = requeued.map { case (k, (orig, rr, healed)) =>
+      "\"" + k + "\":{\"orig\":" + orig.map(fmt).mkString("[", ",", "]") +
+        ",\"rerun\":" + rr.map(fmt).mkString("[", ",", "]") +
+        ",\"healed\":" + healed + "}"
     }.mkString("{", ",", "}")
     val errJson = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = medians.collect { case (_, v) if v >= 0 => v }.sum
@@ -237,7 +330,7 @@ object Bench {
     // errors → canary → mem) go last — the tail then carries the end
     // of queries_norm plus every summary field instead of cutting
     // mid-`runs` (r15 verdict #5). JSON consumers are order-blind.
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runsJson,"queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"errors":$errJson,"canary":$canary,"mem":$mem}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","runs":$runsJson,"queries":$qs,"queries_min":$qsMin,"queries_norm":$qsNorm,"requeued":$requeuedJson,"errors":$errJson,"canary":$canary,"mem":$mem}"""
     println(line)
     // the driver stores only a truncated stdout tail (round 12 lost
     // queries_norm — the field regression flags are computed from), so

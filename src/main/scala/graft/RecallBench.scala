@@ -29,8 +29,9 @@ import graft.operators.Similarity
   *    very few probed cells.
   *
   * MEASURED (sf0.01: 500×64-dim uniform / 2000×64-dim clustered,
-  * k=10, 10 queries, kMeans k=32, σ=0.15) — RECALL_r17.json
-  * (IVF/LSH rows unchanged from RECALL_r12):
+  * k=10, 10 queries, kMeans k=32, σ=0.15) — RECALL.json, history in
+  * bench_archive/RECALL_HISTORY.jsonl (IVF/LSH rows unchanged since
+  * the r12 entry):
   * uniform   IVF 0.10/0.20/0.41/0.61 at nprobe 1/2/4/8,
   *           LSH 0.10/0.37/0.75 at probeFlips 0/1/2;
   * clustered IVF 0.99/1.00/1.00/1.00 at nprobe 1/2/4/8,
@@ -66,6 +67,27 @@ import graft.operators.Similarity
   * between data-adaptive coarse quantizers (IVF) and random
   * projections. Prefer the IVF path when the corpus is clustered;
   * size probeFlips by this sweep when stuck with LSH.
+  *
+  * RECALL AFTER NO-REFIT APPEND (round-18: the q_ann_ivf_append
+  * maintenance path's "refit offline when recall decays" trade,
+  * measured at 50% and 100% store growth — base-fit centroids AND
+  * base-fit PQ codebooks, appended rows assigned map-side). The
+  * verdict is about DISTRIBUTION, not volume. In-distribution growth
+  * is free: the 50%-growth config's base (ids ≢ 2 mod 3) still
+  * samples every mixture component, and clustered IVF recall stays
+  * 1.00 at every nprobe (uniform: 0.61 → 0.56 at nprobe 8, within
+  * the structureless noise). Out-of-distribution growth is
+  * catastrophic: the 100%-growth config's base (even ids) contains
+  * only the 16 EVEN mixture components, so the append introduces 16
+  * unseen modes — clustered IVF craters 0.99 → 0.30 at nprobe 1,
+  * recovering only to 0.85 at nprobe 8 (appended odd-mode vectors
+  * crowd into whatever base cell is nearest, and probing can't
+  * recover resolution the quantizer never had). Base-fit PQ
+  * codebooks show the same split (m=16 clustered: 0.51 ceiling under
+  * in-distribution growth vs 0.45-at-nprobe-8 with new modes).
+  * Operational rule this buys: monitor the appended slice for NEW
+  * cluster structure (e.g. assignment-distance drift), not for
+  * volume — refit when modes appear, not at a growth percentage.
   *
   * One JSON line on stdout, prefixed RECALL_JSON: (Locale-safe
   * formatting; see Slopes for why).
@@ -234,6 +256,77 @@ object RecallBench {
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+    /** Recall after a NO-REFIT append (round-17 verdict #3): fit the
+      * coarse quantizer (and PQ codebooks) on a BASE slice only, give
+      * the appended slice its cluster via [[Similarity
+      * .assignedToCentroids]] (the q_ann_ivf_append maintenance path,
+      * no refit), and measure recall@k of the combined store against
+      * brute-force truth over the FULL corpus — the number that tells
+      * an operator when "refit offline when recall decays" actually
+      * bites. `mod`/`keep` pick the base fraction: (3,2) = appended
+      * rows are 50% of the base (50% growth), (2,1) = 100% growth. */
+    def appendSweep(emb0: DataFrame, queries: Seq[Seq[Double]],
+                    mod: Int, keep: Int):
+        (Seq[(Int, Double)], Seq[((Int, Int), Double)]) = {
+      val emb = emb0.select("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      def ids(df: DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val truth = queries.map(q =>
+        ids(Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, k)))
+      def recall(results: Seq[Set[Long]]): Double =
+        results.lazyZip(truth).map((r, t) => (r & t).size.toDouble / t.size)
+          .sum / truth.size
+      val base = emb.filter(col("vec_id") % mod < keep)
+      val appended = emb.filter(col("vec_id") % mod >= keep)
+      val km = Similarity.kMeans(base, "vec_id", "embedding",
+        k = kmClusters, iters = 5, seed = 7L, keepCaches = true)
+      // base rows keep their fit-time assignment; appended rows get
+      // the map-side no-refit assignment — exactly the store
+      // q_ann_ivf_append maintains
+      val assignedAll = base.join(km.assignments, "vec_id")
+        .unionByName(
+          Similarity.assignedToCentroids(appended, "embedding", km.centroids))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assignedAll.count()
+      val store = assignedAll.withColumnRenamed("cluster", "km_cluster")
+      val ivf = Seq(1, 2, 4, 8).map { np =>
+        np -> recall(queries.map(q => ids(Similarity.ivfTopK(
+          store, "vec_id", "embedding", "km_cluster", q, k, nprobe = np))))
+      }
+      // the PQ codebooks are ALSO base-fit (no re-encode of the store
+      // on append), so this measures coarse-routing drift and codebook
+      // drift together — the full production exposure
+      val ivfPq = Seq(8, 16).flatMap { m =>
+        val model = Similarity.pqFit(base, "vec_id", "embedding",
+          m = m, k = 16, iters = 5, seed = 7L)
+        val stored = Similarity.pqEncode(emb, "vec_id", "embedding", model)
+          .join(assignedAll.select("vec_id", "cluster"), "vec_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stored.count()
+        val curve = Seq(1, 2, 4, 8).map { np =>
+          (m, np) -> recall(queries.map(q => ids(Similarity.ivfPqTopK(
+            stored, "vec_id", km.centroids, model, q, k, nprobe = np))))
+        }
+        stored.unpersist()
+        curve
+      }
+      assignedAll.unpersist()
+      spark.catalog.clearCache()
+      (ivf, ivfPq)
+    }
+
+    def appendJson(ivf: Seq[(Int, Double)],
+                   ivfpq: Seq[((Int, Int), Double)]): String = {
+      val i = ivf.map { case (np, r) => s""""nprobe_$np":${fmt(r)}""" }
+        .mkString("{", ",", "}")
+      val ip = ivfpq.map { case ((m, np), r) =>
+        s""""m${m}_nprobe_$np":${fmt(r)}""" }.mkString("{", ",", "}")
+      s"""{"ivf":$i,"ivfpq":$ip}"""
+    }
+
+
     def curvesJson(ivf: Seq[(Int, Double)], lsh: Seq[(Int, Double)],
                    pq: Seq[(Int, Double)], ivfpq: Seq[((Int, Int), Double)],
                    rerank: Seq[((Int, Int), Double)],
@@ -276,19 +369,47 @@ object RecallBench {
       clusteredEmbeddings(spark, clusteredN, 64, kmClusters, noise, mixSeed),
       clusteredQueries)
 
+    // recall after no-refit append at 50% / 100% store growth
+    val uA50 = appendSweep(Tables.embeddings(spark, dir), uniformQueries, 3, 2)
+    val uA100 = appendSweep(Tables.embeddings(spark, dir), uniformQueries, 2, 1)
+    val cCorpus = clusteredEmbeddings(spark, clusteredN, 64, kmClusters,
+      noise, mixSeed)
+    val cA50 = appendSweep(cCorpus, clusteredQueries, 3, 2)
+    val cA100 = appendSweep(cCorpus, clusteredQueries, 2, 1)
+
     val line =
       s"""{"k":$k,"queries":$nQueries,"clusters":$kmClusters,""" +
       s""""noise":${fmt(noise)},""" +
       s""""uniform":${curvesJson(uIvf, uLsh, uPq, uIvfPq, uRr, uLshQ, uN)},""" +
       s""""clustered":${
-        curvesJson(cIvf, cLsh, cPq, cIvfPq, cRr, cLshQ, cN)}}"""
+        curvesJson(cIvf, cLsh, cPq, cIvfPq, cRr, cLshQ, cN)},""" +
+      s""""uniform_append":{"growth_50":${appendJson(uA50._1, uA50._2)},""" +
+      s""""growth_100":${appendJson(uA100._1, uA100._2)}},""" +
+      s""""clustered_append":{"growth_50":${appendJson(cA50._1, cA50._2)},""" +
+      s""""growth_100":${appendJson(cA100._1, cA100._2)}}}"""
     println("RECALL_JSON:" + line)
-    // the artifact the docs cite — committed next to RECALL_r12.json
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL_r17.json")
+    // ONE current artifact (RECALL.json) + an append-only history,
+    // the BENCH_FULL/BENCH_HISTORY discipline (round-17 verdict #8:
+    // per-round RECALL_r{n}.json files were accumulating)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_RECALL_OUT", "RECALL.json")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[recall] could not write $outFile: ${e.getMessage}")
+    }
+    try {
+      val cwd = java.nio.file.Paths.get("").toAbsolutePath
+      val repoRoot = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+        .getOrElse(cwd)
+      val hist = repoRoot.resolve("bench_archive/RECALL_HISTORY.jsonl")
+      java.nio.file.Files.createDirectories(hist.getParent)
+      java.nio.file.Files.writeString(hist,
+        s"""{"at":"${java.time.Instant.now()}","recall":$line}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[recall] could not append history: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -65,7 +65,7 @@ object Similarity {
     * their lists. `clusterCol` is the coarse assignment (a k-means
     * label in a full pipeline; any clustering column works).
     *
-    * The default `nprobe` is MEASURED, not guessed (RECALL_r12.json,
+    * The default `nprobe` is MEASURED, not guessed (RECALL.json (history r12),
     * RecallBench): on a clustered corpus — the shape real embeddings
     * take, and the reason this index exists — recall@10 is already
     * 0.99 at nprobe=1 and 1.00 at nprobe=2 with 32 lists, so the
@@ -404,7 +404,7 @@ object Similarity {
     * `numBits` is explicit (not adaptive) because the probe set must
     * be computable without touching the data.
     *
-    * The default `probeFlips` is MEASURED (RECALL_r12.json,
+    * The default `probeFlips` is MEASURED (RECALL.json (history r12),
     * RecallBench): recall@10 at flips 0/1/2 is 0.10/0.37/0.75 on a
     * uniform corpus and 0.10/0.62/0.91 on a clustered one — random
     * hyperplanes are data-OBLIVIOUS, so unlike [[ivfTopK]] this path
@@ -951,7 +951,7 @@ object Similarity {
   /** [[ivfPqTopK]] + the float RERANK stage — the full production
     * serving pipeline (coarse probe → cheap ADC shortlist → exact
     * rescore of ONLY the shortlist). Plain ADC top-k is capped by PQ
-    * quantization resolution (RECALL_r17: the clustered corpus
+    * quantization resolution (RECALL.json: the clustered corpus
     * saturates at 0.38/0.50 recall@10 for m=8/16 however many cells
     * are probed, while the coarse probe itself is near-perfect);
     * reranking a `shortlistFactor`·k ADC shortlist against the true

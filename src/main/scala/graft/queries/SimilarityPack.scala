@@ -255,7 +255,7 @@ object SimilarityPack extends QueryPack {
 
     // the composite + the float RERANK stage — the full serving
     // pipeline (probe → ADC shortlist → exact rescore of only the
-    // shortlist), closing the PQ quantization ceiling RECALL_r17
+    // shortlist), closing the PQ quantization ceiling RECALL.json
     // measures (clustered recall saturates at 0.38/0.50 without it).
     // Re-derives the same deterministic fits as q_ann_ivfpq; its
     // oracle READS q_ann_ivfpq's gate artifacts (identical by

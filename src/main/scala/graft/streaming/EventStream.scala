@@ -334,19 +334,58 @@ object EventStream {
                                 slideSec: Long = 0L): DataFrame = {
     require(support > 0 && support < 1,
       s"heavyHittersWindowedBatch needs support in (0,1), got $support")
-    val w = (if (slideSec <= 0L || slideSec == windowSec)
+    val w = windowedValues(events, valueExpr, windowSec, slideSec)
+    val totals = w.groupBy("window_start").agg(count(lit(1)).as("n_window"))
+    w.groupBy("window_start", "v").agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("window_start"))
+      .filter(col("cnt") >= ceil(lit(support) * col("n_window")))
+      .select(col("window_start"), col("v"), col("cnt"), col("n_window"))
+  }
+
+  /** The (window_start, v) assignment shared by
+    * [[heavyHittersWindowedBatch]] and [[heavyHittersExactify]] —
+    * tumbling via native window(), sliding via [[slidingStartsCol]]
+    * (a value counts toward EVERY containing window, so a hitter's
+    * support is judged against each window's own total). */
+  private def windowedValues(events: DataFrame, valueExpr: String,
+                             windowSec: Long, slideSec: Long): DataFrame =
+    (if (slideSec <= 0L || slideSec == windowSec)
         events.select(window(col("ts"), s"$windowSec seconds").as("w"),
             expr(valueExpr).cast("string").as("v"))
           .select(col("w.start").cast("long").as("window_start"), col("v"))
       else
-        // sliding: a value counts toward every containing window, so
-        // a hitter's support is judged against each window's own total
         events.select(expr(valueExpr).cast("string").as("v"), col("ts"))
           .select(slidingStartsCol(windowSec, slideSec).as("window_start"),
             col("v"))
       ).filter(col("v").isNotNull)
+
+  /** The offline EXACTIFIER pass [[heavyHittersWindowedStream]]'s doc
+    * promises — pass 2 of the standard two-pass frequent-items
+    * pattern: recount the stream's emitted (window, value) candidates
+    * EXACTLY over the closed windows' rows and keep those meeting the
+    * support cut. Because the stream emits a guaranteed SUPERSET of
+    * the true heavy hitters (MG containment, enforced c + 1 ≥
+    * 1/support), candidates → exactify ==
+    * [[heavyHittersWindowedBatch]] exactly — EventStreamSpec pins the
+    * identity for tumbling and sliding windows.
+    *
+    * Scale shape: the candidate set is tiny (≤ c per window) and
+    * BROADCAST as a semi-join onto the windowed rows BEFORE the count
+    * aggregation, so the counting shuffle carries only candidate-value
+    * rows; the per-window totals are the same windows-bounded
+    * aggregate the batch operator pays. Output schema ==
+    * [[heavyHittersWindowedBatch]]. */
+  def heavyHittersExactify(candidates: DataFrame, events: DataFrame,
+                           valueExpr: String, support: Double,
+                           windowSec: Long = 3600L,
+                           slideSec: Long = 0L): DataFrame = {
+    require(support > 0 && support < 1,
+      s"heavyHittersExactify needs support in (0,1), got $support")
+    val w = windowedValues(events, valueExpr, windowSec, slideSec)
+    val cand = candidates.select(col("window_start"), col("v")).distinct()
     val totals = w.groupBy("window_start").agg(count(lit(1)).as("n_window"))
-    w.groupBy("window_start", "v").agg(count(lit(1)).as("cnt"))
+    w.join(broadcast(cand), Seq("window_start", "v"), "left_semi")
+      .groupBy("window_start", "v").agg(count(lit(1)).as("cnt"))
       .join(broadcast(totals), Seq("window_start"))
       .filter(col("cnt") >= ceil(lit(support) * col("n_window")))
       .select(col("window_start"), col("v"), col("cnt"), col("n_window"))

@@ -327,6 +327,14 @@ class EventStreamSpec extends AnyFunSuite {
     // emitted — on this fixture the candidate set is exactly the HH set
     assert(streamed.keySet === exactHH.keySet,
       s"expected only the 3 hot values, got ${streamed.keySet}")
+    // the documented two-pass pattern: stream candidates -> exactify
+    // == the exact batch answer (counts AND totals)
+    val exactified = EventStream.heavyHittersExactify(
+        spark.table("graft_shh"), real, "v", support, 3600L)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(exactified === exactHH,
+      s"exactify(stream candidates) must equal the batch answer")
   }
 
   test("sliding Misra-Gries heavy hitters: superset of the sliding exact batch per window") {
@@ -370,6 +378,21 @@ class EventStreamSpec extends AnyFunSuite {
     // containment: every exact sliding HH was emitted by the stream
     assert(exactHH.subsetOf(streamed),
       s"missing from stream: ${exactHH -- streamed}")
+    // exactify over the sliding candidates == the sliding batch, full
+    // row identity (window, value, exact count, window total)
+    val batchRows = EventStream.heavyHittersWindowedBatch(
+        real, "v", support, 3600L, slideSec = 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val exactified = EventStream.heavyHittersExactify(
+        spark.table("graft_shh_slide"), real, "v", support, 3600L,
+        slideSec = 1800L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(exactified === batchRows,
+      s"sliding exactify diverged: ${(exactified diff batchRows) ++ (batchRows diff exactified)}")
     spark.catalog.clearCache()
   }
 

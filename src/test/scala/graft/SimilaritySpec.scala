@@ -453,7 +453,7 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("ivfPqTopKReranked: exact rescore of the ADC shortlist, pruned to the probed cells") {
     // clustered corpus so the recall claim is meaningful: plain ADC
-    // saturates at the PQ quantization ceiling there (RECALL_r17)
+    // saturates at the PQ quantization ceiling there (RECALL.json)
     // while the rerank recovers the true neighbors — they only need
     // to SURVIVE the 4×k shortlist, not win it
     val emb = RecallBench.clusteredEmbeddings(spark, 1000L, 64, 8, 0.15, 42L)
