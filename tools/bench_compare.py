@@ -140,6 +140,24 @@ def main():
                 if k in old_min and k in new_min and old_min[k] > 0:
                     extra = f"  [min {old_min[k]:.2f} -> {new_min[k]:.2f}]"
                 print(f"  {k:30s} {o:7.2f} -> {n:7.2f}  ({ratio:.2f}x){extra}")
+    # --cite q1,q2: paste-ready provenance lines with RAW numbers read
+    # straight from the two artifacts — commit messages must quote
+    # THESE, not a stray intermediate run (round-17 verdict #5: a
+    # commit claimed 12.7->7.9 s while its own artifact said 14.5).
+    cite = None
+    for i, a in enumerate(sys.argv):
+        if a == "--cite":
+            cite = [q.strip() for q in sys.argv[i + 1].split(",") if q.strip()]
+    if cite:
+        old_raw = {k: v for k, v in old_doc.get("queries", {}).items()}
+        new_raw = {k: v for k, v in new_doc.get("queries", {}).items()}
+        print(f"\nPASTE-READY raw numbers ({args[0]} -> {args[1]}):")
+        for k in cite:
+            o, n = old_raw.get(k), new_raw.get(k)
+            om, nm = old_min.get(k), new_min.get(k)
+            def f(v):
+                return "?" if v is None else f"{v:.2f}"
+            print(f"  {k}: median {f(o)} -> {f(n)} s (min {f(om)} -> {f(nm)})")
     sys.exit(1 if regressions else 0)
 
 
