@@ -355,40 +355,76 @@ final class Catalog(spark: SparkSession, root: String,
           "column — only putPartitioned entries compact (use putCompacted " +
           "for flat layouts)"))
     val root = Paths.get(e.path)
-    // (partition value as unescaped string, target file count)
-    val spreads: Seq[(String, Int)] = {
+    // per partition dir: (dir name verbatim, value unescaped, bytes,
+    // current file count, target file count). A partition needs a
+    // REWRITE only when it holds more files than its byte-target —
+    // the rest are carried into the fresh version by hard link (file
+    // copy on link-refusing filesystems), so compaction cost scales
+    // with the FRAGMENTED data, not the store size. On a real
+    // cluster/object store the link step is the server-side
+    // copy/manifest move every table format's OPTIMIZE uses; the
+    // Spark rewrite below reads ONLY the fragmented partitions
+    // (planning-time PartitionFilters from the inner join's values).
+    final case class PartDir(dirName: String, value: String, bytes: Long,
+                             files: Int, target: Int)
+    val parts: Seq[PartDir] = {
       val st = Files.list(root)
       try st.iterator().asScala
         .filter(p => Files.isDirectory(p) &&
           p.getFileName.toString.startsWith(s"$partitionCol="))
         .map { p =>
-          val v = Catalog.unescapePathName(
-            p.getFileName.toString.drop(partitionCol.length + 1))
+          val dirName = p.getFileName.toString
           val bytes = Catalog.diskBytes(p)
-          val n = ((bytes + targetFileBytes - 1) / targetFileBytes)
+          val files = Catalog.dataFiles(p).size
+          val target = ((bytes + targetFileBytes - 1) / targetFileBytes)
             .max(1).min(1 << 16).toInt
-          (v, n)
+          PartDir(dirName, Catalog.unescapePathName(
+            dirName.drop(partitionCol.length + 1)), bytes, files, target)
         }.toSeq
       finally st.close()
     }
+    // the null-partition dir cannot be value-joined (its rows read
+    // back as NULL, the dir name is Spark's escape sentinel), so it is
+    // always carried by link — never rewritten — regardless of
+    // fragmentation; an inner-join rewrite would silently drop it
+    val nullDir = "__HIVE_DEFAULT_PARTITION__"
+    val (frag, wellSized) = parts.partition(p =>
+      p.files > p.target && p.value != nullDir)
     val df = get(name)
     val sp = df.sparkSession
     import sp.implicits._
-    val spreadDf = spreads.toDF("__pv", "__nf")
+    val spreadDf = frag.map(p => (p.value, p.target)).toDF("__pv", "__nf")
     val dataCols = df.columns.filter(_ != partitionCol).map(col).toSeq
     val rowHash = if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols: _*)
+    // INNER join: only fragmented partitions' rows are read/rewritten
     val bucketed = df
       .join(broadcast(spreadDf),
-        col(partitionCol).cast("string") === col("__pv"), "left")
-      .withColumn("__b",
-        pmod(rowHash, coalesce(col("__nf"), lit(1)).cast("long")))
-    val width = spreads.map(_._2.toLong).sum.max(1L).min(1L << 16).toInt
+        col(partitionCol).cast("string") === col("__pv"), "inner")
+      .withColumn("__b", pmod(rowHash, col("__nf").cast("long")))
+    val width = frag.map(_.target.toLong).sum.max(1L).min(1L << 16).toInt
     val compacted = bucketed
       .repartition(width, col(partitionCol), col("__b"))
       .drop("__pv", "__nf", "__b")
     writeVersioned(name, e.format, e.options) { dir =>
-      compacted.write.format(e.format).options(e.options)
-        .partitionBy(partitionCol).mode(SaveMode.Overwrite).save(dir)
+      if (frag.nonEmpty)
+        compacted.write.format(e.format).options(e.options)
+          .partitionBy(partitionCol).mode(SaveMode.Overwrite).save(dir)
+      val target = Paths.get(dir)
+      Files.createDirectories(target)
+      // carry the well-sized partitions over without touching data:
+      // same dir names (no re-escape round trip), per-file hard links.
+      // Version reclamation is link-safe — deleting the old version
+      // dir unlinks names, the shared inodes live on under this one.
+      wellSized.foreach { p =>
+        val src = root.resolve(p.dirName)
+        val dst = target.resolve(p.dirName)
+        Files.createDirectories(dst)
+        Catalog.dataFiles(src).foreach { f =>
+          val to = dst.resolve(f.getFileName)
+          try Files.createLink(to, f)
+          catch { case _: Exception => Files.copy(f, to) }
+        }
+      }
     }
   }
 
@@ -757,6 +793,21 @@ object Catalog {
   private[graft] def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+
+  /** The DATA files directly under a path (regular files minus the
+    * committer's _SUCCESS/.crc bookkeeping) — the unit [[Catalog
+    * .fileStats]] counts and [[Catalog.compactPartitioned]] links. */
+  private[catalog] def dataFiles(p: Path): Seq[Path] =
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val st = Files.list(p)
+      try st.iterator().asScala
+        .filter(f => Files.isRegularFile(f) &&
+          !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
+        .toSeq
+      finally st.close()
     }
 
   /** Total regular-file bytes under a path (the on-disk side of

@@ -243,6 +243,74 @@ class CatalogSpec extends AnyFunSuite {
     assert(e.options.get(Catalog.PartitionColKey) === Some("part"))
   }
 
+  test("compactPartitioned is incremental: well-sized partitions carried by link, not rewritten") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val a = (0 until 40).map(i => (i, s"v$i", "a"))
+    val b = (100 until 140).map(i => (i, s"v$i", "b"))
+    // single-task writes: one file per partition per write, so the
+    // file-count fixture below is deterministic under local[4]
+    val before = cat.putPartitioned("parted",
+      (a ++ b).toDF("id", "v", "part").coalesce(1), "part")
+    // fragment ONLY partition a with two appends
+    cat.appendPartitioned("parted",
+      (40 until 60).map(i => (i, s"v$i", "a")).toDF("id", "v", "part")
+        .coalesce(1), "part")
+    cat.appendPartitioned("parted",
+      (60 until 80).map(i => (i, s"v$i", "a")).toDF("id", "v", "part")
+        .coalesce(1), "part")
+    def files(root: String, p: String): Set[String] = {
+      val d = java.nio.file.Paths.get(root, s"part=$p")
+      val st = java.nio.file.Files.list(d)
+      try st.toArray.map(_.toString.split('/').last)
+        .filter(f => !f.startsWith("_") && !f.startsWith(".")).toSet
+      finally st.close()
+    }
+    val bBefore = files(before.path, "b")
+    assert(files(before.path, "a").size === 3, "fixture: a must be fragmented")
+    assert(bBefore.size === 1, "fixture: b must be well-sized")
+    val rowsBefore = cat.get("parted").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    val after = cat.compactPartitioned("parted", targetFileBytes = 64L << 20)
+    // a rewritten (collapsed), b carried over with its FILE NAME intact
+    // — the link path, so compaction cost scaled with the fragmented
+    // partition only
+    assert(files(after.path, "a").size === 1, "fragmented partition collapses")
+    assert(files(after.path, "b") === bBefore,
+      "well-sized partition must be hard-linked (same file names), not rewritten")
+    val rowsAfter = cat.get("parted").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(rowsAfter === rowsBefore)
+    // linked data survives reclamation of the version it came from: a
+    // second compact links b onward into v3, and THAT writeVersioned
+    // reclaims v1 (the dir b's inodes were first written under)
+    val third = cat.compactPartitioned("parted", targetFileBytes = 64L << 20)
+    assert(third.path !== after.path)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(before.path)),
+      "fixture: the original version must have been reclaimed")
+    assert(cat.get("parted").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2))).sortBy(_._1)
+      === rowsBefore, "hard links must keep data alive past source-version reclamation")
+  }
+
+  test("compactPartitioned carries null-partition rows by link, never drops them") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    val df = Seq((1, "x", "a"), (2, "y", null), (3, "z", null))
+      .toDF("id", "v", "part")
+    cat.putPartitioned("parted", df, "part")
+    // fragment BOTH the null dir and partition a
+    cat.appendPartitioned("parted",
+      Seq((4, "w", null), (5, "u", "a")).toDF("id", "v", "part"), "part")
+    val got = cat.compactPartitioned("parted", targetFileBytes = 64L << 20)
+    val rows = cat.get("parted").collect()
+      .map(r => (r.getInt(0), Option(r.getString(2)))).toSet
+    assert(rows === Set((1, Some("a")), (2, None), (3, None),
+      (4, None), (5, Some("a"))),
+      "null-partition rows must survive compaction (carried by link)")
+    assert(got.options.get(Catalog.PartitionColKey) === Some("part"))
+  }
+
   test("putCompacted sizes the file count to the data, not the shuffle width") {
     val (cat, _) = freshCatalog()
     // 60000-row lineitem scan arrives pre-split; a naive put would
