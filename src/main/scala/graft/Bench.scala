@@ -166,21 +166,6 @@ object Bench {
     // end-of-suite; if the re-run's min is cleaner, the re-run
     // REPLACES the poisoned runs for the medians (self-healed) and
     // both timings are reported under "requeued".
-    def extractNumObj(line: String, field: String): Map[String, Double] = {
-      val key = "\"" + field + "\":{"
-      val i = line.indexOf(key)
-      if (i < 0) Map.empty
-      else {
-        val start = i + key.length
-        val end = line.indexOf('}', start)
-        if (end < 0) Map.empty
-        else line.substring(start, end).split(",").toSeq
-          .map(_.split(":", 2)).collect {
-            case Array(k, v) if !v.contains("\"") =>
-              k.replace("\"", "") -> v.toDoubleOption
-          }.collect { case (k, Some(d)) if d >= 0 => k -> d }.toMap
-      }
-    }
     val historyMins: Map[String, Double] = try {
       val cwd = java.nio.file.Paths.get("").toAbsolutePath
       val repoRoot = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
@@ -188,24 +173,13 @@ object Bench {
         .getOrElse(cwd)
       val hist = repoRoot.resolve("bench_archive/BENCH_HISTORY.jsonl")
       if (!java.nio.file.Files.exists(hist)) Map.empty
-      else java.nio.file.Files.readAllLines(hist).asScala.toSeq
-        .filter(_.contains("\"sf\":\"" + sfDir + "\""))
-        .flatMap { line =>
-          val m = extractNumObj(line, "queries_min")
-          (if (m.nonEmpty) m else extractNumObj(line, "queries")).toSeq
-        }
-        .groupMapReduce(_._1)(_._2)(math.min)
+      else BenchHistory.healthyMins(
+        java.nio.file.Files.readAllLines(hist).asScala.toSeq, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history read failed: ${e.getMessage}")
       Map.empty
     }
-    val requeueX = 3.0
-    val requeueFloorSec = 0.15 // don't re-run sub-canary-scale jitter
-    val maxRequeues = 16
-    val suspects = results.collect {
-      case (k, rs) if rs.head >= 0 && historyMins.get(k).exists(h =>
-        rs.min > requeueX * h && rs.min - h > requeueFloorSec) => k
-    }.take(maxRequeues)
+    val suspects = BenchHistory.suspects(results, historyMins)
     val requeued = scala.collection.mutable.LinkedHashMap
       .empty[String, (Seq[Double], Seq[Double], Boolean)]
     val healedResults: Seq[(String, Seq[Double])] =
@@ -213,7 +187,7 @@ object Bench {
       else {
         System.err.println(s"[bench] re-queuing ${suspects.size} suspect " +
           s"quer${if (suspects.size == 1) "y" else "ies"} (min > " +
-          s"${requeueX}x historical healthy min): ${suspects.mkString(", ")}")
+          s"3x historical healthy min): ${suspects.mkString(", ")}")
         val byName = SparkEntry.benchQueries
         val reruns: Map[String, Seq[Double]] = suspects.map { name =>
           val rs = scala.collection.mutable.ListBuffer.empty[Double]
@@ -368,4 +342,62 @@ object Bench {
     }
     spark.stop()
   }
+}
+
+/** The bench's BENCH_HISTORY.jsonl lookups and the suspect-re-run
+  * selection, factored out of the main so the policy is unit-testable
+  * (BenchHistorySpec) — the bench itself only fires on genuinely
+  * contaminated hosts, which a test run can't stage. */
+object BenchHistory {
+
+  /** Extract a flat `"field":{"q":1.23,...}` numeric object from one
+    * bench JSON line without a JSON library — history lines are
+    * self-authored, flat, and may be ARBITRARILY TRUNCATED (the
+    * driver keeps a ~2 KB stdout tail), so a torn line must yield
+    * what it still carries, never throw. Negative values (the -1
+    * error marker) are dropped. */
+  def extractNumObj(line: String, field: String): Map[String, Double] = {
+    val key = "\"" + field + "\":{"
+    val i = line.indexOf(key)
+    if (i < 0) Map.empty
+    else {
+      val start = i + key.length
+      val end = line.indexOf('}', start)
+      if (end < 0) Map.empty
+      else line.substring(start, end).split(",").toSeq
+        .map(_.split(":", 2)).collect {
+          case Array(k, v) if !v.contains("\"") =>
+            k.replace("\"", "") -> v.toDoubleOption
+        }.collect { case (k, Some(d)) if d >= 0 => k -> d }.toMap
+    }
+  }
+
+  /** Per-query HEALTHY min across every history line at the same sf:
+    * the minimum ever recorded (contention only inflates, so the
+    * all-time min is the cleanest observation). Lines lacking
+    * `queries_min` (pre-r17) fall back to their medians. */
+  def healthyMins(lines: Seq[String], sfDir: String): Map[String, Double] =
+    lines
+      .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+      .flatMap { line =>
+        val m = extractNumObj(line, "queries_min")
+        (if (m.nonEmpty) m else extractNumObj(line, "queries")).toSeq
+      }
+      .groupMapReduce(_._1)(_._2)(math.min)
+
+  /** Queries whose min-of-runs this suite exceeds `requeueX` × their
+    * historical healthy min AND beats it by an absolute floor (tiny
+    * queries jitter multiplicatively without meaning anything) —
+    * the end-of-suite re-run set, capped so a globally-slow host
+    * can't double the suite. Failed queries (-1 sentinel) and
+    * queries with no history are never suspects. */
+  def suspects(results: Seq[(String, Seq[Double])],
+               historyMins: Map[String, Double],
+               requeueX: Double = 3.0,
+               floorSec: Double = 0.15,
+               maxRequeues: Int = 16): Seq[String] =
+    results.collect {
+      case (k, rs) if rs.head >= 0 && historyMins.get(k).exists(h =>
+        rs.min > requeueX * h && rs.min - h > floorSec) => k
+    }.take(maxRequeues)
 }

@@ -154,13 +154,19 @@ object TextAnalysis {
     * cluster; the driver never sees a global order). A doc whose
     * tokens cross a boundary spills into the next bin exactly as the
     * concatenated token stream does. */
+  /** `tokensCol` overrides the default whitespace [[tokenCount]] with
+    * any per-row count — pass the [[bpeTokenCounts]] column to pack in
+    * TOKENIZER-true units (q_pack_bpe), the currency the context
+    * window is actually denominated in. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-                    ctxTokens: Int = 2048, shards: Int = 32): DataFrame = {
+                    ctxTokens: Int = 2048, shards: Int = 32,
+                    tokensCol: Option[Column] = None): DataFrame = {
     require(ctxTokens > 0 && shards > 0)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    df.select(col(idCol), tokenCount(textCol).as("n_tokens"))
+    df.select(col(idCol),
+        tokensCol.getOrElse(tokenCount(textCol)).as("n_tokens"))
       .withColumn("shard", pmod(col(idCol), lit(shards)))
       .withColumn("tok_start", sum("n_tokens").over(w) - col("n_tokens"))
       .withColumn("bin", floor(col("tok_start") / ctxTokens))

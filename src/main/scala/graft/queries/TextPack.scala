@@ -288,6 +288,19 @@ object TextPack extends QueryPack {
       TextAnalysis.packSequences(Tables.documents(s, d), "doc_id", "text",
         ctxTokens = 2048, shards = 8)),
 
+    // packing denominated in TOKENIZER-true units: the same
+    // shard/bin/offset assignment, but the concatenated stream is
+    // measured in trained-BPE tokens — what the context window
+    // actually holds (q_pack's whitespace count only approximates)
+    "q_pack_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text",
+        TextAnalysis.bpeMerges(docs, "text", merges = 8))
+      TextAnalysis.packSequences(docs.join(counts, "doc_id"), "doc_id",
+        "text", ctxTokens = 2048, shards = 8,
+        tokensCol = Some(col("bpe_tokens")))
+    }),
+
     // train→eval decontamination check: odd doc_ids stand in for the
     // eval split, even for train. String-gram variant so DuckDB can
     // replay the gram universe exactly (the hashed scale path joins
@@ -870,6 +883,23 @@ object TextPack extends QueryPack {
         |  FROM (
         |    SELECT doc_id, len(string_split_regex(text, '\s+')) AS n_tokens
         |    FROM documents))""".stripMargin,
+
+    // the q_pack window with the BPE-true counts from the staged
+    // train+apply replay as the stream unit
+    "q_pack_bpe" ->
+      s"""WITH ${bpeEncodeCtes(8)},
+         |tok AS (
+         |  SELECT d.doc_id,
+         |    coalesce(cnts.bpe_tokens, CAST(0 AS BIGINT)) AS n_tokens
+         |  FROM documents d LEFT JOIN cnts ON d.doc_id = cnts.doc_id
+         |)
+         |SELECT doc_id, shard, CAST(floor(tok_start / 2048.0) AS BIGINT) AS bin,
+         |  tok_start
+         |FROM (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS tok_start
+         |  FROM tok)""".stripMargin,
 
     // grams replayed with the identical boundaries (full windows plus
     // the single short gram for <3-token docs); integer `/` is float
