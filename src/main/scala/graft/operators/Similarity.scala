@@ -238,6 +238,92 @@ object Similarity {
         isnotnull(col("v")) && size(col("v")) < 0, Seq(raw), keepCaches))
   }
 
+  /** Per-vector (id, nearest cluster, FIXED-POINT squared distance
+    * d2f = round(d2 * 1e6)) under a standing centroid set — the shared
+    * scoring pass of [[centroidOutliers]] and [[assignmentDrift]].
+    * Same argmax/score expressions as [[kMeansAssign]]; the 1e-6
+    * fixed point is what lets downstream moments hash-pin
+    * cross-engine (sums of longs are exact; one final double
+    * division per output). */
+  private def scoredDistances(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: IndexedSeq[IndexedSeq[Double]], caller: String): DataFrame = {
+    graft.functions.DotProduct.register(emb.sparkSession)
+    require(centroids.nonEmpty, s"$caller needs >= 1 centroid")
+    val dim = centroids.head.length
+    require(centroids.forall(_.length == dim),
+      s"$caller: centroids mix dimensions")
+    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === dim)
+    val scores = centroids.map { c =>
+      val half = c.map(x => x * x).sum / 2
+      call_function("graft_dot", col("v"), typedLit(c)) - lit(half)
+    }
+    val arr = array(scores: _*)
+    base.select(col(idCol),
+        (call_function("array_position", arr, array_max(arr)) - 1)
+          .cast("int").as("cluster"),
+        (call_function("graft_dot", col("v"), col("v"))
+          - lit(2.0) * array_max(arr)).as("d2"))
+      .withColumn("d2f", round(col("d2") * lit(1e6), 0).cast("long"))
+  }
+
+  /** Assignment-distance DRIFT between a base slice and an appended
+    * slice under a standing (base-fit) clustering — the REFIT TRIGGER
+    * the no-refit append path ([[assignedToCentroids]] +
+    * `Catalog.appendPartitioned`) needs: RECALL.json's append sweep
+    * measured that recall survives any volume of IN-distribution
+    * growth (clustered IVF stays 1.00 at +50%) but craters when the
+    * appended slice carries modes the quantizer never saw (0.99 →
+    * 0.30 at nprobe 1) — so the thing to monitor is the appended
+    * slice's assignment-distance profile, not its size.
+    *
+    * Per cluster: counts and mean squared assignment distance of each
+    * side, their ratio, and `drift_flag` = 1 when appended vectors
+    * land in a cluster either absent from the base (n_base = 0 — a
+    * brand-new mode crowded into the nearest old cell) or with mean
+    * distance over `ratioThreshold`× the base's (the cell is
+    * absorbing vectors it doesn't model). Flags → refit offline;
+    * DriftSpec pins exactly the RECALL scenario (new-mode slice
+    * flags, in-distribution slice doesn't).
+    *
+    * Scale shape: two map-side scoring passes (centroids ride as
+    * literals in codegen — no join, no shuffle beyond the k-row
+    * per-cluster aggregates), one k-row full-outer join. Distances
+    * are 1e-6 fixed point so the whole profile hash-pins; the gate
+    * oracle replays scoring + moments from the persisted centroid
+    * artifact (the q_embed_outliers idiom). */
+  def assignmentDrift(base: DataFrame, appended: DataFrame, vecCol: String,
+                      centroids: IndexedSeq[IndexedSeq[Double]],
+                      ratioThreshold: Double = 2.0): DataFrame = {
+    require(ratioThreshold > 0, "assignmentDrift needs ratioThreshold > 0")
+    def side(df: DataFrame, nCol: String, sCol: String) =
+      scoredDistances(df.withColumn("__did", lit(0L)), "__did", vecCol,
+          centroids, "assignmentDrift")
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as(nCol),
+          sum(col("d2f").cast("decimal(38,0)")).as(sCol))
+    val joined = side(base, "nb", "sb")
+      .join(side(appended, "nn", "sn"), Seq("cluster"), "full_outer")
+      .select(col("cluster"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nn"), lit(0L)).as("n_new"),
+        when(col("nb") > 0,
+          round(col("sb").cast("double") / col("nb") / lit(1e6), 6))
+          .as("mean_d2_base"),
+        when(col("nn") > 0,
+          round(col("sn").cast("double") / col("nn") / lit(1e6), 6))
+          .as("mean_d2_new"))
+    joined
+      .withColumn("drift_ratio",
+        when(col("n_base") > 0 && col("n_new") > 0
+            && col("mean_d2_base") > 0,
+          round(col("mean_d2_new") / col("mean_d2_base"), 6)))
+      .withColumn("drift_flag",
+        (col("n_new") > 0 && (col("n_base") === 0
+          || coalesce(col("drift_ratio") > lit(ratioThreshold), lit(false))))
+          .cast("int"))
+  }
+
   /** Embedding-space outlier scoring against a fitted centroid set —
     * the curation pass that prunes mislabeled / off-distribution
     * documents before training (the distance-to-centroid filter of
@@ -270,24 +356,8 @@ object Similarity {
   def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
                        centroids: IndexedSeq[IndexedSeq[Double]],
                        zThreshold: Double = 2.0): DataFrame = {
-    graft.functions.DotProduct.register(emb.sparkSession)
-    require(centroids.nonEmpty, "centroidOutliers needs >= 1 centroid")
-    val dim = centroids.head.length
-    require(centroids.forall(_.length == dim),
-      "centroidOutliers: centroids mix dimensions")
-    val base = emb.select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull && size(col("v")) === dim)
-    val scores = centroids.map { c =>
-      val half = c.map(x => x * x).sum / 2
-      call_function("graft_dot", col("v"), typedLit(c)) - lit(half)
-    }
-    val arr = array(scores: _*)
-    val scored = base.select(col(idCol),
-        (call_function("array_position", arr, array_max(arr)) - 1)
-          .cast("int").as("cluster"),
-        (call_function("graft_dot", col("v"), col("v"))
-          - lit(2.0) * array_max(arr)).as("d2"))
-      .withColumn("d2f", round(col("d2") * lit(1e6), 0).cast("long"))
+    val scored = scoredDistances(emb, idCol, vecCol, centroids,
+      "centroidOutliers")
     val dec = col("d2f").cast("decimal(38,0)")
     // mean materialized before the variance so both engines square it
     // by plain multiplication (cross-engine pow() is not bit-pinned)

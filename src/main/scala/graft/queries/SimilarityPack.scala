@@ -190,6 +190,24 @@ object SimilarityPack extends QueryPack {
       out
     }),
 
+    // the REFIT TRIGGER for the no-refit append path: per-cluster
+    // assignment-distance drift of the appended (odd) half against
+    // the even-half-fit base — RECALL.json's append sweep showed
+    // recall decays with NEW MODES, not volume, so this profile (not
+    // a growth percentage) is what a maintenance loop should watch.
+    // Whole profile in 1e-6 fixed point; the oracle replays scoring
+    // + moments from the persisted centroids (q_embed_outliers idiom)
+    "q_ann_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val km = Similarity.kMeans(base, "vec_id", "embedding",
+        k = 8, iters = 5, seed = 7L)
+      writeDriftGateArtifact(s, km.centroids)
+      Similarity.assignmentDrift(base,
+        emb.filter(col("vec_id") % 2 =!= 0), "embedding", km.centroids)
+    }),
+
     // the full production layout end-to-end: bucket + int8-quantize,
     // write partitioned by bucket, probe the re-read store — pruned
     // scan over 4×-smaller vectors, one rescale multiply per row
@@ -374,6 +392,7 @@ object SimilarityPack extends QueryPack {
     benchOverrides("q_ann_ivfpq")(spark, sfDir)
     benchOverrides("q_embed_outliers")(spark, sfDir)
     benchOverrides("q_ann_ivf_append")(spark, sfDir)
+    benchOverrides("q_ann_drift")(spark, sfDir)
     ()
   }
 
@@ -419,6 +438,22 @@ object SimilarityPack extends QueryPack {
           k = 8, iters = 5, seed = 7L).centroids)
       Similarity.centroidOutliers(Tables.embeddings(s, d), "vec_id",
         "embedding", centroids, zThreshold = 2.0)
+    }),
+
+    // same discipline for the drift monitor: the maintenance loop
+    // fits once and profiles every append slice, so the bench
+    // memoizes the even-half fit and times the two map-side scoring
+    // passes + k-row join (the Verify form re-fits per run — right
+    // for the gate, double-counts q_kmeans to TIME)
+    "q_ann_drift" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val centroids = driftBenchBuilt.computeIfAbsent(d, _ =>
+        Similarity.kMeans(
+          Tables.embeddings(s, d).filter(col("vec_id") % 2 === 0),
+          "vec_id", "embedding", k = 8, iters = 5, seed = 7L).centroids)
+      val emb = Tables.embeddings(s, d)
+      Similarity.assignmentDrift(emb.filter(col("vec_id") % 2 === 0),
+        emb.filter(col("vec_id") % 2 =!= 0), "embedding", centroids)
     }),
 
     "q_ann_ivf_stored" -> ((s, d) => {
@@ -589,6 +624,9 @@ object SimilarityPack extends QueryPack {
   /** Build-once memo for the q_embed_outliers bench (data dir →
     * fitted centroids) — the bench times scoring only; the fit is
     * timed separately as q_kmeans. */
+  private val driftBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, IndexedSeq[IndexedSeq[Double]]]()
+
   private val outlierBenchBuilt = new java.util.concurrent.ConcurrentHashMap[
     String, IndexedSeq[IndexedSeq[Double]]]()
 
@@ -620,6 +658,19 @@ object SimilarityPack extends QueryPack {
     * [[kmeansGateRoot]] — a separate root so the two gate entries
     * never couple: either replays alone). */
   private val outlierGateRoot = "/tmp/graft-gate-store/outliers"
+
+  /** Fixed root for the q_ann_drift oracle-replay artifact (the
+    * even-half-fit centroids; own root — single-writer, no coupling). */
+  private val driftGateRoot = "/tmp/graft-gate-store/drift"
+
+  private def writeDriftGateArtifact(s: SparkSession,
+      centroids: IndexedSeq[IndexedSeq[Double]]): Unit = {
+    import s.implicits._
+    centroids.zipWithIndex
+      .map { case (c, j) => (j, c.toArray) }.toDF("cluster", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$driftGateRoot/centroids.parquet")
+  }
 
   private def writeOutlierGateArtifact(s: SparkSession,
       centroids: IndexedSeq[IndexedSeq[Double]]): Unit = {
@@ -1236,6 +1287,71 @@ object SimilarityPack extends QueryPack {
            |    THEN (d.d2f / 1000000.0 - sd.mean_d2) / sd.std_d2
            |    ELSE 0.0 END, 4) > 2.0 THEN 1 ELSE 0 END AS is_outlier
            |FROM d JOIN sd USING (cluster)""".stripMargin,
+
+      // the drift profile replayed from the persisted even-half-fit
+      // centroids: same argmax/score shape as q_embed_outliers, the
+      // two sides split by vec_id parity, HUGEINT moment sums, means
+      // rounded BEFORE the ratio exactly like the operator
+      "q_ann_drift" ->
+        s"""WITH cent AS (
+           |  SELECT cluster, CAST(centroid AS DOUBLE[]) AS c
+           |  FROM read_parquet('$driftGateRoot/centroids.parquet/*.parquet')
+           |),
+           |v AS (
+           |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |  WHERE embedding IS NOT NULL
+           |    AND len(embedding) = (SELECT len(c) FROM cent LIMIT 1)
+           |),
+           |best AS (
+           |  SELECT vec_id, cluster, score, v FROM (
+           |    SELECT v.vec_id, cent.cluster, v.v,
+           |      list_dot_product(v.v, cent.c)
+           |        - list_dot_product(cent.c, cent.c) / 2 AS score,
+           |      row_number() OVER (PARTITION BY v.vec_id
+           |                         ORDER BY list_dot_product(v.v, cent.c)
+           |                           - list_dot_product(cent.c, cent.c) / 2
+           |                           DESC, cent.cluster) AS rn
+           |    FROM v CROSS JOIN cent)
+           |  WHERE rn = 1
+           |),
+           |d AS (
+           |  SELECT vec_id, CAST(cluster AS INT) AS cluster,
+           |    CAST(round((list_dot_product(v, v) - 2 * score) * 1000000.0)
+           |      AS BIGINT) AS d2f
+           |  FROM best
+           |),
+           |b AS (
+           |  SELECT cluster, count(*) AS nb, sum(CAST(d2f AS HUGEINT)) AS sb
+           |  FROM d WHERE vec_id % 2 = 0 GROUP BY 1
+           |),
+           |nw AS (
+           |  SELECT cluster, count(*) AS nn, sum(CAST(d2f AS HUGEINT)) AS sn
+           |  FROM d WHERE vec_id % 2 = 1 GROUP BY 1
+           |),
+           |m AS (
+           |  SELECT coalesce(b.cluster, nw.cluster) AS cluster,
+           |    CAST(coalesce(nb, 0) AS BIGINT) AS n_base,
+           |    CAST(coalesce(nn, 0) AS BIGINT) AS n_new,
+           |    CASE WHEN coalesce(nb, 0) > 0
+           |      THEN round(CAST(sb AS DOUBLE) / nb / 1000000.0, 6) END
+           |      AS mean_d2_base,
+           |    CASE WHEN coalesce(nn, 0) > 0
+           |      THEN round(CAST(sn AS DOUBLE) / nn / 1000000.0, 6) END
+           |      AS mean_d2_new
+           |  FROM b FULL OUTER JOIN nw ON b.cluster = nw.cluster
+           |),
+           |r AS (
+           |  SELECT *, CASE WHEN n_base > 0 AND n_new > 0
+           |      AND mean_d2_base > 0
+           |    THEN round(mean_d2_new / mean_d2_base, 6) END AS drift_ratio
+           |  FROM m
+           |)
+           |SELECT cluster, n_base, n_new, mean_d2_base, mean_d2_new,
+           |  drift_ratio,
+           |  CASE WHEN n_new > 0 AND (n_base = 0
+           |      OR coalesce(drift_ratio > 2.0, false))
+           |    THEN 1 ELSE 0 END AS drift_flag
+           |FROM r""".stripMargin,
 
       // grouped max over exact per-row dots — max is order-free, so
       // no fixed-point trick is needed
