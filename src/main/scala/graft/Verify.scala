@@ -66,10 +66,22 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // unknown subset names fail FAST: a typo'd name used to yield an
+    // empty, silently-green run (round-18 advice)
+    subset.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val qs = subset.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
     val failures = runQueries(spark, sfDir, outDir, qs)
-    writeArtifacts(outDir, SparkEntry.oracleSql, failures)
+    // a subset run writes only the SELECTED oracles — the full map
+    // would make a gate over outDir fail on (or, worse, pass stale
+    // parquet for) queries this run never produced (round-18 advice)
+    val oracles = subset.fold(SparkEntry.oracleSql)(names =>
+      SparkEntry.oracleSql.filter { case (n, _) => names(n) })
+    writeArtifacts(outDir, oracles, failures)
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[verify] ${failures.size} quer${

@@ -153,8 +153,9 @@ object TextAnalysis {
     * window partition, parallelism = `shards` (size it to the
     * cluster; the driver never sees a global order). A doc whose
     * tokens cross a boundary spills into the next bin exactly as the
-    * concatenated token stream does. */
-  /** `tokensCol` overrides the default whitespace [[tokenCount]] with
+    * concatenated token stream does.
+    *
+    * `tokensCol` overrides the default whitespace [[tokenCount]] with
     * any per-row count — pass the [[bpeTokenCounts]] column to pack in
     * TOKENIZER-true units (q_pack_bpe), the currency the context
     * window is actually denominated in. */
@@ -987,6 +988,134 @@ object TextAnalysis {
       .join(sums, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("__bpe"), lit(0L)).as("bpe_tokens"))
+  }
+
+  /** BPE piece→id VOCABULARY — the deterministic id table that turns
+    * [[bpeWordPieces]] piece strings into the integers a trainer
+    * mmaps: base characters first (every distinct character of the
+    * corpus's words, binary-sorted, ids 0..nBase−1 — the byte-fallback
+    * tier, so any future word over this alphabet encodes), then merge
+    * PRODUCTS (`left || right`) in rank-of-creation order. A product
+    * string reachable by two different merge paths (or colliding with
+    * a base character) gets ONE id, at its first creation rank — the
+    * HF-vocab dedup rule — so (piece → id) is a bijection.
+    *
+    * Scale shape: the alphabet scan is one corpus pass reduced to a
+    * distinct-character aggregate (output = alphabet-sized); the id
+    * assignment windows run over alphabet+vocab rows — model-artifact
+    * sized, so the single-partition `row_number` windows are k-row by
+    * construction, never corpus-sized. Output: (piece, id int). */
+  def bpeVocab(docs: DataFrame, textCol: String,
+               mergeTable: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val baseChars = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))")).as("piece"))
+      .distinct()
+    // the base tier is referenced THREE times below (union side,
+    // product anti-join, count) — checkpoint the alphabet-sized frame
+    // so the corpus-wide distinct-character pass runs once, not three
+    // times (and the k-row window materializes once)
+    val base = baseChars
+      .select(col("piece"),
+        (row_number().over(Window.orderBy("piece")) - 1).cast("int").as("id"))
+      .localCheckpoint()
+    val products = mergeTable
+      .select(concat(col("left"), col("right")).as("piece"), col("rank"))
+      .groupBy("piece").agg(min(col("rank")).as("rk"))
+      .join(base.select("piece"), Seq("piece"), "left_anti")
+    val nBase = base.agg(count(lit(1)).as("__nb"))
+    val merged = products
+      .crossJoin(broadcast(nBase))
+      .select(col("piece"),
+        (col("__nb") + row_number().over(Window.orderBy("rk")) - 1)
+          .cast("int").as("id"))
+    base.unionByName(merged)
+  }
+
+  /** Per-word piece-ID arrays — the [[bpeWordPieces]] dictionary with
+    * every piece string swapped for its [[bpeVocab]] id, order
+    * preserved: (w, ids array<int>). All dictionary-sized; total
+    * coverage by construction (every dictionary piece is a base
+    * character of a corpus word or a merge product, and both tiers
+    * are in the vocab), so the piece join is lossless. */
+  def bpeWordIds(words: DataFrame, wordCol: String, vocab: DataFrame,
+                 mergeTable: DataFrame, chunkSize: Int = 64): DataFrame =
+    bpeWordPieces(words, wordCol, mergeTable, chunkSize)
+      .select(col("w"), posexplode(col("pieces")).as(Seq("pi", "piece")))
+      .join(vocab, "piece")
+      .groupBy(col("w"))
+      .agg(expr("transform(array_sort(collect_list(struct(pi, id))), x -> x.id)")
+        .as("ids"))
+
+  /** Per-doc TOKEN-ID SEQUENCES under a trained BPE vocab — the last
+    * step between this pipeline and trainer-consumable shards:
+    * [[bpeTokenCounts]] stops at counts; this emits the actual
+    * `array<int>` (words in document order, each word's pieces in
+    * piece order, ids from [[bpeVocab]]). Wordless docs emit an empty
+    * array, never null.
+    *
+    * Scale shape: the dictionary side ([[bpeWordIds]]) is vocab-sized;
+    * the CORPUS side carries only (doc, position, word) — one
+    * word-key equi-join attaches each word's id array, and one
+    * per-doc aggregate reassembles the sequence via a position-sorted
+    * flatten. The corpus never carries piece STRINGS, and per-doc
+    * arrays are bounded by document length (the same bound every
+    * downstream context window imposes anyway). */
+  def bpeIdSequences(docs: DataFrame, idCol: String, textCol: String,
+                     mergeTable: DataFrame,
+                     chunkSize: Int = 64): DataFrame = {
+    val vocab = bpeVocab(docs, textCol, mergeTable)
+    val dwp = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wid = bpeWordIds(dwp.select("w"), "w", vocab, mergeTable, chunkSize)
+    val seqs = dwp.join(wid, "w")
+      .groupBy(col(idCol))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), x -> x.ids))")
+        .as("__ids"))
+    docs.select(col(idCol))
+      .join(seqs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ids"), array().cast("array<int>")).as("ids"))
+      .withColumn("n_ids", size(col("ids")))
+  }
+
+  /** PACKED training bins with their id payloads — the
+    * [[packSequences]] assignment (BPE-denominated: the stream unit
+    * is each doc's id-sequence length, identical to
+    * [[bpeTokenCounts]] by construction) with each (shard, bin)
+    * emitting the concatenation of its member docs' [[bpeIdSequences]]
+    * arrays in stream order — i.e. the shard files a trainer reads.
+    * One extra per-(shard, bin) aggregate over the packed corpus;
+    * docs crossing a bin boundary belong to the bin holding their
+    * first token, exactly as the concatenated stream does. Output:
+    * (shard, bin, n_docs, n_ids, ids). */
+  def bpePackedIdBins(docs: DataFrame, idCol: String, textCol: String,
+                      mergeTable: DataFrame, ctxTokens: Int = 2048,
+                      shards: Int = 32, chunkSize: Int = 64): DataFrame = {
+    require(ctxTokens > 0 && shards > 0)
+    val seqs = bpeIdSequences(docs, idCol, textCol, mergeTable, chunkSize)
+    // the [[packSequences]] window INLINED (same shard/tok_start/bin
+    // arithmetic, pinned equal by the shared q_pack_bpe oracle window)
+    // so the id payload rides the single pass — calling packSequences
+    // and joining back would evaluate the whole id pipeline twice
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    seqs
+      .withColumn("shard", pmod(col(idCol), lit(shards)))
+      .withColumn("tok_start",
+        sum(col("n_ids").cast("long")).over(w) - col("n_ids"))
+      .withColumn("bin", floor(col("tok_start") / ctxTokens))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("ids")).cast("long")).as("n_ids"),
+        expr(s"flatten(transform(array_sort(collect_list(struct(`$idCol`, ids))), x -> x.ids))")
+          .as("ids"))
   }
 
   /** Distribution DRIFT between two corpora — exact total-variation

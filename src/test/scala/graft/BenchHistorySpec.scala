@@ -40,6 +40,34 @@ class BenchHistorySpec extends AnyFunSuite {
       Map("q_c" -> 0.70))
   }
 
+  test("heal compares medians (what ships) — a heal can never increase the median") {
+    // the r18 live inversion: rerun min 4.63 < orig min 5.07, but the
+    // shipped MEDIAN would have gone 5.43 -> 7.37; the median rule
+    // must refuse this exact run-set
+    val orig = Seq(5.07, 5.43, 5.03)
+    val rerun = Seq(4.63, 7.37, 15.17)
+    assert(!BenchHistory.healed(orig, rerun),
+      "a rerun with a lower min but a worse median must NOT replace the runs")
+    // a genuinely clean re-run (lower median) does heal
+    assert(BenchHistory.healed(orig, Seq(0.40, 0.36, 0.38)))
+    // ties keep the original (strict <): replacing on equal medians
+    // would churn artifacts for nothing
+    assert(!BenchHistory.healed(Seq(1.0, 2.0, 3.0), Seq(2.0, 0.5, 9.9)))
+    // empty sides never heal
+    assert(!BenchHistory.healed(orig, Seq.empty))
+    // the general invariant on a sweep of staged run-sets: whatever
+    // the policy picks, the shipped median never exceeds the original
+    val sets = Seq(
+      Seq(1.0) -> Seq(0.5), Seq(1.0) -> Seq(2.0),
+      Seq(3.0, 1.0, 2.0) -> Seq(0.1, 9.0, 0.2),
+      orig -> rerun, rerun -> orig)
+    sets.foreach { case (o, r) =>
+      val shipped = if (BenchHistory.healed(o, r)) r else o
+      assert(BenchHistory.median(shipped) <= BenchHistory.median(o),
+        s"heal raised the median on $o vs $r")
+    }
+  }
+
   test("suspects: 3x-over-history AND absolute floor; errors and unknowns never re-run") {
     val history = Map("q_a" -> 0.10, "q_b" -> 1.00, "q_tiny" -> 0.02)
     val results = Seq(
