@@ -40,9 +40,11 @@ final case class CatalogEntry(name: String, path: String, format: String,
   * plain concurrent read, asserted in tests.
   *
   * The manifest is persisted as TSV (name, format, path,
-  * comma-joined hosts, retired-prior-path, URL-encoded options) so a
-  * new session can re-open the catalog — including the reader options
-  * a text-format entry needs to come back losslessly.
+  * comma-joined hosts, retired-prior-path, URL-encoded options,
+  * per-partition file/byte stats) so a new session can re-open the
+  * catalog — including the reader options a text-format entry needs
+  * to come back losslessly, and the partition bookkeeping that keeps
+  * [[fileStats]]/[[compactPartitioned]] planning off the FS.
   *
   * Sharing contract: ONE WRITER per root, any number of readers —
   * the immutable-swap analog of the reference's leader write gate
@@ -80,6 +82,16 @@ final class Catalog(spark: SparkSession, root: String,
   // see [[writeVersioned]]); persisted as the manifest's 5th column so
   // a reopened catalog keeps GC'ing it instead of leaking it forever
   private val retired = TrieMap.empty[String, String]
+  // name → per-partition-directory (data files, data bytes) of the
+  // entry's CURRENT version — the manifest-persisted bookkeeping that
+  // makes [[fileStats]] and [[compactPartitioned]]'s planning O(manifest
+  // read) instead of an O(partition dirs) driver FS walk per call.
+  // Maintained by every mutation that touches a partitioned layout
+  // ([[putPartitioned]] seeds it, [[appendPartitioned]] refreshes only
+  // the touched partitions, [[compactPartitioned]] carries linked
+  // partitions' rows forward and re-walks only the rewritten ones);
+  // absent for flat / legacy entries, which fall back to the walk.
+  private val partStats = TrieMap.empty[String, Map[String, (Long, Long)]]
   private val rootPath: Path = Paths.get(root)
   private val manifest: Path = rootPath.resolve("_catalog.tsv")
   private val lockFile: Path = rootPath.resolve(Catalog.WriterLockFile)
@@ -200,7 +212,18 @@ final class Catalog(spark: SparkSession, root: String,
     require_valid(name)
     ensureWriterLock()
     val target = rootPath.resolve(s"$name-v${System.nanoTime()}")
-    write(target.toString)
+    // a failed write (including a failed post-write validation, e.g.
+    // compactPartitioned's row-count guard) must not leak a half-built
+    // version dir — the pointer never swapped, so the dir is garbage
+    try write(target.toString)
+    catch { case e: Throwable =>
+      scala.util.Try(deleteRecursively(target))
+      throw e
+    }
+    // whatever partition bookkeeping described the displaced version is
+    // stale the moment the pointer swaps; partitioned writers re-seed
+    // it for the fresh version after this returns
+    partStats.remove(name)
     val previous = entries.get(name)
     val e = CatalogEntry(name, target.toString, format, placeReplicas(name),
       options)
@@ -228,14 +251,22 @@ final class Catalog(spark: SparkSession, root: String,
   def putPartitioned(name: String, df: DataFrame, partitionCol: String,
                      format: String = "parquet",
                      options: Map[String, String] = Map.empty): CatalogEntry =
-    // the partition column rides the entry (manifest-persisted, under
-    // a reserved graft.* key Spark sources ignore) so appendPartitioned
-    // and compactPartitioned can VALIDATE against it instead of
-    // trusting the caller to remember the layout
-    writeVersioned(name, format,
-      options + (Catalog.PartitionColKey -> partitionCol)) { dir =>
-      df.write.format(format).options(options).partitionBy(partitionCol)
-        .mode(SaveMode.Overwrite).save(dir)
+    synchronized {
+      // the partition column rides the entry (manifest-persisted, under
+      // a reserved graft.* key Spark sources ignore) so appendPartitioned
+      // and compactPartitioned can VALIDATE against it instead of
+      // trusting the caller to remember the layout
+      val e = writeVersioned(name, format,
+        options + (Catalog.PartitionColKey -> partitionCol)) { dir =>
+        df.write.format(format).options(options).partitionBy(partitionCol)
+          .mode(SaveMode.Overwrite).save(dir)
+      }
+      // seed the manifest's per-partition bookkeeping from the dirs
+      // just written — the ONE full walk in the layout's lifetime;
+      // appends and compactions maintain it incrementally from here
+      partStats.put(name, walkPartStats(Paths.get(e.path), partitionCol))
+      saveManifest()
+      e
     }
 
   /** Append rows into the CURRENT version of a partitioned entry —
@@ -288,6 +319,43 @@ final class Catalog(spark: SparkSession, root: String,
       }
       df.write.format(e.format).options(e.options ++ options)
         .partitionBy(partitionCol).mode(SaveMode.Append).save(e.path)
+      // refresh the manifest's per-partition bookkeeping for ONLY the
+      // partitions this append touched (their values come off the
+      // appended frame — bounded by the slice's partition count, the
+      // same class as compaction's fragmented-values list), so
+      // maintenance bookkeeping scales with the day's appends, not the
+      // table. Dir names are matched by UNESCAPING (never re-escaping,
+      // so no escape round-trip to get wrong); a touched value whose
+      // rendering matches no dir (exotic type formatting) falls back to
+      // one full re-seed walk rather than leaving stats silently stale.
+      val root = Paths.get(e.path)
+      val touched = df.select(col(partitionCol).cast("string")).distinct()
+        .collect()
+        .map(r => Option(r.getString(0)).getOrElse(Catalog.NullPartitionDir))
+        .toSet
+      partStats.get(name) match {
+        case Some(cur) =>
+          val dirs = {
+            val st = Files.list(root)
+            try st.iterator().asScala
+              .filter(p => Files.isDirectory(p) &&
+                p.getFileName.toString.startsWith(s"$partitionCol="))
+              .map(_.getFileName.toString).toSeq
+            finally st.close()
+          }
+          val byValue = dirs.map(d => Catalog.unescapePathName(
+            d.drop(partitionCol.length + 1)) -> d).toMap
+          if (touched.forall(byValue.contains)) {
+            val upd = touched.toSeq.map(byValue).map { d =>
+              val fs = Catalog.dataFiles(root.resolve(d))
+              d -> (fs.size.toLong, fs.map(Files.size(_)).sum)
+            }
+            partStats.put(name, cur ++ upd)
+          } else partStats.put(name, walkPartStats(root, partitionCol))
+        case None =>
+          partStats.put(name, walkPartStats(root, partitionCol))
+      }
+      saveManifest()
       e
     }
 
@@ -296,11 +364,19 @@ final class Catalog(spark: SparkSession, root: String,
     * count of an entry's CURRENT version — the number a maintenance
     * loop watches to decide when [[compactPartitioned]] is due
     * (every [[appendPartitioned]] adds files forever; scan planning
-    * cost is governed by file COUNT). Driver-side FS metadata walk,
-    * same class of work as Spark's own file-listing at planning. */
+    * cost is governed by file COUNT). Partitioned entries are served
+    * from the manifest's per-partition bookkeeping (O(manifest) — no
+    * FS touched; CatalogSpec pins manifest == walk after every
+    * mutation); flat and legacy entries fall back to the driver-side
+    * FS metadata walk, same class of work as Spark's own file-listing
+    * at planning. */
   def fileStats(name: String): Catalog.FileStats = {
     val e = entries.getOrElse(name,
       throw new NoSuchElementException(s"no such dataset: $name"))
+    partStats.get(name).foreach { m =>
+      return Catalog.FileStats(m.valuesIterator.map(_._1).sum,
+        m.valuesIterator.map(_._2).sum, m.size)
+    }
     val root = Paths.get(e.path)
     if (!Files.exists(root)) Catalog.FileStats(0L, 0L, 0)
     else {
@@ -324,6 +400,32 @@ final class Catalog(spark: SparkSession, root: String,
     }
   }
 
+  /** The manifest-recorded per-partition-directory (data files, data
+    * bytes) of a partitioned entry's CURRENT version — the bookkeeping
+    * [[fileStats]] and [[compactPartitioned]]'s planning read instead
+    * of walking the FS. None for flat layouts and entries written
+    * before the bookkeeping existed (those fall back to the walk). */
+  def partitionStats(name: String): Option[Map[String, (Long, Long)]] =
+    partStats.get(name)
+
+  /** One first-level walk of a version dir: dirName → (data files,
+    * data bytes) per `partitionCol=` partition directory — the seeding
+    * (and legacy-entry fallback) source of [[partitionStats]]. */
+  private def walkPartStats(versionDir: Path,
+                            partitionCol: String): Map[String, (Long, Long)] =
+    if (!Files.exists(versionDir)) Map.empty
+    else {
+      val st = Files.list(versionDir)
+      try st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$partitionCol="))
+        .map { p =>
+          val fs = Catalog.dataFiles(p)
+          p.getFileName.toString -> (fs.size.toLong, fs.map(Files.size(_)).sum)
+        }.toMap
+      finally st.close()
+    }
+
   /** COMPACTION — the maintenance op that closes the
     * [[appendPartitioned]] loop: after many append slices a partition
     * is thousands of small files (the classic warehouse failure —
@@ -345,7 +447,8 @@ final class Catalog(spark: SparkSession, root: String,
     * correction is needed (unlike [[putCompacted]], whose estimate is
     * the uncompressed plan statistic). */
   def compactPartitioned(name: String,
-                         targetFileBytes: Long = 128L << 20): CatalogEntry = {
+                         targetFileBytes: Long = 128L << 20): CatalogEntry =
+      synchronized {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val e = entries.getOrElse(name,
       throw new NoSuchElementException(s"no such dataset: $name"))
@@ -363,49 +466,36 @@ final class Catalog(spark: SparkSession, root: String,
     // with the FRAGMENTED data, not the store size. On a real
     // cluster/object store the link step is the server-side
     // copy/manifest move every table format's OPTIMIZE uses; the
-    // Spark rewrite below reads ONLY the fragmented partitions
-    // (planning-time PartitionFilters from the inner join's values).
+    // Spark rewrite below reads ONLY the fragmented partitions (a
+    // STATIC `isin` over the driver-known fragmented values —
+    // unconditional planning-time PartitionFilters, pinned in
+    // CatalogSpec). Planning reads the manifest's per-partition
+    // bookkeeping when present — no FS walk; legacy entries walk once
+    // and are seeded from here on.
     final case class PartDir(dirName: String, value: String, bytes: Long,
-                             files: Int, target: Int)
-    val parts: Seq[PartDir] = {
-      val st = Files.list(root)
-      try st.iterator().asScala
-        .filter(p => Files.isDirectory(p) &&
-          p.getFileName.toString.startsWith(s"$partitionCol="))
-        .map { p =>
-          val dirName = p.getFileName.toString
-          val bytes = Catalog.diskBytes(p)
-          val files = Catalog.dataFiles(p).size
-          val target = ((bytes + targetFileBytes - 1) / targetFileBytes)
-            .max(1).min(1 << 16).toInt
-          PartDir(dirName, Catalog.unescapePathName(
-            dirName.drop(partitionCol.length + 1)), bytes, files, target)
-        }.toSeq
-      finally st.close()
+                             files: Long, target: Int)
+    val stats = partStats.getOrElse(name, walkPartStats(root, partitionCol))
+    val parts: Seq[PartDir] = stats.toSeq.map { case (dirName, (files, bytes)) =>
+      val target = ((bytes + targetFileBytes - 1) / targetFileBytes)
+        .max(1).min(1 << 16).toInt
+      PartDir(dirName, Catalog.unescapePathName(
+        dirName.drop(partitionCol.length + 1)), bytes, files, target)
     }
-    // the null-partition dir cannot be value-joined (its rows read
+    // the null-partition dir cannot be value-matched (its rows read
     // back as NULL, the dir name is Spark's escape sentinel), so it is
     // always carried by link — never rewritten — regardless of
-    // fragmentation; an inner-join rewrite would silently drop it
-    val nullDir = "__HIVE_DEFAULT_PARTITION__"
+    // fragmentation; a value-filtered rewrite would silently drop it
     val (frag, wellSized) = parts.partition(p =>
-      p.files > p.target && p.value != nullDir)
+      p.files > p.target && p.value != Catalog.NullPartitionDir)
     val df = get(name)
-    val sp = df.sparkSession
-    import sp.implicits._
-    val spreadDf = frag.map(p => (p.value, p.target)).toDF("__pv", "__nf")
-    val dataCols = df.columns.filter(_ != partitionCol).map(col).toSeq
-    val rowHash = if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols: _*)
-    // INNER join: only fragmented partitions' rows are read/rewritten
-    val bucketed = df
-      .join(broadcast(spreadDf),
-        col(partitionCol).cast("string") === col("__pv"), "inner")
-      .withColumn("__b", pmod(rowHash, col("__nf").cast("long")))
-    val width = frag.map(_.target.toLong).sum.max(1L).min(1L << 16).toInt
-    val compacted = bucketed
-      .repartition(width, col(partitionCol), col("__b"))
-      .drop("__pv", "__nf", "__b")
-    writeVersioned(name, e.format, e.options) { dir =>
+    val compacted = Catalog.rewriteFrame(df, partitionCol,
+      frag.map(p => (p.value, p.target)))
+    // the row-count guard's LHS: the current version's total rows,
+    // counted before the rewrite (parquet metadata count — no data
+    // pages read). Only needed when something is actually rewritten:
+    // an all-links compact moves bytes verbatim.
+    val oldCount = if (frag.nonEmpty) df.count() else 0L
+    val out = writeVersioned(name, e.format, e.options) { dir =>
       if (frag.nonEmpty)
         compacted.write.format(e.format).options(e.options)
           .partitionBy(partitionCol).mode(SaveMode.Overwrite).save(dir)
@@ -425,7 +515,43 @@ final class Catalog(spark: SparkSession, root: String,
           catch { case _: Exception => Files.copy(f, to) }
         }
       }
+      // row-count guard, BEFORE the version pointer swaps: if the
+      // value-filtered rewrite lost rows — e.g. partition type
+      // inference rendering a read-back value differently from its
+      // directory name, so the isin matched nothing — fail the
+      // compact (writeVersioned reclaims this dir) instead of
+      // silently dropping data from a maintenance op
+      if (frag.nonEmpty) {
+        val newCount = spark.read.format(e.format).options(e.options)
+          .load(dir).count()
+        if (newCount != oldCount)
+          throw new IllegalStateException(
+            s"compactPartitioned($name): rewrite would change the row " +
+              s"count ($oldCount -> $newCount) — fragmented partition " +
+              "values failed to match their rows (partition type " +
+              "inference?); compact aborted, store untouched")
+      }
     }
+    // fresh version's bookkeeping: linked partitions carry their stats
+    // verbatim (hard links — same files, same bytes); only the
+    // rewritten partition dirs are walked
+    val newRoot = Paths.get(out.path)
+    val carried = wellSized.map(p => p.dirName -> (p.files, p.bytes)).toMap
+    val rewritten = {
+      val st = Files.list(newRoot)
+      try st.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith(s"$partitionCol=") &&
+          !carried.contains(p.getFileName.toString))
+        .map { p =>
+          val fs = Catalog.dataFiles(p)
+          p.getFileName.toString -> (fs.size.toLong, fs.map(Files.size(_)).sum)
+        }.toMap
+      finally st.close()
+    }
+    partStats.put(name, carried ++ rewritten)
+    saveManifest()
+    out
   }
 
   /** `put` with output files sized for the NEXT reader: repartitions
@@ -606,6 +732,7 @@ final class Catalog(spark: SparkSession, root: String,
           if (p.normalize().startsWith(rootPath.normalize()))
             deleteRecursively(p)
         }
+        partStats.remove(name)
         saveManifest()
         true
       case None => false
@@ -681,10 +808,32 @@ final class Catalog(spark: SparkSession, root: String,
       }
     }.toMap
 
+  // partition-stats column: URL-encoded dirName=files:bytes pairs
+  // joined with ';' (dir names can contain the separators via Spark's
+  // %-escaping of partition values — encoding makes that moot)
+  private def encodeStats(m: Map[String, (Long, Long)]): String =
+    m.toSeq.sortBy(_._1).map { case (d, (f, b)) =>
+      java.net.URLEncoder.encode(d, "UTF-8") + s"=$f:$b"
+    }.mkString(";")
+
+  private def decodeStats(s: String): Map[String, (Long, Long)] =
+    s.split(";").toSeq.filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(d, fb) => fb.split(":", 2) match {
+          case Array(f, b) =>
+            for (fl <- f.toLongOption; bl <- b.toLongOption)
+              yield java.net.URLDecoder.decode(d, "UTF-8") -> (fl, bl)
+          case _ => None
+        }
+        case _ => None
+      }
+    }.toMap
+
   private def saveManifest(): Unit = {
     val lines = entries.values.toSeq.sortBy(_.name).map { e =>
       s"${e.name}\t${e.format}\t${e.path}\t${e.replicas.mkString(",")}" +
-        s"\t${retired.getOrElse(e.name, "")}\t${encodeOptions(e.options)}"
+        s"\t${retired.getOrElse(e.name, "")}\t${encodeOptions(e.options)}" +
+        s"\t${partStats.get(e.name).map(encodeStats).getOrElse("")}"
     }
     val tmp = Files.createTempFile(rootPath, "_catalog", ".tmp")
     Files.write(tmp, lines.asJava)
@@ -710,6 +859,10 @@ final class Catalog(spark: SparkSession, root: String,
               r.split(",").toSeq.filter(_.nonEmpty),
               rest.headOption.map(decodeOptions).getOrElse(Map.empty)))
             if (ret.nonEmpty) retired.put(n, ret) else retired.remove(n)
+            rest.lift(1).filter(_.nonEmpty) match {
+              case Some(stats) => partStats.put(n, decodeStats(stats))
+              case None => partStats.remove(n)
+            }
           case _ => // skip malformed line
         }
       }
@@ -722,6 +875,42 @@ object Catalog {
     * partition column (Spark sources ignore unknown options, so it
     * rides the normal options map and the manifest for free). */
   val PartitionColKey = "graft.partitionBy"
+
+  /** Spark's directory sentinel for a NULL partition value — rows in
+    * it cannot be value-matched, so compaction always carries it by
+    * link and the append bookkeeping maps a null value to it. */
+  private[catalog] val NullPartitionDir = "__HIVE_DEFAULT_PARTITION__"
+
+  /** [[Catalog.compactPartitioned]]'s rewrite frame over the
+    * fragmented partitions: `spread` = (partition value, target file
+    * count) per fragmented partition. The value filter is a STATIC
+    * `isin` over driver-known values — it references only the
+    * partition column, so planning resolves it to PartitionFilters
+    * and well-sized partitions' files are never listed, let alone
+    * read; the broadcast join then annotates each row with its
+    * partition's file target and `repartition(partitionCol, bucket)`
+    * hands the dynamic-partition writer one task per (partition,
+    * bucket). Package-private (not just local) so CatalogSpec can
+    * assert the pruning on the exact production frame — a spec fails
+    * if this ever scans a well-sized partition. */
+  private[graft] def rewriteFrame(df: DataFrame, partitionCol: String,
+                                  spread: Seq[(String, Int)]): DataFrame = {
+    val sp = df.sparkSession
+    import sp.implicits._
+    val spreadDf = spread.toDF("__pv", "__nf")
+    val dataCols = df.columns.filter(_ != partitionCol).map(col).toSeq
+    val rowHash = if (dataCols.isEmpty) lit(0L) else xxhash64(dataCols: _*)
+    val pruned = df.filter(
+      col(partitionCol).cast("string").isin(spread.map(_._1): _*))
+    val bucketed = pruned
+      .join(broadcast(spreadDf),
+        col(partitionCol).cast("string") === col("__pv"), "inner")
+      .withColumn("__b", pmod(rowHash, col("__nf").cast("long")))
+    val width = spread.map(_._2.toLong).sum.max(1L).min(1L << 16).toInt
+    bucketed
+      .repartition(width, col(partitionCol), col("__b"))
+      .drop("__pv", "__nf", "__b")
+  }
 
   /** [[Catalog.fileStats]] row: data-file count, data bytes, and
     * first-level partition-directory count of an entry's current

@@ -311,6 +311,123 @@ class CatalogSpec extends AnyFunSuite {
     assert(got.options.get(Catalog.PartitionColKey) === Some("part"))
   }
 
+  test("partition stats: manifest bookkeeping mirrors the FS walk after put/append/compact") {
+    import spark.implicits._
+    val (cat, root) = freshCatalog()
+    // independent FS truth: first-level partition dirs → (files, bytes)
+    def walk(path: String): Map[String, (Long, Long)] = {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+      try st.toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("part="))
+        .map { p =>
+          val fs = {
+            val s = java.nio.file.Files.list(p)
+            try s.toArray.map(_.asInstanceOf[java.nio.file.Path])
+              .filter(f => java.nio.file.Files.isRegularFile(f) &&
+                !f.getFileName.toString.startsWith("_") &&
+                !f.getFileName.toString.startsWith("."))
+              .toSeq
+            finally s.close()
+          }
+          p.getFileName.toString ->
+            (fs.size.toLong, fs.map(java.nio.file.Files.size(_)).sum)
+        }.toMap
+      finally st.close()
+    }
+    def check(clue: String): Unit = {
+      val e = cat.filetable("parted")
+      val truth = walk(e.path)
+      assert(cat.partitionStats("parted") === Some(truth),
+        s"$clue: manifest stats must equal the FS walk")
+      val fs = cat.fileStats("parted")
+      assert(fs.files === truth.valuesIterator.map(_._1).sum &&
+        fs.bytes === truth.valuesIterator.map(_._2).sum &&
+        fs.partitions === truth.size, s"$clue: fileStats must match the walk")
+    }
+    cat.putPartitioned("parted",
+      Seq((1, "a"), (2, "b"), (3, null)).toDF("id", "part").coalesce(1), "part")
+    check("after put")
+    cat.appendPartitioned("parted",
+      Seq((4, "a"), (5, "c"), (6, null)).toDF("id", "part").coalesce(1), "part")
+    check("after first append")
+    cat.appendPartitioned("parted",
+      Seq((7, "a")).toDF("id", "part").coalesce(1), "part")
+    check("after second append")
+    cat.compactPartitioned("parted", targetFileBytes = 64L << 20)
+    check("after compact")
+    // a REOPENED catalog serves the same stats from the manifest —
+    // no walk, no prior in-memory state
+    cat.close()
+    val reopened = new Catalog(spark, root)
+    assert(reopened.partitionStats("parted") ===
+      Some(walk(reopened.filetable("parted").path)),
+      "reopened catalog must serve partition stats from the manifest")
+    // flat entries have no bookkeeping and fall back to the walk
+    cat2Flat(reopened)
+  }
+
+  private def cat2Flat(cat: Catalog): Unit = {
+    import spark.implicits._
+    cat.put("flat_stats", Seq(1, 2, 3).toDF("x"))
+    assert(cat.partitionStats("flat_stats").isEmpty)
+    assert(cat.fileStats("flat_stats").files > 0)
+  }
+
+  test("compactPartitioned rewrite scan is partition-pruned to the fragmented values") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    cat.putPartitioned("parted",
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "part").coalesce(1), "part")
+    // fragment partitions a and c, leave b well-sized
+    cat.appendPartitioned("parted",
+      Seq((4, "a"), (5, "c")).toDF("id", "part").coalesce(1), "part")
+    // the exact production frame compactPartitioned writes, for a
+    // fragmented set of {a, c}: its scan must carry a STATIC isin over
+    // the partition column in PartitionFilters (planning-time pruning
+    // — partition b's files are never listed), not rely on the join
+    val frame = Catalog.rewriteFrame(cat.get("parted"), "part",
+      Seq(("a", 1), ("c", 1)))
+    val plan = frame.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"),
+      s"rewrite scan lost its partition filter:\n$plan")
+    assert(plan.replaceAll("\\s+", " ").matches(
+      """(?s).*PartitionFilters: \[[^\]]*IN \(a, ?c\)[^\]]*\].*"""),
+      s"rewrite scan must prune to exactly the fragmented values:\n$plan")
+    assert(frame.collect().map(_.getAs[Int]("id")).sorted === Array(1, 3, 4, 5))
+  }
+
+  test("compactPartitioned fails loudly instead of dropping rows on a value/dir mismatch") {
+    import spark.implicits._
+    val (cat, _) = freshCatalog()
+    // string values '01'/'02' land in dirs part=01/part=02, but
+    // read-back partition TYPE INFERENCE turns them into ints 1/2 —
+    // the rewrite's value filter then matches nothing and the
+    // fragmented partition's rows would silently vanish. The
+    // row-count guard must abort the compact with the store intact.
+    cat.putPartitioned("parted",
+      Seq((1, "01"), (2, "02")).toDF("id", "part").coalesce(1), "part")
+    cat.appendPartitioned("parted",
+      Seq((3, "01")).toDF("id", "part").coalesce(1), "part")
+    val before = cat.filetable("parted")
+    val ex = intercept[IllegalStateException](
+      cat.compactPartitioned("parted", targetFileBytes = 64L << 20))
+    assert(ex.getMessage.contains("row count"))
+    // aborted BEFORE the pointer swap: same version, all rows readable
+    assert(cat.filetable("parted").path === before.path,
+      "failed compact must not swap the version pointer")
+    assert(cat.get("parted").count() === 3L)
+    // and the failed attempt left no orphan version dir behind
+    val leftovers = {
+      val st = java.nio.file.Files.list(
+        java.nio.file.Paths.get(before.path).getParent)
+      try st.toArray.map(_.toString).filter(_.contains("parted-v")).toSeq
+      finally st.close()
+    }
+    assert(leftovers === Seq(before.path),
+      s"failed compact leaked a version dir: $leftovers")
+  }
+
   test("putCompacted sizes the file count to the data, not the shuffle width") {
     val (cat, _) = freshCatalog()
     // 60000-row lineitem scan arrives pre-split; a naive put would
