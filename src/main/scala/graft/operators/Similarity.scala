@@ -244,8 +244,10 @@ object Similarity {
     * Same argmax/score expressions as [[kMeansAssign]]; the 1e-6
     * fixed point is what lets downstream moments hash-pin
     * cross-engine (sums of longs are exact; one final double
-    * division per output). */
-  private def scoredDistances(emb: DataFrame, idCol: String, vecCol: String,
+    * division per output). Package-private: [[graft.streaming
+    * .EventStream.driftStream]] reuses the exact expressions so the
+    * streaming monitor cannot drift from the batch one. */
+  private[graft] def scoredDistances(emb: DataFrame, idCol: String, vecCol: String,
       centroids: IndexedSeq[IndexedSeq[Double]], caller: String): DataFrame = {
     graft.functions.DotProduct.register(emb.sparkSession)
     require(centroids.nonEmpty, s"$caller needs >= 1 centroid")

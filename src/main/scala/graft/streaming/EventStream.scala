@@ -66,6 +66,24 @@ case class HhHit(window_start: Long, v: String, mg_count: Long,
   * shifts second boundaries). */
 case class GapEvent(user_id: Long, ts_us: Long, ts: java.sql.Timestamp)
 
+/** One scored vector of the drift feed: nearest cluster + fixed-point
+  * squared assignment distance (the [[graft.operators.Similarity
+  * .scoredDistances]] pass, shared with the batch monitor). */
+case class DriftEvent(cluster: Int, d2f: Long)
+
+/** Accumulated per-cluster state of the appended feed: rows seen,
+  * exact fixed-point distance sum, and the emission sequence number —
+  * three longs per cluster, however many vectors arrive. */
+case class DriftMonState(n: Long, s: Long, upd: Long)
+
+/** One emitted drift-profile row — the batch [[graft.operators
+  * .Similarity.assignmentDrift]] columns plus `upd`, the per-cluster
+  * emission sequence (take max(upd) per cluster for the latest
+  * accumulated profile). */
+case class DriftUpdate(cluster: Int, upd: Long, n_base: Long, n_new: Long,
+                       mean_d2_base: Option[Double], mean_d2_new: Double,
+                       drift_ratio: Option[Double], drift_flag: Int)
+
 /** Per-user gap state: the last seen event time. */
 case class GapState(last_us: Long)
 
@@ -861,6 +879,81 @@ object EventStream {
                 state.getCurrentWatermarkMs() + 1L))
               hits.iterator
             }
+          }
+      }.toDF()
+  }
+
+  /** Streaming ASSIGNMENT-DRIFT monitor — the live twin of
+    * [[graft.operators.Similarity.assignmentDrift]], watching an
+    * append FEED instead of an append slice: every arriving vector is
+    * scored against the standing base-fit centroids (the literally
+    * shared [[graft.operators.Similarity.scoredDistances]] pass —
+    * map-side, centroid literals inside codegen, no shuffle beyond
+    * the per-cluster state update), per-cluster state accumulates
+    * exact fixed-point (n, Σd2f), and each micro-batch RE-EMITS the
+    * updated profile row for every cluster that received vectors —
+    * so the refit trigger RECALL.json's append sweep motivates (drift
+    * = new modes, not volume) fires within ONE micro-batch of an
+    * unseen mode arriving, instead of waiting for a nightly batch
+    * profile. EventStreamSpec pins both properties: the accumulated
+    * profile equals batch `assignmentDrift` on the same slice
+    * bit-for-bit (fixed-point sums are order-free; the read-out
+    * replicates the batch operator's HALF_UP rounding), and the
+    * new-modes scenario flags in the first batch that carries one.
+    *
+    * The BASE side is a batch snapshot profiled ONCE at stream build
+    * (a k-row collect — the [[rateAnomalyStream]] fit-offline
+    * discipline) and rides into the state function as a plain map of
+    * k entries. Divergences from batch, both inherent to a live
+    * monitor: only clusters that have RECEIVED appended vectors emit
+    * (a base-only cluster is a static fact the snapshot already
+    * states, and its batch row is all-zero/flagless), and rows are
+    * per-batch updates — consumers take max(`upd`) per cluster for
+    * the current profile. State is three longs per cluster (≤ k
+    * entries total), so no timeout/eviction is needed: the state is
+    * smaller than the centroid set the query already carries. */
+  def driftStream(spark: SparkSession, dir: String, base: DataFrame,
+                  vecCol: String,
+                  centroids: IndexedSeq[IndexedSeq[Double]],
+                  ratioThreshold: Double = 2.0): DataFrame = {
+    require(ratioThreshold > 0, "driftStream needs ratioThreshold > 0")
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.Similarity
+    // batch-side HALF_UP round-6, matching the batch operator's
+    // round(col, 6) exactly (Spark's Round is BigDecimal HALF_UP)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val baseStats: Map[Int, (Long, Long)] = Similarity.scoredDistances(
+        base.withColumn("__did", lit(0L)), "__did", vecCol, centroids,
+        "driftStream")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n"), sum(col("d2f")).as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val schema = spark.read.parquet(dir).schema
+    val scored = Similarity.scoredDistances(
+        spark.readStream.schema(schema).parquet(dir)
+          .withColumn("__did", lit(0L)),
+        "__did", vecCol, centroids, "driftStream")
+      .select(col("cluster"), col("d2f")).as[DriftEvent]
+    scored.groupByKey(_.cluster)
+      .flatMapGroupsWithState[DriftMonState, DriftUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (cluster: Int, it: Iterator[DriftEvent], state: GroupState[DriftMonState]) =>
+          val prev = state.getOption.getOrElse(DriftMonState(0L, 0L, 0L))
+          var n = prev.n
+          var s = prev.s
+          it.foreach { e => n += 1L; s += e.d2f }
+          if (n == prev.n) Iterator.empty
+          else {
+            state.update(DriftMonState(n, s, prev.upd + 1L))
+            val (nb, sb) = baseStats.getOrElse(cluster, (0L, 0L))
+            val meanNew = r6(s.toDouble / n / 1e6)
+            val meanBase = if (nb > 0L) Some(r6(sb.toDouble / nb / 1e6)) else None
+            val ratio = meanBase.filter(_ > 0.0).map(mb => r6(meanNew / mb))
+            val flag = if (nb == 0L || ratio.exists(_ > ratioThreshold)) 1 else 0
+            Iterator(DriftUpdate(cluster, prev.upd + 1L, nb, n,
+              meanBase, meanNew, ratio, flag))
           }
       }.toDF()
   }
