@@ -891,4 +891,103 @@ object Dedup {
     MetricListener.releaseAfterFirstAction(result, withFp,
       expr("bit_count(fp)") < 0, Seq(withFp), keepCaches)
   }
+
+  /** EXACT edit-distance similarity self-join — the record-linkage /
+    * fuzzy-dedup primitive the shingle families approximate: every
+    * pair of rows whose `strCol` values are within Levenshtein
+    * distance `maxDist`, with the exact distance. Output
+    * (id_a, id_b, dist), id_a < id_b, each qualifying pair exactly
+    * once. Semantically exact — the blocking below is COMPLETE (no
+    * false negatives), so the gate oracle verifies with a plain
+    * brute-force `levenshtein` join; no replay of the blocking is
+    * needed.
+    *
+    * Blocking is the published segment-signature (pigeonhole) scheme
+    * of partition-based edit-distance joins: split each string into
+    * `maxDist + 1` contiguous even segments — if ed(A, B) ≤ k, at
+    * least one of A's k+1 segments survives UNEDITED in B, shifted by
+    * at most k positions. The shorter side of every pair indexes its
+    * segments keyed by (length, segment#, segment text, position);
+    * each string probes for partners of every length in
+    * [len − k, len] by extracting the ≤ 2k+1 window substrings per
+    * (length, segment) — O(k²) probe keys per string, so candidate
+    * generation is ONE equi-join on exact keys, never an O(n²)
+    * comparison. Equal-length pairs arise from both directions and
+    * are canonicalized by id before the verify.
+    *
+    * Scale shape: two map-side explodes (k+1 index rows, ≤
+    * (k+1)²(2k+1) probe rows per string), one equi-join whose bucket
+    * width is the count of SAME-LENGTH strings sharing an exact
+    * segment (tight for natural text; degenerate only for tiny
+    * strings, whose buckets are bounded by the length-window
+    * population), a distinct on candidate id pairs, then one
+    * codegen'd `levenshtein(a, b, k)` per surviving candidate — the
+    * threshold form bails out of the DP early past k. Verification
+    * cost is per CANDIDATE, not per pair of rows.
+    *
+    * `maxDist` ≤ 8: beyond that the probe fan-out ((k+1)²(2k+1)) and
+    * the shrinking segment length defeat the blocking — use the
+    * shingle/minhash family for loose similarity. Null strings drop. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"editDistancePairs needs maxDist in [1, 8], got $maxDist")
+    val k = maxDist
+    val nSeg = k + 1
+    val t = df.select(col(idCol).as("id"), col(strCol).cast("string").as("s"))
+      .filter(col("s").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // index side: the string's OWN k+1 even segments (integral `div` —
+    // deterministic split; segment i of length-L covers
+    // [i·L div (k+1), (i+1)·L div (k+1)), possibly empty for L ≤ k)
+    val idx = t.select(col("id").as("id_a"), col("s").as("sa"),
+        length(col("s")).as("la"),
+        explode(expr(
+          s"""transform(sequence(0, $k), i -> named_struct(
+             |  'seg', i,
+             |  'p', cast((i * length(s)) div $nSeg as int),
+             |  'str', substring(s, cast((i * length(s)) div $nSeg as int) + 1,
+             |    cast(((i + 1) * length(s)) div $nSeg
+             |      - (i * length(s)) div $nSeg as int))))""".stripMargin))
+          .as("g"))
+      .select(col("id_a"), col("sa"), col("la"),
+        col("g.seg").as("seg"), col("g.p").as("p"), col("g.str").as("str"))
+    // probe side: for every candidate partner length L in [len−k, len]
+    // (canonical shorter-left) and every segment of THAT length's
+    // split, the window substrings shifted by −k..k
+    val probe = t.select(col("id").as("id_b"), col("s").as("sb"),
+        length(col("s")).as("lb"),
+        explode(expr(
+          s"""filter(
+             |  flatten(transform(sequence(greatest(length(s) - $k, 0), length(s)), L ->
+             |    flatten(transform(sequence(0, $k), i ->
+             |      transform(sequence(-$k, $k), d -> named_struct(
+             |        'L', cast(L as int),
+             |        'seg', cast(i as int),
+             |        'pp', cast((i * L) div $nSeg + d as int),
+             |        'len', cast(((i + 1) * L) div $nSeg
+             |          - (i * L) div $nSeg as int))))))),
+             |  x -> x.pp >= 0 AND x.pp + x.len <= length(s))""".stripMargin))
+          .as("w"))
+      .select(col("id_b"), col("sb"), col("lb"),
+        col("w.L").as("L"), col("w.seg").as("pseg"),
+        expr("substring(sb, w.pp + 1, w.len)").as("pstr"))
+    val cands = idx.join(probe,
+        col("la") === col("L") && col("seg") === col("pseg") &&
+          col("str") === col("pstr") && col("id_a") =!= col("id_b"))
+      // canonical pair by id; equal-length pairs arrive in both
+      // orientations, unequal-length in one — distinct unifies both
+      // with the multi-segment duplicates
+      .select(least(col("id_a"), col("id_b")).as("pid_a"),
+        greatest(col("id_a"), col("id_b")).as("pid_b"),
+        when(col("id_a") <= col("id_b"), col("sa")).otherwise(col("sb")).as("ca"),
+        when(col("id_a") <= col("id_b"), col("sb")).otherwise(col("sa")).as("cb"))
+      .distinct()
+    val out = cands
+      .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
+        expr(s"levenshtein(ca, cb, $k)").as("dist"))
+      .filter(col("dist") >= 0)
+    MetricListener.releaseAfterFirstAction(out, t,
+      isnotnull(col("s")) && length(col("s")) < 0, Seq(t))
+  }
 }

@@ -31,6 +31,34 @@ object DedupPack extends QueryPack {
     "q_dedup_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
 
+    // EXACT edit-distance similarity join (record linkage / fuzzy
+    // dedup): every pair within Levenshtein distance 2 on the 40-char
+    // text prefix, with the exact distance. The corpus is widened
+    // with deterministic MUTANTS (every 5th doc gains a twin with one
+    // 'q' substitution, every 10th a second at +9) so dist 1 and 2
+    // pairs exist alongside the planted exact dups — both engines
+    // derive the mutants with identical substring arithmetic, and
+    // because the segment blocking is COMPLETE the oracle verifies
+    // with a plain brute-force levenshtein join: the hash certifies
+    // the blocked join found EVERY qualifying pair, not a sample.
+    "q_fuzzy_join" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, when}
+      val t = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          expr("substring(text, 1, 40)").as("s"))
+        .filter(col("s").isNotNull)
+      def mut(sc: String, p: String) =
+        s"concat(substring($sc, 1, ($p) - 1), 'q', substring($sc, ($p) + 1))"
+      val variants = t.filter(col("id") % 5 === 0)
+        .select(col("id"),
+          expr(mut("s", "cast(id % 20 as int) + 5")).as("s"))
+        .withColumn("s", when(col("id") % 10 === 0,
+          expr(mut("s", "cast(id % 20 as int) + 14"))).otherwise(col("s")))
+        .select((col("id") + 1000000L).as("id"), col("s"))
+      Dedup.editDistancePairs(t.unionByName(variants), "id", "s",
+        maxDist = 2)
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8)),
@@ -499,6 +527,34 @@ object DedupPack extends QueryPack {
   override def oracleSql: Map[String, String] = Map(
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text",
+    // brute-force truth for the blocked join: the operator's output is
+    // semantically exact (complete blocking), so the oracle needs no
+    // replay of the segment scheme — just the same mutants + the same
+    // levenshtein predicate over all pairs
+    "q_fuzzy_join" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, substr(text, 1, 40) AS s
+         |  FROM documents WHERE text IS NOT NULL
+         |), m1 AS (
+         |  SELECT id, concat(substr(s, 1, (id % 20 + 5) - 1), 'q',
+         |                    substr(s, (id % 20 + 5) + 1)) AS s
+         |  FROM t WHERE id % 5 = 0
+         |), v AS (
+         |  SELECT id + 1000000 AS id,
+         |    CASE WHEN id % 10 = 0
+         |      THEN concat(substr(s, 1, (id % 20 + 14) - 1), 'q',
+         |                  substr(s, (id % 20 + 14) + 1))
+         |      ELSE s END AS s
+         |  FROM m1
+         |), u AS (
+         |  SELECT id, s FROM t UNION ALL SELECT id, s FROM v
+         |)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |       levenshtein(a.s, b.s) AS dist
+         |FROM u a JOIN u b ON a.id < b.id
+         |WHERE abs(length(a.s) - length(b.s)) <= 2
+         |  AND levenshtein(a.s, b.s) <= 2
+         |""".stripMargin,
     "q_dedup_pairs_exact" ->
       s"""WITH $exactPairsCte
          |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
