@@ -68,22 +68,26 @@ import graft.operators.Similarity
   * projections. Prefer the IVF path when the corpus is clustered;
   * size probeFlips by this sweep when stuck with LSH.
   *
-  * RECALL AFTER NO-REFIT APPEND (round-18: the q_ann_ivf_append
-  * maintenance path's "refit offline when recall decays" trade,
-  * measured at 50% and 100% store growth — base-fit centroids AND
-  * base-fit PQ codebooks, appended rows assigned map-side). The
-  * verdict is about DISTRIBUTION, not volume. In-distribution growth
-  * is free: the 50%-growth config's base (ids ≢ 2 mod 3) still
-  * samples every mixture component, and clustered IVF recall stays
-  * 1.00 at every nprobe (uniform: 0.61 → 0.56 at nprobe 8, within
-  * the structureless noise). Out-of-distribution growth is
-  * catastrophic: the 100%-growth config's base (even ids) contains
-  * only the 16 EVEN mixture components, so the append introduces 16
-  * unseen modes — clustered IVF craters 0.99 → 0.30 at nprobe 1,
-  * recovering only to 0.85 at nprobe 8 (appended odd-mode vectors
-  * crowd into whatever base cell is nearest, and probing can't
-  * recover resolution the quantizer never had). Base-fit PQ
-  * codebooks show the same split (m=16 clustered: 0.51 ceiling under
+  * RECALL AFTER NO-REFIT APPEND (round-18, re-measured round-19 with
+  * FROZEN base-fit probe routing — [[Similarity.ivfTopKStored]], the
+  * true no-refit serving path; the earlier member-mean routing let
+  * appended rows partially update the quantizer and overstated
+  * high-nprobe recovery): the q_ann_ivf_append maintenance path's
+  * "refit offline when recall decays" trade, measured at 50% and 100%
+  * store growth — base-fit centroids AND base-fit PQ codebooks,
+  * appended rows assigned map-side. The verdict is about
+  * DISTRIBUTION, not volume. In-distribution growth is free: the
+  * 50%-growth config's base (ids ≢ 2 mod 3) still samples every
+  * mixture component, and clustered IVF recall stays 1.00 at every
+  * nprobe (uniform: 0.61 → 0.53 at nprobe 8, within the
+  * structureless noise). Out-of-distribution growth is catastrophic:
+  * the 100%-growth config's base (even ids) contains only the 16
+  * EVEN mixture components, so the append introduces 16 unseen
+  * modes — clustered IVF craters 0.99 → 0.27 at nprobe 1, recovering
+  * only to 0.82 at nprobe 8 (appended odd-mode vectors crowd into
+  * whatever base cell is nearest, and probing can't recover
+  * resolution the quantizer never had). Base-fit PQ codebooks show
+  * the same split (m=16 clustered: 0.51 ceiling under
   * in-distribution growth vs 0.45-at-nprobe-8 with new modes).
   * Operational rule this buys: monitor the appended slice for NEW
   * cluster structure (e.g. assignment-distance drift), not for
@@ -290,10 +294,15 @@ object RecallBench {
           Similarity.assignedToCentroids(appended, "embedding", km.centroids))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       assignedAll.count()
-      val store = assignedAll.withColumnRenamed("cluster", "km_cluster")
+      // probe routing uses the FROZEN base-fit centroids (ivfTopKStored
+      // — the production no-refit path), not per-cell member means:
+      // ivfTopK re-derives each cell's routing centroid from its
+      // current members, which would let the appended rows partially
+      // update the quantizer this sweep holds fixed (round-18 ADVICE)
       val ivf = Seq(1, 2, 4, 8).map { np =>
-        np -> recall(queries.map(q => ids(Similarity.ivfTopK(
-          store, "vec_id", "embedding", "km_cluster", q, k, nprobe = np))))
+        np -> recall(queries.map(q => ids(Similarity.ivfTopKStored(
+          assignedAll, "vec_id", "embedding", "cluster", km.centroids,
+          q, k, nprobe = np))))
       }
       // the PQ codebooks are ALSO base-fit (no re-encode of the store
       // on append), so this measures coarse-routing drift and codebook

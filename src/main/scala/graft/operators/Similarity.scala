@@ -276,7 +276,7 @@ object Similarity {
     * measured that recall survives any volume of IN-distribution
     * growth (clustered IVF stays 1.00 at +50%) but craters when the
     * appended slice carries modes the quantizer never saw (0.99 →
-    * 0.30 at nprobe 1) — so the thing to monitor is the appended
+    * 0.27 at nprobe 1, frozen base-fit routing) — so the thing to monitor is the appended
     * slice's assignment-distance profile, not its size.
     *
     * Per cluster: counts and mean squared assignment distance of each
