@@ -932,16 +932,79 @@ object Dedup {
                         maxDist: Int = 2): DataFrame = {
     require(maxDist >= 1 && maxDist <= 8,
       s"editDistancePairs needs maxDist in [1, 8], got $maxDist")
-    val k = maxDist
-    val nSeg = k + 1
-    val t = df.select(col(idCol).as("id"), col(strCol).cast("string").as("s"))
+    val t = df.select(col(idCol).as("id"), col(strCol).cast("string").as("s"),
+        lit(0).as("side"))
       .filter(col("s").isNotNull)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // canonical pair by id; equal-length pairs arrive in both
+    // orientations, unequal-length in one — distinct unifies both
+    // with the multi-segment duplicates
+    val cands = edCandidates(t, maxDist)
+      .select(least(col("id_a"), col("id_b")).as("pid_a"),
+        greatest(col("id_a"), col("id_b")).as("pid_b"),
+        when(col("id_a") <= col("id_b"), col("sa")).otherwise(col("sb")).as("ca"),
+        when(col("id_a") <= col("id_b"), col("sb")).otherwise(col("sa")).as("cb"))
+      .distinct()
+    val out = cands
+      .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
+        expr(s"levenshtein(ca, cb, $maxDist)").as("dist"))
+      .filter(col("dist") >= 0)
+    MetricListener.releaseAfterFirstAction(out, t,
+      isnotnull(col("s")) && length(col("s")) < 0, Seq(t))
+  }
+
+  /** Two-corpus (A×B) exact edit-distance join — the record-linkage
+    * form of [[editDistancePairs]]: every (a, b) pair across the two
+    * frames within Levenshtein `maxDist`, with the exact distance.
+    * Output (a_id, b_id, dist), one row per qualifying cross pair;
+    * within-corpus pairs are never emitted (dropped at the CANDIDATE
+    * stage, before any verification work). Same complete blocking —
+    * the union rides the shared core with a side tag, so whichever
+    * side of a pair is shorter indexes its segments and the other
+    * probes, regardless of corpus — and therefore the same
+    * brute-force-verifiable exactness. */
+  def editDistanceJoinAB(a: DataFrame, idA: String, strA: String,
+                         b: DataFrame, idB: String, strB: String,
+                         maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 8,
+      s"editDistanceJoinAB needs maxDist in [1, 8], got $maxDist")
+    val t = a.select(col(idA).as("id"), col(strA).cast("string").as("s"),
+        lit(0).as("side"))
+      .unionByName(b.select(col(idB).as("id"),
+        col(strB).cast("string").as("s"), lit(1).as("side")))
+      .filter(col("s").isNotNull)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // cross-side only, re-oriented so the A row leads; equal-length
+    // cross pairs arrive in both index/probe orientations and
+    // re-orient to the SAME row — distinct unifies them
+    val cands = edCandidates(t, maxDist)
+      .filter(col("side_a") =!= col("side_b"))
+      .select(
+        when(col("side_a") === 0, col("id_a")).otherwise(col("id_b")).as("a_id"),
+        when(col("side_a") === 0, col("id_b")).otherwise(col("id_a")).as("b_id"),
+        when(col("side_a") === 0, col("sa")).otherwise(col("sb")).as("ca"),
+        when(col("side_a") === 0, col("sb")).otherwise(col("sa")).as("cb"))
+      .distinct()
+    val out = cands
+      .select(col("a_id"), col("b_id"),
+        expr(s"levenshtein(ca, cb, $maxDist)").as("dist"))
+      .filter(col("dist") >= 0)
+    MetricListener.releaseAfterFirstAction(out, t,
+      isnotnull(col("s")) && length(col("s")) < 0, Seq(t))
+  }
+
+  /** The shared candidate core of the edit-distance joins: `t` is
+    * (id, s, side), output is every blocked candidate pair
+    * (id_a, sa, side_a, id_b, sb, side_b) with len(sa) ≤ len(sb)
+    * (canonical shorter-left) — COMPLETE for ed ≤ k by the segment
+    * pigeonhole, minus only the identical (side, id) row itself. */
+  private def edCandidates(t: DataFrame, k: Int): DataFrame = {
+    val nSeg = k + 1
     // index side: the string's OWN k+1 even segments (integral `div` —
     // deterministic split; segment i of length-L covers
     // [i·L div (k+1), (i+1)·L div (k+1)), possibly empty for L ≤ k)
     val idx = t.select(col("id").as("id_a"), col("s").as("sa"),
-        length(col("s")).as("la"),
+        col("side").as("side_a"), length(col("s")).as("la"),
         explode(expr(
           s"""transform(sequence(0, $k), i -> named_struct(
              |  'seg', i,
@@ -950,13 +1013,13 @@ object Dedup {
              |    cast(((i + 1) * length(s)) div $nSeg
              |      - (i * length(s)) div $nSeg as int))))""".stripMargin))
           .as("g"))
-      .select(col("id_a"), col("sa"), col("la"),
+      .select(col("id_a"), col("sa"), col("side_a"), col("la"),
         col("g.seg").as("seg"), col("g.p").as("p"), col("g.str").as("str"))
     // probe side: for every candidate partner length L in [len−k, len]
     // (canonical shorter-left) and every segment of THAT length's
     // split, the window substrings shifted by −k..k
     val probe = t.select(col("id").as("id_b"), col("s").as("sb"),
-        length(col("s")).as("lb"),
+        col("side").as("side_b"), length(col("s")).as("lb"),
         explode(expr(
           s"""filter(
              |  flatten(transform(sequence(greatest(length(s) - $k, 0), length(s)), L ->
@@ -969,25 +1032,12 @@ object Dedup {
              |          - (i * L) div $nSeg as int))))))),
              |  x -> x.pp >= 0 AND x.pp + x.len <= length(s))""".stripMargin))
           .as("w"))
-      .select(col("id_b"), col("sb"), col("lb"),
+      .select(col("id_b"), col("sb"), col("side_b"), col("lb"),
         col("w.L").as("L"), col("w.seg").as("pseg"),
         expr("substring(sb, w.pp + 1, w.len)").as("pstr"))
-    val cands = idx.join(probe,
-        col("la") === col("L") && col("seg") === col("pseg") &&
-          col("str") === col("pstr") && col("id_a") =!= col("id_b"))
-      // canonical pair by id; equal-length pairs arrive in both
-      // orientations, unequal-length in one — distinct unifies both
-      // with the multi-segment duplicates
-      .select(least(col("id_a"), col("id_b")).as("pid_a"),
-        greatest(col("id_a"), col("id_b")).as("pid_b"),
-        when(col("id_a") <= col("id_b"), col("sa")).otherwise(col("sb")).as("ca"),
-        when(col("id_a") <= col("id_b"), col("sb")).otherwise(col("sa")).as("cb"))
-      .distinct()
-    val out = cands
-      .select(col("pid_a").as("id_a"), col("pid_b").as("id_b"),
-        expr(s"levenshtein(ca, cb, $k)").as("dist"))
-      .filter(col("dist") >= 0)
-    MetricListener.releaseAfterFirstAction(out, t,
-      isnotnull(col("s")) && length(col("s")) < 0, Seq(t))
+    idx.join(probe,
+      col("la") === col("L") && col("seg") === col("pseg") &&
+        col("str") === col("pstr") &&
+        !(col("id_a") === col("id_b") && col("side_a") === col("side_b")))
   }
 }

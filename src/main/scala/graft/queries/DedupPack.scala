@@ -59,6 +59,30 @@ object DedupPack extends QueryPack {
         maxDist = 2)
     }),
 
+    // the RECORD-LINKAGE form: link corpus A (document prefixes)
+    // against corpus B (the deterministic mutants, keeping their
+    // SOURCE ids) — every cross pair within distance 2, so each
+    // mutant links back to its source (dist 1-2) and to the source's
+    // exact-dup partners. Within-corpus pairs are never emitted; the
+    // oracle is the plain brute-force A×B levenshtein join (complete
+    // blocking, q_fuzzy_join discipline).
+    "q_fuzzy_join_ab" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, expr, when}
+      val t = Tables.documents(s, d)
+        .select(col("doc_id").as("id"),
+          expr("substring(text, 1, 40)").as("s"))
+        .filter(col("s").isNotNull)
+      def mut(sc: String, p: String) =
+        s"concat(substring($sc, 1, ($p) - 1), 'q', substring($sc, ($p) + 1))"
+      val variants = t.filter(col("id") % 5 === 0)
+        .select(col("id"),
+          expr(mut("s", "cast(id % 20 as int) + 5")).as("s"))
+        .withColumn("s", when(col("id") % 10 === 0,
+          expr(mut("s", "cast(id % 20 as int) + 14"))).otherwise(col("s")))
+      Dedup.editDistanceJoinAB(t, "id", "s", variants, "id", "s",
+        maxDist = 2)
+    }),
+
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8)),
@@ -554,6 +578,30 @@ object DedupPack extends QueryPack {
          |FROM u a JOIN u b ON a.id < b.id
          |WHERE abs(length(a.s) - length(b.s)) <= 2
          |  AND levenshtein(a.s, b.s) <= 2
+         |""".stripMargin,
+    // A×B record linkage: same mutants (source ids kept), plain
+    // brute-force cross join — no within-corpus pairs, no id ordering
+    "q_fuzzy_join_ab" ->
+      s"""WITH t AS (
+         |  SELECT doc_id AS id, substr(text, 1, 40) AS s
+         |  FROM documents WHERE text IS NOT NULL
+         |), m1 AS (
+         |  SELECT id, concat(substr(s, 1, (id % 20 + 5) - 1), 'q',
+         |                    substr(s, (id % 20 + 5) + 1)) AS s
+         |  FROM t WHERE id % 5 = 0
+         |), v AS (
+         |  SELECT id,
+         |    CASE WHEN id % 10 = 0
+         |      THEN concat(substr(s, 1, (id % 20 + 14) - 1), 'q',
+         |                  substr(s, (id % 20 + 14) + 1))
+         |      ELSE s END AS s
+         |  FROM m1
+         |)
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |       levenshtein(a.s, b.s) AS dist
+         |FROM t a JOIN v b
+         |  ON abs(length(a.s) - length(b.s)) <= 2
+         |WHERE levenshtein(a.s, b.s) <= 2
          |""".stripMargin,
     "q_dedup_pairs_exact" ->
       s"""WITH $exactPairsCte

@@ -96,4 +96,35 @@ class EditDistanceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Dedup.editDistancePairs(df, "id", "s", maxDist = 0))
   }
+
+  test("A-cross-B join equals cross brute force; within-corpus pairs never emitted") {
+    import spark.implicits._
+    val rows = corpus(100, seed = 11L)
+    // split into two corpora with OVERLAPPING ids (ids are only
+    // per-corpus keys in record linkage)
+    val a = rows.filter(_._1 % 2 == 0)
+    val b = rows.filter(_._1 % 2 == 1).map { case (id, s) => (id - 1, s) }
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistanceJoinAB(
+          a.toDF("id", "s"), "id", "s", b.toDF("id", "s"), "id", "s",
+          maxDist = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (ia, sa) <- a; (ib, sb) <- b
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d)).toSet
+      assert((want -- got).isEmpty, s"k=$k AB blocking lost pairs: ${want -- got}")
+      assert((got -- want).isEmpty, s"k=$k AB false positives: ${got -- want}")
+    }
+    // a corpus joined against itself emits the full id×id square
+    // (minus nothing — same id on DIFFERENT sides is a legal link),
+    // never the within-corpus pairs: identical strings under two ids
+    // in A alone must not appear
+    val aa = Dedup.editDistanceJoinAB(
+        a.toDF("id", "s"), "id", "s",
+        Seq((999L, "zzzzzzzz")).toDF("id", "s"), "id", "s", maxDist = 2)
+      .collect()
+    assert(aa.forall(_.getLong(1) == 999L),
+      "only cross-side pairs may be emitted")
+  }
 }
