@@ -54,10 +54,14 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg: comma-separated query names — dev subset runs
-    // (the driver always calls with 2 args = the full suite)
+    // optional args 3..n: query names (comma- and/or space-separated)
+    // — dev subset runs (the driver always calls with 2 args = the
+    // full suite). ALL trailing args count: taking only the first
+    // silently ignored space-separated names (round-19 fix).
     val Array(sfDir, outDir) = args.take(2)
-    val subset = args.drop(2).headOption.map(_.split(",").toSet)
+    val subset = if (args.length > 2)
+      Some(args.drop(2).flatMap(_.split(",")).filter(_.nonEmpty).toSet)
+    else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -373,10 +373,15 @@ final class Catalog(spark: SparkSession, root: String,
   def fileStats(name: String): Catalog.FileStats = {
     val e = entries.getOrElse(name,
       throw new NoSuchElementException(s"no such dataset: $name"))
-    partStats.get(name).foreach { m =>
-      return Catalog.FileStats(m.valuesIterator.map(_._1).sum,
-        m.valuesIterator.map(_._2).sum, m.size)
+    partStats.get(name) match {
+      case Some(m) =>
+        Catalog.FileStats(m.valuesIterator.map(_._1).sum,
+          m.valuesIterator.map(_._2).sum, m.size)
+      case None => fileStatsWalk(e)
     }
+  }
+
+  private def fileStatsWalk(e: CatalogEntry): Catalog.FileStats = {
     val root = Paths.get(e.path)
     if (!Files.exists(root)) Catalog.FileStats(0L, 0L, 0)
     else {
