@@ -52,11 +52,15 @@ class EditDistanceSpec extends AnyFunSuite {
       d = lev(sa, sb) if d <= k
     } yield (ia, ib, d)).toSet
 
-  test("blocked join equals brute force: complete, exact, canonical (k = 1, 2, 3)") {
+  test("blocked join equals brute force: complete, exact, canonical (k = 1, 2, 3, 5)") {
     import spark.implicits._
+    // k = 5 exercises the degenerate regime where many strings are
+    // barely longer than the k+1 segments (segment length 1-3 chars,
+    // fat buckets) — the blocking must stay complete, just less
+    // selective
     val rows = corpus(120, seed = 7L)
     val df = rows.toDF("id", "s")
-    for (k <- Seq(1, 2, 3)) {
+    for (k <- Seq(1, 2, 3, 5)) {
       val got = Dedup.editDistancePairs(df, "id", "s", maxDist = k)
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
