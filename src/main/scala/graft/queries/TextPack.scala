@@ -400,6 +400,28 @@ object TextPack extends QueryPack {
             .orderBy(col("quality_score"), col("doc_id"))), 6))
     }),
 
+    // EXACT ROC-AUC of the quality score as a ranker of the lang=='en'
+    // population — the measurement behind every quality-gate threshold
+    // decision. Mann–Whitney with midrank ties, all-integer until one
+    // final division, so the oracle replays the score AND the rank
+    // arithmetic and the hash pins the full estimator.
+    "q_filter_auc" -> ((s, d) =>
+      graft.operators.Eval.rocAuc(
+        TextAnalysis.withQuality(Tables.documents(s, d), "text")
+          .select(col("quality_score"),
+            (col("lang") === "en").cast("int").as("label")),
+        "quality_score", "label")),
+
+    // the reliability diagram for the same score/label: 10 equal-width
+    // score bins, per bin count / positives / exact fixed-point mean
+    // score / positive rate — calibrated == pos_rate tracks mean_score
+    "q_filter_calibration" -> ((s, d) =>
+      graft.operators.Eval.calibrationBins(
+        TextAnalysis.withQuality(Tables.documents(s, d), "text")
+          .select(col("quality_score"),
+            (col("lang") === "en").cast("int").as("label")),
+        "quality_score", "label", bins = 10)),
+
     // canonical text normalization: native codegen'd Unicode NFC
     // (graft_nfc) + lowercase + whitespace collapse + trim — the
     // pre-hash canonicalization pass; NFC is a Unicode-standard pure
@@ -1312,6 +1334,68 @@ object TextPack extends QueryPack {
          |  round(percent_rank() OVER (PARTITION BY source
          |    ORDER BY quality_score, doc_id), 6) AS pct
          |FROM scored""".stripMargin,
+
+    // the same quality-score subquery + the full midrank Mann-Whitney
+    // replay: distinct-score group, windowed strictly-lower count,
+    // integer rank sums, one final division
+    "q_filter_auc" ->
+      s"""WITH scored AS (
+         |  SELECT
+         |    round(least(n_tokens / 20.0, 1.0) * 0.4
+         |      + (1.0 - least(round(punct / greatest(n_chars2, 1), 6) * 10.0, 1.0)) * 0.3
+         |      + least(round(stop_hits / greatest(n_tokens, 1), 6) * 10.0, 1.0) * 0.3, 6)
+         |      AS quality_score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM (
+         |    SELECT lang,
+         |      len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |      length(text) AS n_chars2,
+         |      length(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g')) AS punct,
+         |      len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_hits
+         |    FROM documents
+         |  )
+         |), g AS (
+         |  SELECT quality_score AS s, count(*) AS c, sum(label) AS cp
+         |  FROM scored GROUP BY 1
+         |), r AS (
+         |  SELECT c, cp, coalesce(sum(c) OVER (ORDER BY s
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+         |  FROM g
+         |), t AS (
+         |  SELECT sum(cp * (2 * before + c + 1)) AS s2,
+         |         sum(cp) AS np, sum(c - cp) AS nn
+         |  FROM r
+         |)
+         |SELECT CASE WHEN np > 0 AND nn > 0
+         |         THEN round((s2 - np * (np + 1)) / (2.0 * np * nn), 6)
+         |       END AS auc,
+         |       cast(np as bigint) AS n_pos, cast(nn as bigint) AS n_neg
+         |FROM t""".stripMargin,
+
+    // same scored CTE; equal-width bins, fixed-point mean replay
+    "q_filter_calibration" ->
+      s"""WITH scored AS (
+         |  SELECT
+         |    round(least(n_tokens / 20.0, 1.0) * 0.4
+         |      + (1.0 - least(round(punct / greatest(n_chars2, 1), 6) * 10.0, 1.0)) * 0.3
+         |      + least(round(stop_hits / greatest(n_tokens, 1), 6) * 10.0, 1.0) * 0.3, 6)
+         |      AS quality_score,
+         |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label
+         |  FROM (
+         |    SELECT lang,
+         |      len(string_split_regex(text, '\\s+')) AS n_tokens,
+         |      length(text) AS n_chars2,
+         |      length(regexp_replace(text, '[A-Za-z0-9_\\s]+', '', 'g')) AS punct,
+         |      len(list_filter(string_split(text, ' '), x -> x IN $stop)) AS stop_hits
+         |    FROM documents
+         |  )
+         |)
+         |SELECT cast(least(floor(quality_score * 10), 9) as int) AS bin,
+         |  count(*) AS n, cast(sum(label) as bigint) AS n_pos,
+         |  round(sum(cast(round(quality_score * 1000000, 0) as bigint))
+         |    * 1.0 / count(*) / 1000000, 6) AS mean_score,
+         |  round(sum(label) * 1.0 / count(*), 6) AS pos_rate
+         |FROM scored GROUP BY 1""".stripMargin,
 
     // NFC + lower + collapse + trim replayed step-for-step (DuckDB
     // regexp_replace needs the explicit 'g' flag Spark defaults to)
