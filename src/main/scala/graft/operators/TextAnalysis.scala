@@ -1288,4 +1288,125 @@ object TextAnalysis {
       }
     df.withColumn("split", expr(caseExpr))
   }
+
+  /** The scored per-token transition stream both LM passes share:
+    * one row per token of `textCol` (empty whitespace tokens
+    * dropped), carrying the PREVIOUS token (null for the doc's first
+    * token) — the (history, word) pairs a bigram model conditions
+    * on. Map-side flatMap via explode; tokenize + filter let-bound
+    * once per row; the size-0 guard exists because Spark's
+    * `sequence(1, 0)` counts DOWN ([1, 0]) instead of yielding
+    * empty. */
+  private def lmTransitions(df: DataFrame, textCol: String): Column = {
+    val filtered = s"filter(split(coalesce($textCol, ''), ' '), x -> x != '')"
+    expr(graft.functions.Let.let1(filtered, "toks")(
+      """CASE WHEN size(toks) = 0
+        |  THEN cast(array() as array<struct<prev: string, cur: string>>)
+        |  ELSE transform(sequence(1, size(toks)),
+        |    i -> struct(
+        |      CASE WHEN i = 1 THEN cast(null as string)
+        |           ELSE element_at(toks, i - 1) END as prev,
+        |      element_at(toks, i) as cur)) END""".stripMargin))
+  }
+
+  /** Reference-corpus unigram counts — the (token, count) vocabulary
+    * table a Stupid-Backoff LM backs off to. One column-pruned scan +
+    * one partial-agg shuffle; output is dictionary-sized. */
+  def lmUnigramCounts(ref: DataFrame, textCol: String): DataFrame =
+    ref.select(explode(expr(
+        s"filter(split(coalesce($textCol, ''), ' '), x -> x != '')")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+
+  /** Reference-corpus consecutive-bigram counts (w1, w2, c_ab).
+    * `minCount` prunes the singleton tail BEFORE the table is ever
+    * joined — a pruned bigram is simply UNSEEN to the scorer, which
+    * backs off to the unigram path, exactly how a production LM caps
+    * its model size (at 100 TB the unpruned bigram table rivals the
+    * corpus; the pruned one is vocabulary-shaped). */
+  def lmBigramCounts(ref: DataFrame, textCol: String,
+                     minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"lmBigramCounts needs minCount >= 1, got $minCount")
+    ref.select(explode(lmTransitions(ref, textCol)).as("tr"))
+      .filter(col("tr.prev").isNotNull)
+      .groupBy(col("tr.prev").as("w1"), col("tr.cur").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+  }
+
+  /** Stupid-Backoff bigram perplexity — the CCNet-style LM quality
+    * filter (Wenzek et al. 2020 filter by reference-corpus
+    * perplexity; Brants et al. 2007 define the backoff): every doc
+    * scored against a reference model, low-perplexity ≈ looks like
+    * the reference. Score of token w after history p (α = `alpha`):
+    *
+    *   S(w | p) = c(p,w)/c(p)   if the bigram is in `biCounts`
+    *            = α · S(w)      otherwise
+    *   S(w)     = c(w)/N        if w is in `uniCounts` (N = Σ c)
+    *            = α / N         otherwise (OOV floor)
+    *
+    * The doc's first token (no history) scores S(w) directly. Output:
+    * (doc_id, n_tokens, avg_logp, ppl) with avg_logp = Σ ln S / n
+    * (round 6) and ppl = exp(−avg_logp) (round 6); docs with no
+    * tokens keep n_tokens 0 and null scores — the caller's
+    * drop-or-keep decision, not ours.
+    *
+    * Scale shape: the corpus side collapses to per-doc DISTINCT
+    * (prev, cur) transitions with multiplicities before any join
+    * (natural-language repetition makes this a big cut), then three
+    * hash equi-joins against dictionary-sized build sides — bigram
+    * table, vocabulary twice — with the 1-row total riding broadcast.
+    * Zipf-hot tokens are probe-side skew only. Each surviving row
+    * takes ONE ln over one exact integer-count ratio, rounded to a
+    * 1e-9 fixed-point long and weighted by the multiplicity, so the
+    * per-doc sum is integer arithmetic — partition-order independent
+    * and engine-replayable (the [[pmiBigrams]]/[[tokenEntropy]]
+    * discipline). */
+  def lmPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                   uniCounts: DataFrame, biCounts: DataFrame,
+                   alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    // string→double cast, not a bare decimal literal: Spark parses
+    // 0.4 as DECIMAL and DuckDB as DECIMAL(2,1), and the two engines'
+    // decimal→double promotion points differ (0.4*0.4 is exactly 0.16
+    // in decimal but 0.16000000000000003 in doubles) — strtod of the
+    // shortest round-trip repr is bit-identical everywhere. α² is
+    // pre-multiplied in Scala for the same reason.
+    val a = s"cast('$alpha' as double)"
+    val a2 = s"cast('${alpha * alpha}' as double)"
+    val uniTot = uniCounts.agg(sum(col("c")).as("n_ref"))
+    val pairs = docs
+      .select(col(idCol), explode(lmTransitions(docs, textCol)).as("tr"))
+      .groupBy(col(idCol), col("tr.prev").as("prev"), col("tr.cur").as("cur"))
+      .agg(count(lit(1)).as("m"))
+    val scored = pairs
+      .join(biCounts.select(col("w1").as("prev"), col("w2").as("cur"),
+        col("c_ab")), Seq("prev", "cur"), "left")
+      .join(uniCounts.select(col("tok").as("cur"), col("c").as("c_cur")),
+        Seq("cur"), "left")
+      .join(uniCounts.select(col("tok").as("prev"), col("c").as("c_prev")),
+        Seq("prev"), "left")
+      .crossJoin(broadcast(uniTot))
+      .withColumn("__lp",
+        col("m") * round(expr(
+          s"""ln(CASE
+             |  WHEN c_ab IS NOT NULL
+             |    THEN cast(c_ab as double) / cast(c_prev as double)
+             |  WHEN prev IS NOT NULL AND c_cur IS NOT NULL
+             |    THEN $a * cast(c_cur as double) / cast(n_ref as double)
+             |  WHEN prev IS NOT NULL
+             |    THEN $a2 / cast(n_ref as double)
+             |  WHEN c_cur IS NOT NULL
+             |    THEN cast(c_cur as double) / cast(n_ref as double)
+             |  ELSE $a / cast(n_ref as double) END) * 1e9""".stripMargin))
+          .cast("bigint"))
+      .groupBy(col(idCol))
+      .agg(sum(col("m")).as("n_tokens"), sum(col("__lp")).as("__s"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round((col("__s").cast("double") / lit(1e9))
+          / col("n_tokens").cast("double"), 6).as("avg_logp"),
+        round(exp((col("__s").cast("double") / lit(-1e9))
+          / col("n_tokens").cast("double")), 6).as("ppl"))
+  }
 }

@@ -575,6 +575,33 @@ object TextPack extends QueryPack {
       cat.close()
       out
     }),
+
+    // DSIR importance resampling: 100 of 500 docs drawn ∝ their
+    // hashed-unigram likelihood ratio against the src0-2 target —
+    // bucket log-ratios are 1e-9 fixed-point longs, the Gumbel-max
+    // draw derives from the doc id's md5, so the whole selection
+    // replays deterministically
+    "q_dsir_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val target = docs.filter(col("source").isin("src0", "src1", "src2"))
+      graft.operators.DataSelection.dsirResample(
+        docs, "doc_id", "text", target, "text", n = 100, buckets = 1024)
+    }),
+
+    // CCNet-style LM quality filter: every doc's Stupid-Backoff
+    // bigram perplexity against a reference model fit on sources
+    // src0-2 — minCount=2 prunes singleton bigrams so all five
+    // backoff branches (seen bigram, backoff-to-seen-unigram,
+    // backoff-to-OOV, first-token seen/OOV) fire on real rows; the
+    // per-token ln contributions are 1e-9 fixed-point longs, so the
+    // doc sums hash-pin
+    "q_lm_perplexity" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val ref = docs.filter(col("source").isin("src0", "src1", "src2"))
+      TextAnalysis.lmPerplexity(docs, "doc_id", "text",
+        TextAnalysis.lmUnigramCounts(ref, "text"),
+        TextAnalysis.lmBigramCounts(ref, "text", minCount = 2))
+    }),
   )
 
   /** Shared CTE prefix for the BPE ENCODE oracles: the q_bpe_vocab
@@ -1638,5 +1665,118 @@ object TextPack extends QueryPack {
         |FROM contrib GROUP BY 1
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
+
+    // the DSIR chain replayed end-to-end: same 'b#' md5 bucket
+    // assignment, same Laplace-smoothed cross-ratio into one ln per
+    // bucket (1e-9 fixed point), same per-doc multiplicity sums, and
+    // the identical 'g#' Gumbel-max draw and (key DESC, id) rank cut
+    "q_dsir_sample" -> {
+      val bfold = hexFoldSql("bh", 15)
+      val gfold = hexFoldSql("gh", 15)
+      s"""WITH tb AS (
+         |  SELECT doc_id, ($bfold) % 1024 AS bucket FROM (
+         |    SELECT doc_id, substr(md5('b#' || tok), 1, 15) AS bh FROM (
+         |      SELECT doc_id, unnest(list_filter(
+         |        string_split(coalesce(text, ''), ' '), x -> x != '')) AS tok
+         |      FROM documents))),
+         |ttb AS (
+         |  SELECT ($bfold) % 1024 AS bucket FROM (
+         |    SELECT substr(md5('b#' || tok), 1, 15) AS bh FROM (
+         |      SELECT unnest(list_filter(
+         |        string_split(coalesce(text, ''), ' '), x -> x != '')) AS tok
+         |      FROM documents
+         |      WHERE source IN ('src0', 'src1', 'src2')))),
+         |ct AS (SELECT bucket, count(*) AS ct FROM ttb GROUP BY 1),
+         |cs AS (SELECT bucket, count(*) AS cs FROM tb GROUP BY 1),
+         |nt AS (SELECT coalesce(sum(ct), 0) AS n_t FROM ct),
+         |ns AS (SELECT coalesce(sum(cs), 0) AS n_s FROM cs),
+         |spine AS (SELECT unnest(range(1024)) AS bucket),
+         |ratios AS (
+         |  SELECT spine.bucket,
+         |    CAST(round(ln((CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+         |                   * CAST(n_s + 1024 AS DOUBLE))
+         |                  / (CAST(coalesce(cs, 0) + 1 AS DOUBLE)
+         |                     * CAST(n_t + 1024 AS DOUBLE))) * 1e9)
+         |      AS BIGINT) AS lr
+         |  FROM spine LEFT JOIN ct ON spine.bucket = ct.bucket
+         |  LEFT JOIN cs ON spine.bucket = cs.bucket
+         |  CROSS JOIN nt CROSS JOIN ns),
+         |pd AS (SELECT doc_id, bucket, count(*) AS m FROM tb GROUP BY 1, 2),
+         |sums AS (
+         |  SELECT doc_id, sum(m) AS n_tokens, sum(m * lr) AS s
+         |  FROM pd JOIN ratios USING (bucket) GROUP BY 1),
+         |w AS (
+         |  SELECT d.doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+         |    round(CAST(coalesce(s, 0) AS DOUBLE) / 1e9, 6) AS log_w
+         |  FROM (SELECT doc_id FROM documents) d
+         |  LEFT JOIN sums ON d.doc_id = sums.doc_id),
+         |keyed AS (
+         |  SELECT doc_id, n_tokens, log_w,
+         |    log_w + -ln(-ln(CAST(($gfold) + 1 AS DOUBLE)
+         |      / 1152921504606846976.0)) AS key
+         |  FROM (SELECT doc_id, n_tokens, log_w,
+         |          substr(md5('g#' || CAST(doc_id AS VARCHAR)), 1, 15) AS gh
+         |        FROM w))
+         |SELECT doc_id, n_tokens, log_w, round(key, 6) AS key FROM (
+         |  SELECT * FROM keyed ORDER BY key DESC, doc_id LIMIT 100)""".stripMargin
+    },
+
+    // the Stupid-Backoff scorer replayed end-to-end: same reference
+    // counts (unigram vocabulary, minCount-2 bigrams), same five-way
+    // CASE over exact count ratios, one ln per distinct (doc, prev,
+    // cur) transition rounded to a 1e-9 fixed-point long and weighted
+    // by its multiplicity — the constants ride through strtod casts
+    // so neither engine's decimal-literal promotion touches them
+    "q_lm_perplexity" ->
+      """WITH ref AS (
+        |  SELECT list_filter(string_split(coalesce(text, ''), ' '),
+        |    x -> x != '') AS t
+        |  FROM documents WHERE source IN ('src0', 'src1', 'src2')),
+        |uc AS (SELECT tok, count(*) AS c
+        |       FROM (SELECT unnest(t) AS tok FROM ref) GROUP BY tok),
+        |ut AS (SELECT sum(c) AS n_ref FROM uc),
+        |bc AS (SELECT w1, w2, count(*) AS c_ab FROM (
+        |         SELECT t[i] AS w1, t[i + 1] AS w2
+        |         FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ref))
+        |       GROUP BY w1, w2 HAVING count(*) >= 2),
+        |d AS (
+        |  SELECT doc_id, list_filter(string_split(coalesce(text, ''), ' '),
+        |    x -> x != '') AS t
+        |  FROM documents),
+        |tr AS (SELECT doc_id,
+        |         CASE WHEN i = 1 THEN NULL ELSE t[i - 1] END AS prev,
+        |         t[i] AS cur
+        |       FROM (SELECT doc_id, t,
+        |               unnest(range(1, len(t) + 1)) AS i FROM d)),
+        |p AS (SELECT doc_id, prev, cur, count(*) AS m
+        |      FROM tr GROUP BY 1, 2, 3),
+        |sc AS (SELECT p.doc_id,
+        |        sum(m) AS n_tokens,
+        |        sum(m * CAST(round(ln(CASE
+        |            WHEN c_ab IS NOT NULL
+        |              THEN CAST(c_ab AS DOUBLE) / CAST(cp.c AS DOUBLE)
+        |            WHEN prev IS NOT NULL AND cc.c IS NOT NULL
+        |              THEN CAST('0.4' AS DOUBLE) * CAST(cc.c AS DOUBLE)
+        |                   / CAST(n_ref AS DOUBLE)
+        |            WHEN prev IS NOT NULL
+        |              THEN CAST('0.16000000000000003' AS DOUBLE)
+        |                   / CAST(n_ref AS DOUBLE)
+        |            WHEN cc.c IS NOT NULL
+        |              THEN CAST(cc.c AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |            ELSE CAST('0.4' AS DOUBLE) / CAST(n_ref AS DOUBLE)
+        |          END) * 1e9) AS BIGINT)) AS s
+        |      FROM p
+        |      LEFT JOIN bc ON p.prev = bc.w1 AND p.cur = bc.w2
+        |      LEFT JOIN uc cc ON p.cur = cc.tok
+        |      LEFT JOIN uc cp ON p.prev = cp.tok
+        |      CROSS JOIN ut
+        |      GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  round((CAST(s AS DOUBLE) / 1e9)
+        |    / CAST(n_tokens AS DOUBLE), 6) AS avg_logp,
+        |  round(exp((CAST(s AS DOUBLE) / -1e9)
+        |    / CAST(n_tokens AS DOUBLE)), 6) AS ppl
+        |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin,
   )
 }
