@@ -174,6 +174,64 @@ object TextAnalysis {
       .select(col(idCol), col("shard"), col("bin"), col("tok_start"))
   }
 
+  /** WHOLE-DOC sequence packing — next-fit bin packing where a doc is
+    * never split across training windows: walk each shard's stream in
+    * id order keeping a running fill; a doc that would overflow the
+    * open bin closes it and starts the next. [[packSequences]] slices
+    * the concatenated stream exactly (zero padding waste, docs cross
+    * boundaries — attention masks or cross-doc contamination are the
+    * cost); this keeps every doc intact (each bin's tail is padding —
+    * next-fit wastes < half a window amortized, since any two
+    * consecutive bins hold more than one window between them). A doc
+    * longer than `ctxTokens` still gets a bin alone (the caller
+    * truncates or [[chunkTokens]]s it first; the fill rule isolates
+    * it naturally because it overflows whatever is open).
+    *
+    * Packing is inherently sequential, so parallelism comes from the
+    * same deterministic `id % shards` split as [[packSequences]]: one
+    * hash exchange on shard, an in-partition (shard, id) sort, and a
+    * single mapPartitions pass that folds the per-shard state in
+    * stream order (a task may hold several shard values; the fold
+    * resets on shard change — the [[Sampling.epochShuffle]] layout
+    * discipline). Size `shards` to the cluster; no global order, no
+    * driver state. Output: (idCol long, shard, bin, tok_start,
+    * n_tokens) — tok_start is the doc's offset WITHIN its bin, so
+    * tok_start + n_tokens <= ctxTokens for every unsplit doc. */
+  def packSequencesWhole(df: DataFrame, idCol: String, textCol: String,
+                         ctxTokens: Int = 2048, shards: Int = 32,
+                         tokensCol: Option[Column] = None): DataFrame = {
+    require(ctxTokens > 0 && shards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val packed = df
+      .select(col(idCol).cast("long").as("id"),
+        pmod(col(idCol), lit(shards)).cast("long").as("shard"),
+        tokensCol.getOrElse(tokenCount(textCol)).cast("long").as("n"))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        var curShard = Long.MinValue
+        var bin = 0L
+        var fill = 0L
+        var open = false
+        it.map { case (id, shard, n) =>
+          if (shard != curShard || !open) {
+            curShard = shard; bin = 0L; fill = n; open = true
+            (id, shard, 0L, 0L, n)
+          } else if (fill + n > ctxTokens) {
+            bin += 1; fill = n
+            (id, shard, bin, 0L, n)
+          } else {
+            val off = fill; fill += n
+            (id, shard, bin, off, n)
+          }
+        }
+      }
+      .toDF("id", "shard", "bin", "tok_start", "n_tokens")
+    packed.withColumnRenamed("id", idCol)
+  }
+
   /** Distribution-derived quality filter: keep docs whose
     * quality_score is at or above the `q`-th quantile of the corpus —
     * the "top quartile by quality" selection step of a training-data
@@ -1116,6 +1174,55 @@ object TextAnalysis {
         sum(size(col("ids")).cast("long")).as("n_ids"),
         expr(s"flatten(transform(array_sort(collect_list(struct(`$idCol`, ids))), x -> x.ids))")
           .as("ids"))
+  }
+
+  /** BPE DECODE + round-trip certification — the inverse of
+    * [[bpeIdSequences]], and the proof a pipeline wants before it
+    * deletes raw text in favor of id shards: every word's piece-id
+    * array is mapped back through the inverted [[bpeVocab]] bijection
+    * (id → piece), pieces concatenate back to the word (lossless by
+    * construction — merges only ever concatenate), and words
+    * reassemble in document order. Output: (idCol, decoded, ok) with
+    * `decoded` the reconstructed text and `ok` whether it equals the
+    * single-space-normalized original (split on ' ', empty tokens
+    * dropped, rejoined with ' ' — the exact token stream the encoder
+    * consumed; a doc that differs only in consecutive spaces decodes
+    * ok = true against its normalized form by design). An all-true
+    * `ok` column certifies the id emission is invertible end-to-end:
+    * vocab bijectivity, per-word piece order, per-doc word order.
+    *
+    * Scale shape: identical to [[bpeIdSequences]] — decode tables are
+    * dictionary-sized (the word→decoded-word table is built once over
+    * distinct words), the corpus side carries (doc, pos, word), one
+    * word-key equi-join, one per-doc position-sorted reassembly. */
+  def bpeDecode(docs: DataFrame, idCol: String, textCol: String,
+                mergeTable: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val vocab = bpeVocab(docs, textCol, mergeTable)
+    val dwp = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wid = bpeWordIds(dwp.select("w"), "w", vocab, mergeTable, chunkSize)
+    val wdec = wid
+      .select(col("w"), posexplode(col("ids")).as(Seq("pi", "id")))
+      .join(vocab, "id")
+      .groupBy(col("w"))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pi, piece))), x -> x.piece), '')")
+        .as("w_dec"))
+    val dec = dwp.join(wdec, "w")
+      .groupBy(col(idCol))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, w_dec))), x -> x.w_dec), ' ')")
+        .as("__dec"))
+    docs
+      .select(col(idCol), expr(
+        s"array_join(filter(split(coalesce($textCol, ''), ' '), x -> x != ''), ' ')")
+        .as("__norm"))
+      .join(dec, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dec"), lit("")).as("decoded"),
+        (coalesce(col("__dec"), lit("")) === col("__norm")).as("ok"))
   }
 
   /** Distribution DRIFT between two corpora — exact total-variation

@@ -576,6 +576,20 @@ object TextPack extends QueryPack {
       out
     }),
 
+    // tokenizer round-trip certification: ids → pieces → words →
+    // docs through the inverted vocab; `ok` all-true is the proof
+    // the id emission is invertible before raw text is dropped
+    "q_bpe_roundtrip" -> ((s, d) =>
+      TextAnalysis.bpeDecode(Tables.documents(s, d), "doc_id", "text",
+        trainedMerges(s, d))),
+
+    // whole-doc (next-fit) packing: docs never split across training
+    // windows — the padding-for-integrity trade of q_pack's exact
+    // stream slicing; sequential per shard, parallel across shards
+    "q_pack_whole" -> ((s, d) =>
+      TextAnalysis.packSequencesWhole(Tables.documents(s, d), "doc_id",
+        "text", ctxTokens = 256, shards = 8)),
+
     // DSIR importance resampling: 100 of 500 docs drawn ∝ their
     // hashed-unigram likelihood ratio against the src0-2 target —
     // bucket log-ratios are 1e-9 fixed-point longs, the Gumbel-max
@@ -1665,6 +1679,60 @@ object TextPack extends QueryPack {
         |FROM contrib GROUP BY 1
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
+
+    // the decode replayed through the same staged-train CTEs: invert
+    // the vocab, rebuild every word from its piece ids in order,
+    // reassemble docs in word order, compare against the normalized
+    // original
+    "q_bpe_roundtrip" ->
+      s"""WITH ${bpeIdCtes(8)},
+         |wdec AS (
+         |  SELECT w, array_to_string(list(piece ORDER BY i), '') AS w_dec
+         |  FROM (
+         |    SELECT w, unnest(ids) AS id,
+         |      unnest(range(1, len(ids) + 1)) AS i
+         |    FROM wid
+         |  ) JOIN vocab USING (id)
+         |  GROUP BY w
+         |),
+         |ddec AS (
+         |  SELECT doc_id,
+         |    array_to_string(list(w_dec ORDER BY pos), ' ') AS decoded
+         |  FROM (
+         |    SELECT doc_id, w, pos FROM (
+         |      SELECT doc_id,
+         |        unnest(string_split(text, ' ')) AS w,
+         |        unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+         |      FROM documents) WHERE w != ''
+         |  ) JOIN wdec USING (w)
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, coalesce(decoded, '') AS decoded,
+         |  coalesce(decoded, '') = array_to_string(list_filter(
+         |    string_split(coalesce(text, ''), ' '), x -> x != ''), ' ') AS ok
+         |FROM documents d LEFT JOIN ddec USING (doc_id)""".stripMargin,
+
+    // the next-fit fold replayed as a per-shard recursive CTE: same
+    // stream order, same overflow rule, same oversize isolation
+    "q_pack_whole" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n,
+        |    row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS i
+        |  FROM documents),
+        |rec AS (
+        |  SELECT doc_id, shard, CAST(0 AS BIGINT) AS bin,
+        |    CAST(0 AS BIGINT) AS tok_start, n, i, n AS fill
+        |  FROM t WHERE i = 1
+        |  UNION ALL
+        |  SELECT t.doc_id, t.shard,
+        |    CASE WHEN rec.fill + t.n > 256 THEN rec.bin + 1 ELSE rec.bin END,
+        |    CASE WHEN rec.fill + t.n > 256 THEN CAST(0 AS BIGINT)
+        |         ELSE rec.fill END,
+        |    t.n, t.i,
+        |    CASE WHEN rec.fill + t.n > 256 THEN t.n ELSE rec.fill + t.n END
+        |  FROM rec JOIN t ON t.shard = rec.shard AND t.i = rec.i + 1)
+        |SELECT doc_id, shard, bin, tok_start, n AS n_tokens FROM rec""".stripMargin,
 
     // the DSIR chain replayed end-to-end: same 'b#' md5 bucket
     // assignment, same Laplace-smoothed cross-ratio into one ln per
