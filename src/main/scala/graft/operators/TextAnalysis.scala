@@ -1404,7 +1404,7 @@ object TextAnalysis {
     * once per row; the size-0 guard exists because Spark's
     * `sequence(1, 0)` counts DOWN ([1, 0]) instead of yielding
     * empty. */
-  private def lmTransitions(df: DataFrame, textCol: String): Column = {
+  private[graft] def lmTransitions(df: DataFrame, textCol: String): Column = {
     val filtered = s"filter(split(coalesce($textCol, ''), ' '), x -> x != '')"
     expr(graft.functions.Let.let1(filtered, "toks")(
       """CASE WHEN size(toks) = 0
@@ -1414,6 +1414,36 @@ object TextAnalysis {
         |      CASE WHEN i = 1 THEN cast(null as string)
         |           ELSE element_at(toks, i - 1) END as prev,
         |      element_at(toks, i) as cur)) END""".stripMargin))
+  }
+
+  /** The five-way Stupid-Backoff log-score as a SQL string over
+    * columns (c_ab, prev, c_cur, c_prev) and the reference-total
+    * column/literal `nRefExpr` — shared LITERALLY by the batch scorer
+    * ([[lmPerplexity]]) and the streaming twin
+    * ([[graft.streaming.EventStream.lmScoreStream]]), so the two can
+    * never drift. The result is ln(S)·1e9, pre-round — callers apply
+    * `round(...).cast("bigint")` (the fixed-point step).
+    *
+    * Constants go through string→double casts, not bare decimal
+    * literals: Spark parses 0.4 as DECIMAL and DuckDB as
+    * DECIMAL(2,1), and the two engines' decimal→double promotion
+    * points differ (0.4·0.4 is exactly 0.16 in decimal but
+    * 0.16000000000000003 in doubles) — strtod of the shortest
+    * round-trip repr is bit-identical everywhere. α² is
+    * pre-multiplied in Scala for the same reason. */
+  private[graft] def lmLogProbSql(alpha: Double, nRefExpr: String): String = {
+    val a = s"cast('$alpha' as double)"
+    val a2 = s"cast('${alpha * alpha}' as double)"
+    s"""ln(CASE
+       |  WHEN c_ab IS NOT NULL
+       |    THEN cast(c_ab as double) / cast(c_prev as double)
+       |  WHEN prev IS NOT NULL AND c_cur IS NOT NULL
+       |    THEN $a * cast(c_cur as double) / cast($nRefExpr as double)
+       |  WHEN prev IS NOT NULL
+       |    THEN $a2 / cast($nRefExpr as double)
+       |  WHEN c_cur IS NOT NULL
+       |    THEN cast(c_cur as double) / cast($nRefExpr as double)
+       |  ELSE $a / cast($nRefExpr as double) END) * 1e9""".stripMargin
   }
 
   /** Reference-corpus unigram counts — the (token, count) vocabulary
@@ -1437,6 +1467,24 @@ object TextAnalysis {
       .filter(col("tr.prev").isNotNull)
       .groupBy(col("tr.prev").as("w1"), col("tr.cur").as("w2"))
       .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+  }
+
+  /** Mergeable LM maintenance — count tables are associative sums, so
+    * yesterday's model + today's delta merge in O(vocabulary) without
+    * rescanning either corpus (the [[sourceStatsMergeable]]
+    * discipline). Fit deltas UNPRUNED (minCount = 1) and prune after
+    * the merge: a threshold applied before merging drops mass a later
+    * delta might have pushed over the cut. */
+  def lmMergeUnigramCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("tok").agg(sum(col("c")).as("c"))
+
+  /** Bigram-table twin of [[lmMergeUnigramCounts]]; `minCount` prunes
+    * AFTER the merged sum. */
+  def lmMergeBigramCounts(a: DataFrame, b: DataFrame,
+                          minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, s"lmMergeBigramCounts needs minCount >= 1, got $minCount")
+    a.unionByName(b).groupBy("w1", "w2").agg(sum(col("c_ab")).as("c_ab"))
       .filter(col("c_ab") >= minCount)
   }
 
@@ -1472,14 +1520,6 @@ object TextAnalysis {
                    uniCounts: DataFrame, biCounts: DataFrame,
                    alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
-    // string→double cast, not a bare decimal literal: Spark parses
-    // 0.4 as DECIMAL and DuckDB as DECIMAL(2,1), and the two engines'
-    // decimal→double promotion points differ (0.4*0.4 is exactly 0.16
-    // in decimal but 0.16000000000000003 in doubles) — strtod of the
-    // shortest round-trip repr is bit-identical everywhere. α² is
-    // pre-multiplied in Scala for the same reason.
-    val a = s"cast('$alpha' as double)"
-    val a2 = s"cast('${alpha * alpha}' as double)"
     val uniTot = uniCounts.agg(sum(col("c")).as("n_ref"))
     val pairs = docs
       .select(col(idCol), explode(lmTransitions(docs, textCol)).as("tr"))
@@ -1494,18 +1534,7 @@ object TextAnalysis {
         Seq("prev"), "left")
       .crossJoin(broadcast(uniTot))
       .withColumn("__lp",
-        col("m") * round(expr(
-          s"""ln(CASE
-             |  WHEN c_ab IS NOT NULL
-             |    THEN cast(c_ab as double) / cast(c_prev as double)
-             |  WHEN prev IS NOT NULL AND c_cur IS NOT NULL
-             |    THEN $a * cast(c_cur as double) / cast(n_ref as double)
-             |  WHEN prev IS NOT NULL
-             |    THEN $a2 / cast(n_ref as double)
-             |  WHEN c_cur IS NOT NULL
-             |    THEN cast(c_cur as double) / cast(n_ref as double)
-             |  ELSE $a / cast(n_ref as double) END) * 1e9""".stripMargin))
-          .cast("bigint"))
+        col("m") * round(expr(lmLogProbSql(alpha, "n_ref"))).cast("bigint"))
       .groupBy(col(idCol))
       .agg(sum(col("m")).as("n_tokens"), sum(col("__lp")).as("__s"))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")

@@ -84,6 +84,20 @@ case class DriftUpdate(cluster: Int, upd: Long, n_base: Long, n_new: Long,
                        mean_d2_base: Option[Double], mean_d2_new: Double,
                        drift_ratio: Option[Double], drift_flag: Int)
 
+/** One scored token of the LM feed: doc id + the 1e-9 fixed-point
+  * ln S contribution of that token under the standing model. */
+case class LmTok(doc_id: Long, lp: Long)
+
+/** Accumulated per-doc LM state: tokens seen + fixed-point log-prob
+  * sum — two longs per doc, reaped implicitly because a doc's rows
+  * arrive in one micro-batch. */
+case class LmDocState(n: Long, s: Long)
+
+/** One emitted per-doc score — the batch
+  * [[graft.operators.TextAnalysis.lmPerplexity]] columns. */
+case class LmScore(doc_id: Long, n_tokens: Long, avg_logp: Double,
+                   ppl: Double)
+
 /** Per-user gap state: the last seen event time. */
 case class GapState(last_us: Long)
 
@@ -954,6 +968,72 @@ object EventStream {
             val flag = if (nb == 0L || ratio.exists(_ > ratioThreshold)) 1 else 0
             Iterator(DriftUpdate(cluster, prev.upd + 1L, nb, n,
               meanBase, meanNew, ratio, flag))
+          }
+      }.toDF()
+  }
+
+  /** Streaming LM scoring — the
+    * [[graft.operators.TextAnalysis.lmPerplexity]] twin over a live
+    * doc feed: each arriving doc's tokens are scored map-side against
+    * the standing batch-fit model (the ingest-time quality gate, so a
+    * crawler can route/drop documents the moment they land instead of
+    * waiting for the nightly batch scorer). The five-way backoff
+    * expression is LITERALLY shared with the batch operator
+    * (`lmLogProbSql`), the model rides as two STATIC dictionary
+    * DataFrames through stream-static equi-joins — never collected,
+    * so a production-size vocabulary stays distributed — and only the
+    * one-row reference total is fetched to the driver. Per-doc state
+    * is two longs folded in `flatMapGroupsWithState` (update mode):
+    * a doc's exploded tokens all arrive in its own micro-batch, so
+    * each doc emits once, and a re-appearing id re-emits its
+    * accumulated score (the [[driftStream]] contract).
+    *
+    * Deliberate divergence from batch: a doc with NO tokens
+    * (empty/null text) produces no token rows, so the stream never
+    * sees it — batch emits it with n_tokens 0 and null scores.
+    * Stream==batch is pinned on the n_tokens > 0 subset in LmSpec. */
+  def lmScoreStream(spark: SparkSession, dir: String,
+                    uniCounts: DataFrame, biCounts: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    alpha: Double = 0.4): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.operators.TextAnalysis
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nRef: Long = uniCounts.agg(sum(col("c")).as("n"))
+      .collect()(0).getLong(0)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val toks = stream
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(TextAnalysis.lmTransitions(stream, textCol)).as("tr"))
+      .select(col("doc_id"), col("tr.prev").as("prev"),
+        col("tr.cur").as("cur"))
+      .join(biCounts.select(col("w1").as("prev"), col("w2").as("cur"),
+        col("c_ab")), Seq("prev", "cur"), "left")
+      .join(uniCounts.select(col("tok").as("cur"), col("c").as("c_cur")),
+        Seq("cur"), "left")
+      .join(uniCounts.select(col("tok").as("prev"), col("c").as("c_prev")),
+        Seq("prev"), "left")
+      .select(col("doc_id"),
+        round(expr(TextAnalysis.lmLogProbSql(alpha, nRef.toString)))
+          .cast("bigint").as("lp"))
+      .as[LmTok]
+    toks.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[LmDocState, LmScore](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (docId: Long, it: Iterator[LmTok], state: GroupState[LmDocState]) =>
+          val prev = state.getOption.getOrElse(LmDocState(0L, 0L))
+          var n = prev.n
+          var s = prev.s
+          it.foreach { t => n += 1L; s += t.lp }
+          if (n == prev.n) Iterator.empty
+          else {
+            state.update(LmDocState(n, s))
+            Iterator(LmScore(docId, n,
+              r6((s.toDouble / 1e9) / n),
+              r6(Math.exp((s.toDouble / -1e9) / n))))
           }
       }.toDF()
   }
