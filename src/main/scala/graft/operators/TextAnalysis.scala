@@ -1396,6 +1396,31 @@ object TextAnalysis {
     df.withColumn("split", expr(caseExpr))
   }
 
+  /** HTML → text extraction — the step upstream of every text filter
+    * when the corpus arrives as crawled markup: script/style blocks
+    * (content AND tags) removed first, then comments, then every
+    * remaining tag, then the five core entities decoded, whitespace
+    * collapsed, trimmed. Two deliberate choices keep it
+    * engine-replayable: patterns avoid backreferences (RE2 — the
+    * DuckDB engine — has none, so script and style get separate
+    * patterns), and `&amp;` decodes LAST so double-encoded text
+    * (`&amp;lt;`) correctly yields `&lt;`, not `<`. Pure chained
+    * `regexp_replace`/`replace` — map-side, codegen'd, zero shuffle,
+    * embarrassingly parallel at any scale. Null propagates. */
+  def stripHtml(textCol: String): Column = {
+    val noScript = regexp_replace(col(textCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+        "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        call_function("replace", c, lit(from), lit(to))
+      }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   /** The scored per-token transition stream both LM passes share:
     * one row per token of `textCol` (empty whitespace tokens
     * dropped), carrying the PREVIOUS token (null for the doc's first

@@ -576,6 +576,23 @@ object TextPack extends QueryPack {
       out
     }),
 
+    // HTML → text extraction over deterministically synthesized
+    // markup: each doc's text wrapped in tags + a script block +
+    // entities, then stripped — the hash pins that extraction
+    // recovers the original (whitespace-collapsed) text plus the
+    // decoded entity fragment
+    "q_strip_html" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), concat(
+          lit("<html><head><style>body { color: red; }</style></head>" +
+            "<body><!-- crawl\nartifact --><p>"),
+          col("text"),
+          lit("</p><script type=\"text/javascript\">var x = 1 < 2;\n" +
+            "</script><div>Tom &amp; Jerry &lt;3 &quot;quoted&quot;" +
+            "&nbsp;end</div></body></html>")).as("__html"))
+        .select(col("doc_id"),
+          TextAnalysis.stripHtml("__html").as("extracted"))),
+
     // tokenizer round-trip certification: ids → pieces → words →
     // docs through the inverted vocab; `ok` all-true is the proof
     // the id emission is invertible before raw text is dropped
@@ -1679,6 +1696,36 @@ object TextPack extends QueryPack {
         |FROM contrib GROUP BY 1
         |ORDER BY score DESC, doc_id ASC
         |LIMIT 10""".stripMargin,
+
+    // the extraction chain replayed operation-for-operation: same
+    // RE2-safe patterns (no backreferences), same strip order
+    // (script/style blocks before the generic tag pass, &amp; decoded
+    // last), DuckDB's 'g' flag standing in for Spark's
+    // global-by-default regexp_replace
+    "q_strip_html" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(html,
+        |              '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |      '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS extracted
+        |FROM (
+        |  SELECT doc_id,
+        |    '<html><head><style>body { color: red; }</style></head>'
+        |    || '<body><!-- crawl' || chr(10) || 'artifact --><p>'
+        |    || text
+        |    || '</p><script type="text/javascript">var x = 1 < 2;'
+        |    || chr(10) || '</script><div>Tom &amp; Jerry &lt;3 '
+        |    || '&quot;quoted&quot;&nbsp;end</div></body></html>' AS html
+        |  FROM documents)""".stripMargin,
 
     // the decode replayed through the same staged-train CTEs: invert
     // the vocab, rebuild every word from its piece ids in order,
