@@ -176,6 +176,58 @@ object Sampling {
     * stratum is smaller), by per-stratum content-hash rank. `idCol`
     * must be unique per row (it is the hash input and the tiebreak —
     * a total order, as [[Skew.saltedTopK]] requires). */
+  /** Temperature-scaled source mixing (the multilingual-pretraining
+    * flattening rule: sample shares ∝ n_s^(1/T), so T = 1 keeps the
+    * natural distribution and larger T lifts low-resource sources
+    * toward uniform): every doc of source s is kept with rate
+    *
+    *   r_s = min(1, (w_s / W) · f · N / n_s),   w_s = n_s^(1/T)
+    *
+    * where n_s = source row counts, N = Σ n_s, f = `budgetFraction`
+    * (the kept share of the corpus when nothing clamps). T = 1 makes
+    * r_s = min(1, f) for every source — natural-distribution
+    * subsampling; T → ∞ pushes shares uniform and rare sources clamp
+    * at keep-everything. Membership is the [[TextAnalysis.sourceMix]]
+    * rule with the rate computed IN-PLAN: the doc's md5-derived
+    * uniform ('t#' domain) compared against r_s — deterministic,
+    * repartition-stable, nested across budgets (a bigger f keeps a
+    * superset).
+    *
+    * Exactness discipline: w_s is one pow() per source rounded to a
+    * 1e-6 fixed-point long, W is an integer sum (a float Σ over
+    * sources would be partition-order dependent), and r_s is a final
+    * double expression from exact integers — so membership
+    * hash-pins. Shape: one combinable count aggregate (sources rows),
+    * the k-row rate table broadcast back onto the corpus, one
+    * map-side filter. */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+                     temperature: Double, budgetFraction: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0, got $temperature")
+    require(budgetFraction > 0 && budgetFraction <= 1,
+      s"budgetFraction must be in (0,1], got $budgetFraction")
+    val invT = s"cast('${1.0 / temperature}' as double)"
+    val f = s"cast('$budgetFraction' as double)"
+    val counts = df
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(count(lit(1)).as("__ns"))
+      .withColumn("__wf",
+        expr(s"cast(round(pow(cast(__ns as double), $invT) * 1e6) as bigint)"))
+    val tot = counts.agg(sum(col("__ns")).as("__n"),
+      sum(col("__wf")).as("__w"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .select(col("__src"),
+        expr(s"""least(cast(1.0 as double),
+                |  (cast(__wf as double) / cast(__w as double))
+                |    * $f * cast(__n as double) / cast(__ns as double))"""
+          .stripMargin).as("__rate"))
+    val u = (expr(Sketch.md5Hash60Sql(
+      s"concat('t#', cast($idCol as string))")) + lit(1L))
+      .cast("double") / lit(Sketch.M60)
+    df.join(broadcast(rates), col(sourceCol) <=> col("__src"))
+      .filter(u < col("__rate"))
+      .drop("__src", "__rate")
+  }
+
   def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
                        n: Int): DataFrame = {
     require(n >= 1, s"stratifiedSample needs n >= 1, got $n")
