@@ -1225,6 +1225,94 @@ object TextAnalysis {
         (coalesce(col("__dec"), lit("")) === col("__norm")).as("ok"))
   }
 
+  /** Tokenizer FERTILITY by source — the standard tokenizer-quality
+    * number (pieces emitted per word; 1.0 = every word kept whole):
+    * per source, total words, total pieces under the trained merge
+    * table, fertility = pieces/words, and the unsplit-word fraction.
+    * A tokenizer trained on one distribution shows its bias here —
+    * out-of-domain sources pay more pieces per word, which is more
+    * sequence length for the same text; this is the table that
+    * decision is made from (train longer? bigger vocab? per-domain
+    * merges?).
+    *
+    * Shape: the corpus collapses to per-(source, word) counts, the
+    * [[bpeWordPieces]] dictionary is built once over distinct words,
+    * one word-key equi-join, one k-row aggregate. Ratios are exact
+    * integer divisions rounded at read-out. */
+  def bpeFertility(docs: DataFrame, textCol: String, sourceCol: String,
+                   mergeTable: DataFrame, chunkSize: Int = 64): DataFrame = {
+    val sw = docs
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val dict = bpeWordPieces(sw.select("w"), "w", mergeTable, chunkSize)
+      .select(col("w"), col("n_pieces"))
+    sw.join(dict, "w")
+      .groupBy("source")
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_pieces")).as("n_pieces"),
+        sum(when(col("n_pieces") === 1, col("c")).otherwise(lit(0L)))
+          .as("__whole"))
+      .select(col("source"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double")
+          / col("n_words").cast("double"), 6).as("fertility"),
+        round(col("__whole").cast("double")
+          / col("n_words").cast("double"), 6).as("pct_unsplit"))
+  }
+
+  /** Zipf-law fit over the term-frequency ranking — the corpus-health
+    * diagnostic (natural text follows cnt ∝ rank^s with s ≈ −1;
+    * boilerplate floods, template spam, or synthetic text bend the
+    * tail): ordinary least squares of ln(cnt) on ln(rank) over the
+    * top `topK` terms. Output is ONE row (n_terms, slope, intercept).
+    *
+    * Exactness: ln(rank)/ln(cnt) are 1e-6 fixed-point longs, the five
+    * OLS sums are integer aggregates, and the closed-form slope
+    * numerator/denominator are computed in DECIMAL(38,0) from those
+    * exact sums (k·Σxy and Σx·Σy pass 2^63 around topK ≈ 500) — one
+    * double division each at read-out, so the row hash-pins. Shape:
+    * one combinable term-count aggregate, a TakeOrdered top-K cut,
+    * and a k-row single-partition window for the rank — model-sized
+    * by construction, never corpus-sized. */
+  def zipfFit(docs: DataFrame, textCol: String, topK: Int = 100): DataFrame = {
+    require(topK >= 3, s"zipfFit needs topK >= 3, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val top = docs
+      .select(explode(expr(tokensSql(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(topK)
+    val ranked = top
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("tok"))))
+      .select(
+        expr("cast(round(ln(cast(rank as double)) * 1e6) as bigint)").as("x"),
+        expr("cast(round(ln(cast(cnt as double)) * 1e6) as bigint)").as("y"))
+    ranked
+      .agg(count(lit(1)).as("k"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("k").as("n_terms"),
+        round(expr(
+          """cast(cast(k as decimal(38,0)) * cast(sxy as decimal(38,0))
+            |     - cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))
+            |   as double)
+            | / cast(cast(k as decimal(38,0)) * cast(sxx as decimal(38,0))
+            |     - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+            |   as double)""".stripMargin), 6).as("slope"),
+        round(expr(
+          """(cast(sy as double)
+            |  - (cast(cast(k as decimal(38,0)) * cast(sxy as decimal(38,0))
+            |       - cast(sx as decimal(38,0)) * cast(sy as decimal(38,0))
+            |     as double)
+            |   / cast(cast(k as decimal(38,0)) * cast(sxx as decimal(38,0))
+            |       - cast(sx as decimal(38,0)) * cast(sx as decimal(38,0))
+            |     as double)) * cast(sx as double))
+            |/ cast(k as double) / 1e6""".stripMargin), 6).as("intercept"))
+  }
+
   /** Distribution DRIFT between two corpora — exact total-variation
     * distance over unigram frequencies, plus the top-K terms driving
     * it: the "did this refresh change what the model will read"

@@ -636,6 +636,20 @@ object TextPack extends QueryPack {
       TextAnalysis.packSequencesWhole(Tables.documents(s, d), "doc_id",
         "text", ctxTokens = 256, shards = 8)),
 
+    // tokenizer fertility by source: pieces per word under the
+    // trained merge table + unsplit fraction — the tokenizer-quality
+    // table a vocab decision is made from
+    "q_bpe_fertility" -> ((s, d) =>
+      TextAnalysis.bpeFertility(Tables.documents(s, d), "text", "source",
+        trainedMerges(s, d))),
+
+    // Zipf-law fit over the top-100 term ranking: OLS slope of
+    // ln(cnt) on ln(rank) — the corpus-health number (natural text
+    // ≈ −1); fixed-point lns, integer OLS sums, DECIMAL(38,0) final
+    // products
+    "q_zipf" -> ((s, d) =>
+      TextAnalysis.zipfFit(Tables.documents(s, d), "text", topK = 100)),
+
     // temperature-scaled source mixing (shares ∝ n^(1/T)) over a
     // deliberately SKEWED grouping (the 4th source char makes group
     // '1' hold 11 of 20 sources): T=2 lifts rare groups, the clamp
@@ -1820,6 +1834,58 @@ object TextPack extends QueryPack {
         |    CASE WHEN rec.fill + t.n > 256 THEN t.n ELSE rec.fill + t.n END
         |  FROM rec JOIN t ON t.shard = rec.shard AND t.i = rec.i + 1)
         |SELECT doc_id, shard, bin, tok_start, n AS n_tokens FROM rec""".stripMargin,
+
+    // fertility replayed on top of the staged-train dictionary: same
+    // per-(source, word) counts, same n_pieces join, same round-6
+    // read-out
+    "q_bpe_fertility" ->
+      s"""WITH ${bpeEncodeCtes(8)},
+         |sw AS (
+         |  SELECT source, w, count(*) AS c FROM (
+         |    SELECT source, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE w != '' GROUP BY 1, 2),
+         |f AS (
+         |  SELECT source, sum(c) AS n_words,
+         |    sum(c * n_pieces) AS n_pieces,
+         |    sum(CASE WHEN n_pieces = 1 THEN c ELSE 0 END) AS whole
+         |  FROM sw JOIN dict USING (w) GROUP BY 1)
+         |SELECT source, CAST(n_words AS BIGINT) AS n_words,
+         |  CAST(n_pieces AS BIGINT) AS n_pieces,
+         |  round(CAST(n_pieces AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS fertility,
+         |  round(CAST(whole AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+         |    AS pct_unsplit
+         |FROM f""".stripMargin,
+
+    // the OLS fit replayed: same rank order, same 1e-6 fixed-point
+    // lns, same integer sums, HUGEINT standing in for DECIMAL(38,0)
+    // on the final cross products
+    "q_zipf" ->
+      """WITH tc AS (
+        |  SELECT tok, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE tok != '' GROUP BY 1),
+        |top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT 100),
+        |rk AS (SELECT cnt,
+        |         row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+        |       FROM top),
+        |xy AS (SELECT
+        |         CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1e6) AS BIGINT) AS y
+        |       FROM rk),
+        |s AS (SELECT count(*) AS k, sum(x) AS sx, sum(y) AS sy,
+        |        sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+        |SELECT CAST(k AS BIGINT) AS n_terms,
+        |  round(CAST(CAST(k AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |      / CAST(CAST(k AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+        |    AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |      - (CAST(CAST(k AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |         / CAST(CAST(k AS HUGEINT) * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE))
+        |    / CAST(k AS DOUBLE) / 1e6, 6) AS intercept
+        |FROM s""".stripMargin,
 
     // the temperature rule replayed: same fixed-point pow weights
     // (integer W sum), same clamp, same 't#' uniform membership
