@@ -60,23 +60,25 @@ object DataSelection {
     * totals ride as 1-row broadcasts folded into the same table. No
     * shuffle wider than the per-doc bucket collapse. Output:
     * (doc_id, n_tokens, log_w round-6). */
-  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
-                     target: DataFrame, targetTextCol: String,
-                     buckets: Int = 4096,
-                     source: DataFrame = null,
-                     sourceTextCol: String = null): DataFrame = {
-    val src = Option(source).getOrElse(docs)
-    val stc = Option(sourceTextCol).getOrElse(textCol)
+  /** The B-row (bucket, lr) ratio table both the batch scorer and the
+    * streaming twin join against: per-bucket Laplace-smoothed
+    * log-likelihood ratio of target vs source, as a 1e-9 fixed-point
+    * long. Built over the FULL bucket spine — a bucket absent from
+    * both counts still has a (smoothed) ratio, so no token is ever
+    * dropped by the scoring join. This IS the persisted model
+    * artifact of a production DSIR run (B rows, fit once). */
+  def dsirRatioTable(target: DataFrame, targetTextCol: String,
+                     source: DataFrame, sourceTextCol: String,
+                     buckets: Int): DataFrame = {
+    require(buckets >= 2, s"dsirRatioTable needs buckets >= 2, got $buckets")
     val ct = bucketCounts(target, targetTextCol, buckets)
       .withColumnRenamed("c", "ct")
-    val cs = bucketCounts(src, stc, buckets).withColumnRenamed("c", "cs")
+    val cs = bucketCounts(source, sourceTextCol, buckets)
+      .withColumnRenamed("c", "cs")
     val nt = ct.agg(coalesce(sum(col("ct")), lit(0L)).as("n_t"))
     val ns = cs.agg(coalesce(sum(col("cs")), lit(0L)).as("n_s"))
-    // one B-row ratio table over the FULL bucket spine — a bucket
-    // absent from both counts still has a (smoothed) ratio, so no
-    // token is ever dropped by the join below
-    val spine = docs.sparkSession.range(0, buckets).toDF("bucket")
-    val ratios = spine
+    val spine = target.sparkSession.range(0, buckets).toDF("bucket")
+    spine
       .join(ct, Seq("bucket"), "left").join(cs, Seq("bucket"), "left")
       .crossJoin(broadcast(nt)).crossJoin(broadcast(ns))
       .select(col("bucket"),
@@ -86,12 +88,24 @@ object DataSelection {
              |   / (cast(coalesce(cs, 0) + 1 as double)
              |      * cast(n_t + $buckets as double))) * 1e9""".stripMargin))
           .cast("bigint").as("lr"))
+  }
+
+  /** The token→bucket assignment both scorers share. */
+  private[graft] def bucketExpr(buckets: Int): String =
+    s"pmod(${Sketch.md5Hash60Sql("concat('b#', tok)")}, $buckets)"
+
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     target: DataFrame, targetTextCol: String,
+                     buckets: Int = 4096,
+                     source: DataFrame = null,
+                     sourceTextCol: String = null): DataFrame = {
+    val src = Option(source).getOrElse(docs)
+    val stc = Option(sourceTextCol).getOrElse(textCol)
+    val ratios = dsirRatioTable(target, targetTextCol, src, stc, buckets)
     val perDoc = docs
       .select(col(idCol), explode(expr(
         s"filter(split(coalesce($textCol, ''), ' '), x -> x != '')")).as("tok"))
-      .select(col(idCol), expr(
-        s"pmod(${Sketch.md5Hash60Sql("concat('b#', tok)")}, $buckets)")
-        .as("bucket"))
+      .select(col(idCol), expr(bucketExpr(buckets)).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("m"))
       .join(broadcast(ratios), Seq("bucket"))
       .groupBy(col(idCol))

@@ -98,6 +98,10 @@ case class LmDocState(n: Long, s: Long)
 case class LmScore(doc_id: Long, n_tokens: Long, avg_logp: Double,
                    ppl: Double)
 
+/** One emitted per-doc DSIR importance score — the batch
+  * [[graft.operators.DataSelection.dsirLogWeights]] columns. */
+case class DsirScore(doc_id: Long, n_tokens: Long, log_w: Double)
+
 /** Per-user gap state: the last seen event time. */
 case class GapState(last_us: Long)
 
@@ -1034,6 +1038,51 @@ object EventStream {
             Iterator(LmScore(docId, n,
               r6((s.toDouble / 1e9) / n),
               r6(Math.exp((s.toDouble / -1e9) / n))))
+          }
+      }.toDF()
+  }
+
+  /** Streaming DSIR scoring — the
+    * [[graft.operators.DataSelection.dsirLogWeights]] twin over a live
+    * doc feed: each arriving doc's hashed-token stream is scored
+    * against the standing (bucket, lr) ratio table
+    * ([[graft.operators.DataSelection.dsirRatioTable]] — the B-row
+    * model artifact a production run fits once), so ingest can route
+    * or drop documents by target-likeness the moment they land. Same
+    * state/emission contract as [[lmScoreStream]]: the ratio table
+    * rides as a STATIC broadcast join side, per-doc state is two
+    * longs, a doc emits in its own micro-batch, re-appearing ids
+    * re-emit accumulated. Tokenless docs are invisible to the stream
+    * (batch emits them at log_w 0) — pinned on the n_tokens > 0
+    * subset in DsirStreamSpec. */
+  def dsirScoreStream(spark: SparkSession, dir: String, ratios: DataFrame,
+                      buckets: Int, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val schema = spark.read.parquet(dir).schema
+    val toks = spark.readStream.schema(schema).parquet(dir)
+      .select(col(idCol).cast("long").as("doc_id"), explode(expr(
+        s"filter(split(coalesce($textCol, ''), ' '), x -> x != '')")).as("tok"))
+      .select(col("doc_id"),
+        expr(graft.operators.DataSelection.bucketExpr(buckets)).as("bucket"))
+      .join(broadcast(ratios), Seq("bucket"))
+      .select(col("doc_id"), col("lr").as("lp"))
+      .as[LmTok]
+    toks.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[LmDocState, DsirScore](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (docId: Long, it: Iterator[LmTok], state: GroupState[LmDocState]) =>
+          val prev = state.getOption.getOrElse(LmDocState(0L, 0L))
+          var n = prev.n
+          var s = prev.s
+          it.foreach { t => n += 1L; s += t.lp }
+          if (n == prev.n) Iterator.empty
+          else {
+            state.update(LmDocState(n, s))
+            Iterator(DsirScore(docId, n, r6(s.toDouble / 1e9)))
           }
       }.toDF()
   }
