@@ -987,10 +987,19 @@ object EventStream {
     * DataFrames through stream-static equi-joins — never collected,
     * so a production-size vocabulary stays distributed — and only the
     * one-row reference total is fetched to the driver. Per-doc state
-    * is two longs folded in `flatMapGroupsWithState` (update mode):
-    * a doc's exploded tokens all arrive in its own micro-batch, so
-    * each doc emits once, and a re-appearing id re-emits its
-    * accumulated score (the [[driftStream]] contract).
+    * folds per doc in `flatMapGroupsWithState` (update mode) — and
+    * the fold RETAINS NOTHING: a doc's score is computed entirely
+    * within the micro-batch its token rows arrive in (the exploded
+    * tokens of a doc co-arrive with the file that carries the doc),
+    * and the GroupState is never written, so the state store holds
+    * ZERO entries between batches. Doc ids on a crawler-ingest feed
+    * are an unbounded key space (unlike [[driftStream]]'s k
+    * clusters, which need no eviction) — accumulating per-doc state
+    * under NoTimeout would grow by one entry per doc id ever seen
+    * for the stream's lifetime. The trade, documented: a doc id
+    * whose rows straddle a batch boundary (or re-appears later)
+    * emits one PARTIAL score per batch, re-scoring from zero each
+    * time, instead of one accumulated total.
     *
     * Deliberate divergence from batch: a doc with NO tokens
     * (empty/null text) produces no token rows, so the stream never
@@ -1005,8 +1014,12 @@ object EventStream {
     import graft.operators.TextAnalysis
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    val nRef: Long = uniCounts.agg(sum(col("c")).as("n"))
+    // coalesce: an EMPTY unigram model sums to null, which would NPE
+    // here (and a zero total divides by zero inside lmLogProbSql) —
+    // fail fast with a model-shaped message instead
+    val nRef: Long = uniCounts.agg(coalesce(sum(col("c")), lit(0L)).as("n"))
       .collect()(0).getLong(0)
+    require(nRef > 0, s"lmScoreStream: empty unigram model (nRef=$nRef)")
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir)
     val toks = stream
@@ -1027,18 +1040,15 @@ object EventStream {
     toks.groupByKey(_.doc_id)
       .flatMapGroupsWithState[LmDocState, LmScore](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (docId: Long, it: Iterator[LmTok], state: GroupState[LmDocState]) =>
-          val prev = state.getOption.getOrElse(LmDocState(0L, 0L))
-          var n = prev.n
-          var s = prev.s
+        (docId: Long, it: Iterator[LmTok], _: GroupState[LmDocState]) =>
+          // state is deliberately never written — see the Scaladoc
+          var n = 0L
+          var s = 0L
           it.foreach { t => n += 1L; s += t.lp }
-          if (n == prev.n) Iterator.empty
-          else {
-            state.update(LmDocState(n, s))
-            Iterator(LmScore(docId, n,
-              r6((s.toDouble / 1e9) / n),
-              r6(Math.exp((s.toDouble / -1e9) / n))))
-          }
+          if (n == 0L) Iterator.empty
+          else Iterator(LmScore(docId, n,
+            r6((s.toDouble / 1e9) / n),
+            r6(Math.exp((s.toDouble / -1e9) / n))))
       }.toDF()
   }
 
@@ -1049,12 +1059,16 @@ object EventStream {
     * ([[graft.operators.DataSelection.dsirRatioTable]] — the B-row
     * model artifact a production run fits once), so ingest can route
     * or drop documents by target-likeness the moment they land. Same
-    * state/emission contract as [[lmScoreStream]]: the ratio table
-    * rides as a STATIC broadcast join side, per-doc state is two
-    * longs, a doc emits in its own micro-batch, re-appearing ids
-    * re-emit accumulated. Tokenless docs are invisible to the stream
-    * (batch emits them at log_w 0) — pinned on the n_tokens > 0
-    * subset in DsirStreamSpec. */
+    * zero-retained-state contract as [[lmScoreStream]]: the ratio
+    * table rides as a STATIC broadcast join side, each doc scores
+    * entirely within its arriving micro-batch and the GroupState is
+    * never written (doc ids are an unbounded key space — retained
+    * per-doc state would grow for the stream's lifetime); an id
+    * whose rows straddle batches emits partial per-batch scores.
+    * Tokenless docs are invisible to the stream (batch emits them at
+    * log_w 0) — pinned on the n_tokens > 0 subset in DsirStreamSpec.
+    * The token→bucket assignment is literally shared with the batch
+    * scorer ([[graft.operators.DataSelection.tokenBuckets]]). */
   def dsirScoreStream(spark: SparkSession, dir: String, ratios: DataFrame,
                       buckets: Int, idCol: String = "doc_id",
                       textCol: String = "text"): DataFrame = {
@@ -1063,27 +1077,22 @@ object EventStream {
     def r6(x: Double): Double =
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val schema = spark.read.parquet(dir).schema
-    val toks = spark.readStream.schema(schema).parquet(dir)
-      .select(col(idCol).cast("long").as("doc_id"), explode(expr(
-        s"filter(split(coalesce($textCol, ''), ' '), x -> x != '')")).as("tok"))
-      .select(col("doc_id"),
-        expr(graft.operators.DataSelection.bucketExpr(buckets)).as("bucket"))
+    val toks = graft.operators.DataSelection.tokenBuckets(
+        spark.readStream.schema(schema).parquet(dir),
+        idCol, textCol, buckets)
       .join(broadcast(ratios), Seq("bucket"))
       .select(col("doc_id"), col("lr").as("lp"))
       .as[LmTok]
     toks.groupByKey(_.doc_id)
       .flatMapGroupsWithState[LmDocState, DsirScore](
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (docId: Long, it: Iterator[LmTok], state: GroupState[LmDocState]) =>
-          val prev = state.getOption.getOrElse(LmDocState(0L, 0L))
-          var n = prev.n
-          var s = prev.s
+        (docId: Long, it: Iterator[LmTok], _: GroupState[LmDocState]) =>
+          // state is deliberately never written — see the Scaladoc
+          var n = 0L
+          var s = 0L
           it.foreach { t => n += 1L; s += t.lp }
-          if (n == prev.n) Iterator.empty
-          else {
-            state.update(LmDocState(n, s))
-            Iterator(DsirScore(docId, n, r6(s.toDouble / 1e9)))
-          }
+          if (n == 0L) Iterator.empty
+          else Iterator(DsirScore(docId, n, r6(s.toDouble / 1e9)))
       }.toDF()
   }
 

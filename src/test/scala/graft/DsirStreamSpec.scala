@@ -7,10 +7,11 @@ import graft.operators.DataSelection
 import graft.streaming.EventStream
 
 /** Pins [[EventStream.dsirScoreStream]] to its batch twin
-  * [[DataSelection.dsirLogWeights]]: scores accumulated across
-  * micro-batches equal the batch weights bit-for-bit on the
-  * n_tokens > 0 subset, with the ratio table fit once in batch and
-  * riding the stream as a static broadcast side.
+  * [[DataSelection.dsirLogWeights]]: per-doc scores — each computed
+  * within the micro-batch that carries the doc (the stream retains
+  * NO per-doc state between batches) — equal the batch weights
+  * bit-for-bit on the n_tokens > 0 subset, with the ratio table fit
+  * once in batch and riding the stream as a static broadcast side.
   */
 class DsirStreamSpec extends AnyFunSuite {
   private lazy val spark = SparkSuite.spark

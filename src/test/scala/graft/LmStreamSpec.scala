@@ -8,9 +8,11 @@ import graft.streaming.EventStream
 
 /** Pins [[EventStream.lmScoreStream]] to its batch twin
   * [[TextAnalysis.lmPerplexity]] (the EventStream twin discipline):
-  * scores accumulated across micro-batches must equal the batch
-  * scorer bit-for-bit on the n_tokens > 0 subset, with the model fit
-  * once in batch and riding the stream as static join sides. Also
+  * per-doc scores — each computed within the micro-batch that carries
+  * the doc; the stream retains NO per-doc state between batches —
+  * must equal the batch scorer bit-for-bit on the n_tokens > 0
+  * subset, with the model fit once in batch and riding the stream as
+  * static join sides. Also
   * pins the mergeable count maintenance: merged daily deltas equal
   * the one-pass refit.
   */
