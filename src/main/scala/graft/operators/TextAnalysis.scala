@@ -203,10 +203,15 @@ object TextAnalysis {
     require(ctxTokens > 0 && shards > 0)
     val spark = df.sparkSession
     import spark.implicits._
+    // null text packs deterministically like the empty string (the
+    // lmPerplexity / dsirLogWeights / bpeDecode null convention) —
+    // tokenCount(null) is null and the typed encoder below would
+    // throw on a null primitive, failing the whole job for one row
     val packed = df
       .select(col(idCol).cast("long").as("id"),
         pmod(col(idCol), lit(shards)).cast("long").as("shard"),
-        tokensCol.getOrElse(tokenCount(textCol)).cast("long").as("n"))
+        tokensCol.getOrElse(tokenCount(s"coalesce($textCol, '')"))
+          .cast("long").as("n"))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("id"))
       .as[(Long, Long, Long)]
@@ -1223,6 +1228,131 @@ object TextAnalysis {
       .select(col(idCol),
         coalesce(col("__dec"), lit("")).as("decoded"),
         (coalesce(col("__dec"), lit("")) === col("__norm")).as("ok"))
+  }
+
+  /** BPE ENCODE UNDER A STORED VOCAB with an explicit OUT-OF-VOCAB
+    * tier — the production serve shape [[bpeIdSequences]] cannot
+    * honestly claim: that operator's vocab is built from the corpus
+    * being encoded, so coverage is total by construction. Encoding a
+    * NEW corpus under a train-once vocab (the `bpeMergeMemo`
+    * train-once/serve-many deployment) meets characters the training
+    * alphabet never saw; a real tokenizer byte-falls-back (GPT-2) or
+    * emits `<unk>` — this implements the `<unk>` contract:
+    *
+    *  - merges replay exactly as at train time ([[bpeWordPieces]] —
+    *    an unseen character can never match a merge operand, so it
+    *    survives as its own single-character piece);
+    *  - every piece found in `vocab` keeps its id; every piece NOT in
+    *    `vocab` (exactly the unseen characters) maps to the RESERVED
+    *    id `|vocab|` — one past the last assigned id, the appended
+    *    `<unk>` row of the HF convention, computed distributively
+    *    (1-row broadcast, no collect);
+    *  - `n_unk` counts the fallback uses per word/doc, so corpus
+    *    coverage of a stored vocab is an aggregate away.
+    *
+    * Output: (w, ids array<int>, n_unk) — dictionary-sized, the
+    * [[bpeWordIds]] scale shape. */
+  def bpeWordIdsWithVocab(words: DataFrame, wordCol: String,
+                          vocab: DataFrame, mergeTable: DataFrame,
+                          chunkSize: Int = 64): DataFrame = {
+    val unk = broadcast(vocab.agg(count(lit(1)).cast("int").as("__unk")))
+    bpeWordPieces(words, wordCol, mergeTable, chunkSize)
+      .select(col("w"), posexplode(col("pieces")).as(Seq("pi", "piece")))
+      .join(vocab, Seq("piece"), "left")
+      .crossJoin(unk)
+      .groupBy(col("w"))
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(pi, coalesce(id, __unk) AS uid))), x -> x.uid)")
+          .as("ids"),
+        sum(when(col("id").isNull, 1L).otherwise(0L)).as("n_unk"))
+  }
+
+  /** Per-doc token-id sequences of a corpus DISJOINT from the vocab's
+    * training corpus — [[bpeIdSequences]]'s cross-corpus form, with
+    * the [[bpeWordIdsWithVocab]] `<unk>` tier and a per-doc `n_unk`
+    * coverage count. Wordless docs emit an empty array and n_unk 0.
+    * Scale shape identical to [[bpeIdSequences]]: the dictionary side
+    * is vocab-sized, the corpus side carries (doc, pos, word), one
+    * word-key equi-join, one per-doc position-sorted reassembly. */
+  def bpeIdSequencesWithVocab(docs: DataFrame, idCol: String,
+                              textCol: String, vocab: DataFrame,
+                              mergeTable: DataFrame,
+                              chunkSize: Int = 64): DataFrame = {
+    val dwp = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wid = bpeWordIdsWithVocab(dwp.select("w"), "w", vocab, mergeTable,
+      chunkSize)
+    val seqs = dwp.join(wid, "w")
+      .groupBy(col(idCol))
+      .agg(expr("flatten(transform(array_sort(collect_list(struct(pos, ids))), x -> x.ids))")
+        .as("__ids"),
+        sum(col("n_unk")).as("__unk"))
+    docs.select(col(idCol))
+      .join(seqs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__ids"), array().cast("array<int>")).as("ids"),
+        coalesce(col("__unk"), lit(0L)).as("n_unk"))
+      .withColumn("n_ids", size(col("ids")))
+  }
+
+  /** Cross-corpus DECODE + round-trip certification under a stored
+    * vocab — [[bpeDecode]]'s OOV-aware form: the reserved `<unk>` id
+    * decodes to U+FFFD (the Unicode replacement character — one per
+    * out-of-alphabet source character, since each unseen character is
+    * exactly one unk piece), and `ok` compares against the HONEST
+    * expectation: the single-space-normalized original with every
+    * character OUTSIDE the vocab's base alphabet replaced by U+FFFD.
+    * An all-true `ok` certifies the encode→ids→decode loop loses
+    * nothing BUT the explicitly-marked OOV characters — the strongest
+    * invertibility statement a fallback tokenizer can make. */
+  def bpeDecodeWithVocab(docs: DataFrame, idCol: String, textCol: String,
+                         vocab: DataFrame, mergeTable: DataFrame,
+                         chunkSize: Int = 64): DataFrame = {
+    val rep = "�"
+    val dwp = docs
+      .select(col(idCol), posexplode(split(col(textCol), " "))
+        .as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+    val wid = bpeWordIdsWithVocab(dwp.select("w"), "w", vocab, mergeTable,
+      chunkSize)
+    // id → piece with the unk id (absent from the vocab table by
+    // construction) decoding to the replacement character
+    val wdec = wid
+      .select(col("w"), posexplode(col("ids")).as(Seq("pi", "id")))
+      .join(vocab, Seq("id"), "left")
+      .groupBy(col("w"))
+      .agg(expr(
+        s"array_join(transform(array_sort(collect_list(struct(pi, coalesce(piece, '$rep') AS p))), x -> x.p), '')")
+        .as("w_dec"))
+    // expected: each distinct word with out-of-alphabet characters
+    // masked — alphabet membership is a left join of the word's
+    // characters against the vocab's single-character (base) tier
+    val wexp = dwp.select("w").distinct()
+      .select(col("w"), posexplode(expr(
+        "transform(sequence(1, length(w)), i -> substr(w, i, 1))"))
+        .as(Seq("ci", "piece")))
+      .join(vocab.filter(length(col("piece")) === 1), Seq("piece"), "left")
+      .groupBy(col("w"))
+      .agg(expr(
+        s"array_join(transform(array_sort(collect_list(struct(ci, CASE WHEN id IS NULL THEN '$rep' ELSE piece END AS p))), x -> x.p), '')")
+        .as("w_exp"))
+    val dec = dwp.join(wdec, "w").join(wexp, "w")
+      .groupBy(col(idCol))
+      .agg(expr(
+        "array_join(transform(array_sort(collect_list(struct(pos, w_dec))), x -> x.w_dec), ' ')")
+        .as("__dec"),
+        expr(
+          "array_join(transform(array_sort(collect_list(struct(pos, w_exp))), x -> x.w_exp), ' ')")
+          .as("__exp"))
+    docs
+      .select(col(idCol))
+      .join(dec, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__dec"), lit("")).as("decoded"),
+        (coalesce(col("__dec"), lit("")) === coalesce(col("__exp"), lit("")))
+          .as("ok"))
   }
 
   /** Tokenizer FERTILITY by source — the standard tokenizer-quality

@@ -55,6 +55,23 @@ object TextPack extends QueryPack {
     rows.toDF("rank", "left", "right", "pair_cnt")
   }
 
+  /** The OOV gate's TRAINING-split artifact: merges fit on src0–2
+    * only, so encoding the remaining sources is a genuine
+    * cross-corpus serve (same memo discipline as [[trainedMerges]]). */
+  private val bpeOovMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, String, String, Long)]]()
+  private def trainedMergesOov(s: SparkSession, d: String): DataFrame = {
+    val rows = bpeOovMergeMemo.computeIfAbsent(d, _ =>
+      TextAnalysis.bpeMerges(
+          Tables.documents(s, d)
+            .filter(col("source").isin("src0", "src1", "src2")),
+          "text", merges = 8)
+        .collect().toSeq.map(r => (r.getInt(0), r.getString(1),
+          r.getString(2), r.getLong(3))))
+    import s.implicits._
+    rows.toDF("rank", "left", "right", "pair_cnt")
+  }
+
   /** The Verify form of q_index_stored times the whole index
     * LIFECYCLE (posting build + partitioned write + probe) — right
     * for the gate, wrong to time: a serving user pays the build once
@@ -68,9 +85,10 @@ object TextPack extends QueryPack {
     // overrides then time scoring against the stored models only)
     benchOverrides("q_lm_perplexity")(spark, sfDir)
     benchOverrides("q_dsir_sample")(spark, sfDir)
-    // train the shared BPE artifact off the clock — otherwise the
+    // train the shared BPE artifacts off the clock — otherwise the
     // alphabetically-first bpe query pays the whole training loop
     trainedMerges(spark, sfDir)
+    trainedMergesOov(spark, sfDir)
     ()
   }
 
@@ -105,35 +123,16 @@ object TextPack extends QueryPack {
       val cat = new graft.catalog.Catalog(s, storeRoot("dsirmodel", d))
       val ratios = cat.get("dsir_ratios")
       val docs = Tables.documents(s, d)
-      // the q_dsir_sample chain from the STORED ratio table: per-doc
-      // bucket multiplicities → broadcast join → fixed-point sums →
-      // Gumbel-max top-100 (same arithmetic as dsirResample, which
-      // pins it — here the model is read, not refit)
-      val perDoc = docs
-        .select(col("doc_id"), explode(expr(
-          "filter(split(coalesce(text, ''), ' '), x -> x != '')")).as("tok"))
-        .select(col("doc_id"),
-          expr(graft.operators.DataSelection.bucketExpr(1024)).as("bucket"))
-        .groupBy(col("doc_id"), col("bucket")).agg(count(lit(1)).as("m"))
-        .join(broadcast(ratios), Seq("bucket"))
-        .groupBy(col("doc_id"))
-        .agg(sum(col("m")).as("n_tokens"),
-          sum(col("m") * col("lr")).as("__s"))
-      val w = docs.select(col("doc_id"))
-        .join(perDoc, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-          round(coalesce(col("__s"), lit(0L)).cast("double") / lit(1e9), 6)
-            .as("log_w"))
-      val u = (expr(graft.operators.Sketch.md5Hash60Sql(
-        "concat('g#', cast(doc_id as string))")) + lit(1L))
-        .cast("double") / lit(graft.operators.Sketch.M60)
       cat.close()
-      w.withColumn("__key", col("log_w") + -log(-log(u)))
-        .orderBy(col("__key").desc, col("doc_id"))
-        .limit(100)
-        .select(col("doc_id"), col("n_tokens"), col("log_w"),
-          round(col("__key"), 6).as("key"))
+      // the q_dsir_sample chain from the STORED ratio table — the
+      // LITERAL serve-path operators (dsirLogWeightsFromRatios +
+      // gumbelTopN, the same code dsirResample runs after its fit),
+      // so the bench and the gate share one copy of the arithmetic;
+      // here the model is read, not refit
+      graft.operators.DataSelection.gumbelTopN(
+        graft.operators.DataSelection.dsirLogWeightsFromRatios(
+          docs, "doc_id", "text", ratios, buckets = 1024),
+        "doc_id", n = 100)
     }),
 
     "q_lm_perplexity" -> ((s, d) => {
@@ -682,6 +681,29 @@ object TextPack extends QueryPack {
       TextAnalysis.bpeDecode(Tables.documents(s, d), "doc_id", "text",
         trainedMerges(s, d))),
 
+    // BPE cross-corpus encode under a STORED vocab with the `<unk>`
+    // fallback tier: merges + vocab fit on src0–2 ONLY, then the
+    // remaining sources — with 'a'→'x', 'e'→'z' planted (x/z are
+    // outside the corpus alphabet at every SF, canaried in
+    // BpeOovSpec) — encode under that vocab; unseen characters map to
+    // the reserved id |vocab| and are counted per doc, so the
+    // production serve shape (train once, encode new corpora forever)
+    // is hash-pinned INCLUDING its failure tier
+    "q_bpe_oov" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val train = docs.filter(col("source").isin("src0", "src1", "src2"))
+      val eval = docs.filter(!col("source").isin("src0", "src1", "src2"))
+        .select(col("doc_id"),
+          translate(col("text"), "ae", "xz").as("text"))
+      val mt = trainedMergesOov(s, d)
+      val vocab = TextAnalysis.bpeVocab(train, "text", mt)
+      TextAnalysis.bpeIdSequencesWithVocab(eval, "doc_id", "text", vocab, mt)
+        .select(col("doc_id"),
+          expr("array_join(transform(ids, x -> cast(x as string)), ' ')")
+            .as("ids_str"),
+          col("n_ids"), col("n_unk"))
+    }),
+
     // whole-doc (next-fit) packing: docs never split across training
     // windows — the padding-for-integrity trade of q_pack's exact
     // stream slicing; sequential per shard, parallel across shards
@@ -740,6 +762,25 @@ object TextPack extends QueryPack {
         TextAnalysis.lmUnigramCounts(ref, "text"),
         TextAnalysis.lmBigramCounts(ref, "text", minCount = 2))
     }),
+
+    // trainable quality classifier (fastText-shaped): TWO fixed
+    // full-batch logistic-regression rounds over hashed-unigram
+    // bucket features (+ bias), labels = src0-2 membership — the
+    // TRAINING LOOP itself sits under the hash gate via staged-CTE
+    // replay (the kMeans/bpeMerges fixed-round discipline; an SGD
+    // trainer with shuffled minibatches never could), then the serve
+    // path scores the corpus under the fit model. QualityClfSpec
+    // pins separation (train→score→AUC) on a planted two-population
+    // corpus and fit determinism across repeated fits
+    "q_quality_clf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("y",
+          when(col("source").isin("src0", "src1", "src2"), 1L).otherwise(0L))
+      val w = graft.operators.DataSelection.logregFit(docs, "doc_id", "text",
+        "y", buckets = 256, rounds = 2, lr = 1.0)
+      graft.operators.DataSelection.logregScore(docs, "doc_id", "text", w,
+        buckets = 256)
+    }),
   )
 
   /** Shared CTE prefix for the BPE ENCODE oracles: the q_bpe_vocab
@@ -749,7 +790,8 @@ object TextPack extends QueryPack {
     * (doc_id, w, c) and `cnts` (doc_id, bpe_tokens). Applying each
     * merge once in rank order IS the trainer's rewrite sequence --
     * the exact semantics TextAnalysis.bpeWordPieces implements. */
-  private def bpeEncodeCtes(merges: Int): String = {
+  private def bpeEncodeCtes(merges: Int,
+                            trainSrc: String = "documents"): String = {
     val stages = (1 to merges).map { i =>
       s"""p$i AS MATERIALIZED (
          |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(cnt) AS BIGINT) AS c
@@ -771,7 +813,7 @@ object TextPack extends QueryPack {
     }.mkString(",\n")
     s"""w AS (
        |  SELECT w, count(*) AS cnt FROM (
-       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM $trainSrc)
        |  WHERE w != '' GROUP BY 1
        |),
        |s0 AS MATERIALIZED (
@@ -805,11 +847,14 @@ object TextPack extends QueryPack {
     * each other — `wid` (w, ids in piece order) and `dseq` (doc_id,
     * flattened id sequence in word order). The exact arithmetic
     * TextAnalysis.bpeVocab / bpeWordIds / bpeIdSequences run. */
-  private def bpeIdCtes(merges: Int): String = {
+  /** The piece→id tiers over [[bpeEncodeCtes]]'s `w`/`m_i` CTEs —
+    * `chars`, `vb`, `mp`, `vocab` — shared by [[bpeIdCtes]] (same-
+    * corpus encode) and [[bpeOovCtes]] (cross-corpus encode under the
+    * stored vocab). */
+  private def bpeVocabCtes(merges: Int): String = {
     val unionMerges = (1 to merges).map(i =>
       s"SELECT $i AS rank, l, r FROM m$i").mkString("\nUNION ALL\n")
-    s"""${bpeEncodeCtes(merges)},
-       |chars AS (
+    s"""chars AS (
        |  SELECT DISTINCT w[i] AS piece
        |  FROM w, unnest(range(1, length(w) + 1)) AS t(i)
        |),
@@ -829,7 +874,12 @@ object TextPack extends QueryPack {
        |  SELECT piece, CAST((SELECT count(*) FROM vb)
        |    + row_number() OVER (ORDER BY rk) - 1 AS INT) AS id
        |  FROM mp
-       |),
+       |)""".stripMargin
+  }
+
+  private def bpeIdCtes(merges: Int): String = {
+    s"""${bpeEncodeCtes(merges)},
+       |${bpeVocabCtes(merges)},
        |wid AS (
        |  SELECT w, list(id ORDER BY i) AS ids FROM (
        |    SELECT w, unnest(ps) AS piece, unnest(range(1, len(ps) + 1)) AS i
@@ -848,6 +898,73 @@ object TextPack extends QueryPack {
        |        unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
        |      FROM documents) WHERE w != ''
        |  ) JOIN wid USING (w)
+       |  GROUP BY doc_id
+       |)""".stripMargin
+  }
+
+  /** The q_bpe_oov replay: train (`w`/`s_i`/`m_i`) and the vocab
+    * tiers over the TRAINING split only, then replay the same merges
+    * over the EVAL corpus's word dictionary (`e_i` — the rewrite
+    * TextAnalysis.bpeWordPieces runs on any words), map pieces
+    * through a LEFT join against the stored vocab with the reserved
+    * id |vocab| for misses (`wid_e` — the bpeWordIdsWithVocab `<unk>`
+    * tier), and reassemble per-doc sequences (`dseq_e`). The eval
+    * corpus is the non-training sources with 'a'→'x', 'e'→'z'
+    * planted (x/z are outside the corpus alphabet at every SF —
+    * alphabet canary in BpeOovSpec), so the fallback tier is
+    * EXERCISED under the hash, not just defined. */
+  private def bpeOovCtes(merges: Int): String = {
+    val trainSrc = "(SELECT * FROM documents WHERE source IN ('src0', 'src1', 'src2'))"
+    val evalStages = (1 to merges).map { i =>
+      s"""e$i AS MATERIALIZED (
+         |  SELECT w, replace(repr,
+         |    chr(31) || m.l || chr(30) || chr(31) || m.r || chr(30),
+         |    chr(31) || m.l || m.r || chr(30)) AS repr
+         |  FROM e${i - 1}, m$i m
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeEncodeCtes(merges, trainSrc)},
+       |${bpeVocabCtes(merges)},
+       |ev AS (
+       |  SELECT doc_id, translate(text, 'ae', 'xz') AS text
+       |  FROM documents WHERE source NOT IN ('src0', 'src1', 'src2')
+       |),
+       |ew AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM ev)
+       |  WHERE w != ''
+       |),
+       |e0 AS MATERIALIZED (
+       |  SELECT w, array_to_string(
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> chr(31) || w[i] || chr(30)), '') AS repr
+       |  FROM ew
+       |),
+       |$evalStages,
+       |wid_e AS (
+       |  SELECT w,
+       |    list(coalesce(id, (SELECT CAST(count(*) AS INT) FROM vocab))
+       |         ORDER BY i) AS ids,
+       |    CAST(sum(CASE WHEN id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+       |  FROM (
+       |    SELECT w, unnest(ps) AS piece, unnest(range(1, len(ps) + 1)) AS i
+       |    FROM (SELECT w, list_filter(
+       |            string_split(replace(repr, chr(30), chr(31)), chr(31)),
+       |            x -> x != '') AS ps
+       |          FROM e$merges)
+       |  ) LEFT JOIN vocab USING (piece)
+       |  GROUP BY w
+       |),
+       |dseq_e AS (
+       |  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids,
+       |    CAST(sum(n_unk) AS BIGINT) AS n_unk
+       |  FROM (
+       |    SELECT doc_id, w, pos FROM (
+       |      SELECT doc_id,
+       |        unnest(string_split(text, ' ')) AS w,
+       |        unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+       |      FROM ev) WHERE w != ''
+       |  ) JOIN wid_e USING (w)
        |  GROUP BY doc_id
        |)""".stripMargin
   }
@@ -1082,6 +1199,20 @@ object TextPack extends QueryPack {
          |    AS ids_str,
          |  CAST(coalesce(len(s.ids), 0) AS INT) AS n_ids
          |FROM documents d LEFT JOIN dseq s USING (doc_id)""".stripMargin,
+
+    // cross-corpus encode under the src0–2-trained vocab: the same
+    // rendering as q_bpe_ids over the OOV replay (train on the split,
+    // re-run the merge rewrites on the eval dictionary, LEFT-join
+    // pieces to the vocab with the reserved |vocab| id for misses)
+    "q_bpe_oov" ->
+      s"""WITH ${bpeOovCtes(8)}
+         |SELECT d.doc_id,
+         |  coalesce(array_to_string(
+         |    list_transform(s.ids, x -> CAST(x AS VARCHAR)), ' '), '')
+         |    AS ids_str,
+         |  CAST(coalesce(len(s.ids), 0) AS INT) AS n_ids,
+         |  CAST(coalesce(s.n_unk, 0) AS BIGINT) AS n_unk
+         |FROM ev d LEFT JOIN dseq_e s USING (doc_id)""".stripMargin,
 
     // the q_pack_bpe window re-derived from the id sequences (len(ids)
     // IS the bpe token count by construction), then per-bin payload
@@ -1974,6 +2105,59 @@ object TextPack extends QueryPack {
     // assignment, same Laplace-smoothed cross-ratio into one ln per
     // bucket (1e-9 fixed point), same per-doc multiplicity sums, and
     // the identical 'g#' Gumbel-max draw and (key DESC, id) rank cut
+    // the 2-round logistic-regression fit unrolled as materialized
+    // stages (round 1 starts from all-zero weights, so p = 0.5 and
+    // g1 = ±5e8 exactly), then the serve-path sigmoid — every float
+    // rounded back to fixed point at the same points as the operator
+    "q_quality_clf" -> {
+      val bfold = hexFoldSql("bh", 15)
+      s"""WITH lab AS (
+         |  SELECT doc_id,
+         |    CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END AS y
+         |  FROM documents),
+         |feats AS MATERIALIZED (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS m FROM (
+         |    SELECT doc_id, ($bfold) % 256 AS bucket FROM (
+         |      SELECT doc_id, substr(md5('b#' || tok), 1, 15) AS bh FROM (
+         |        SELECT doc_id, unnest(list_filter(
+         |          string_split(coalesce(text, ''), ' '), x -> x != '')) AS tok
+         |        FROM documents)))
+         |  GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, -1 AS bucket, 1 AS m FROM documents),
+         |nn AS (SELECT count(*) AS n FROM lab),
+         |g1 AS MATERIALIZED (
+         |  SELECT doc_id, CAST(round((y - 0.5) * 1e9) AS BIGINT) AS g FROM lab),
+         |w1 AS MATERIALIZED (
+         |  SELECT bucket,
+         |    CAST(round(1.0 * sum(g * m) / (SELECT n FROM nn)) AS BIGINT) AS wf
+         |  FROM g1 JOIN feats USING (doc_id) GROUP BY bucket),
+         |m2 AS (
+         |  SELECT doc_id, CAST(sum(m * coalesce(wf, 0)) AS BIGINT) AS mf
+         |  FROM feats LEFT JOIN w1 USING (bucket) GROUP BY doc_id),
+         |g2 AS MATERIALIZED (
+         |  SELECT lab.doc_id,
+         |    CAST(round((lab.y - 1.0 / (1.0
+         |      + exp(-(CAST(coalesce(m2.mf, 0) AS DOUBLE) / 1e9)))) * 1e9)
+         |      AS BIGINT) AS g
+         |  FROM lab LEFT JOIN m2 USING (doc_id)),
+         |d2 AS MATERIALIZED (
+         |  SELECT bucket,
+         |    CAST(round(1.0 * sum(g * m) / (SELECT n FROM nn)) AS BIGINT) AS delta
+         |  FROM g2 JOIN feats USING (doc_id) GROUP BY bucket),
+         |w2 AS MATERIALIZED (
+         |  SELECT coalesce(w1.bucket, d2.bucket) AS bucket,
+         |    coalesce(w1.wf, 0) + coalesce(d2.delta, 0) AS wf
+         |  FROM w1 FULL OUTER JOIN d2 ON w1.bucket = d2.bucket),
+         |mfin AS (
+         |  SELECT doc_id, CAST(sum(m * coalesce(wf, 0)) AS BIGINT) AS mf
+         |  FROM feats LEFT JOIN w2 USING (bucket) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  round(1.0 / (1.0
+         |    + exp(-(CAST(coalesce(mfin.mf, 0) AS DOUBLE) / 1e9))), 6) AS score
+         |FROM documents d LEFT JOIN mfin USING (doc_id)""".stripMargin
+    },
+
     "q_dsir_sample" -> {
       val bfold = hexFoldSql("bh", 15)
       val gfold = hexFoldSql("gh", 15)
