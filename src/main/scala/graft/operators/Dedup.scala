@@ -863,12 +863,31 @@ object Dedup {
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3, maxBucket: Int = 64,
                       keepCaches: Boolean = false): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
+    hammingNearDups(
+      spread(docs)
+        .select(col(idCol).as("id"), tokenHashes(textCol).as("th"))
+        .select(col("id"), simhashFromHashes("th").as("fp")),
+      maxHamming, maxBucket, keepCaches)
+  }
+
+  /** The 64-bit-fingerprint near-dup CORE — 16-bit chunk banding,
+    * bucket-size cap, bounded hamming verify — over ANY (id, fp)
+    * frame, so every fingerprint family shares one copy of the
+    * pigeonhole machinery: [[simhashNearDups]] feeds it text
+    * SimHashes; [[graft.operators.Multimodal.imageNearDups]] feeds it
+    * dHash perceptual image fingerprints. Output
+    * (doc_a, doc_b, hamming), doc_a < doc_b, hamming ≤ `maxHamming`.
+    * Completeness: hamming ≤ 3 ⇒ at least one of the four 16-bit
+    * chunks is equal, so the chunk equi-join generates every
+    * qualifying candidate (pairs can additionally be LOST only to the
+    * `maxBucket` cap, the documented hot-bucket guard). */
+  def hammingNearDups(fps: DataFrame, maxHamming: Int = 3,
+                      maxBucket: Int = 64,
+                      keepCaches: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
-    graft.functions.SimHash64.register(docs.sparkSession)
-    val withFp = spread(docs)
-      .select(col(idCol).as("id"), tokenHashes(textCol).as("th"))
-      .select(col("id"), simhashFromHashes("th").as("fp"))
+    val withFp = fps.select(col("id"), col("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
     val chunks = withFp.select(col("id"), col("fp"),
       explode(expr(

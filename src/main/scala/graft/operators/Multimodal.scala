@@ -591,6 +591,122 @@ object Multimodal {
        attr("GraphicControlExtension", "disposalMethod").getOrElse("none"))
     }.getOrElse((0, 0, "none"))
 
+  /** The perceptual-hash grid shape: 9 columns × 8 rows, so each of
+    * the 8 rows yields 8 adjacent-cell comparisons — a 64-bit dHash. */
+  private[graft] val DHashGridW = 9
+  private[graft] val DHashGridH = 8
+
+  /** Integer box-average luminance grid over the DECODED pixels — the
+    * deterministic downscale a difference hash compares: every source
+    * pixel is assigned to exactly one grid cell
+    * (cx = px·gw/W, cy = py·gh/H) and each cell's value is the FLOOR
+    * mean of its pixels' 8-bit BT.601 luminance (the [[decodeImage]]
+    * integer formula — on a grayscale image, luminance == the gray
+    * byte exactly). All arithmetic is integer, so the grid — and
+    * everything downstream of it — is replayable by the DuckDB oracle
+    * on generated grayscale images, unlike a Graphics2D bilinear
+    * resample whose sampling kernel is JDK-internal.
+    *
+    * None when the codec rejects the bytes, dims exceed `maxPixels`,
+    * or the image is SMALLER than the grid (W < gw or H < gh — some
+    * cells would be empty; a thumbnail below 9×8 carries too little
+    * structure to fingerprint, the documented exclusion). Row-major
+    * gw×gh output. */
+  def luminanceGrid(data: Array[Byte], gw: Int = DHashGridW,
+                    gh: Int = DHashGridH,
+                    maxPixels: Long = 1L << 26): Option[Array[Int]] =
+    try {
+      readImage(safeBytes(data), maxPixels).flatMap { im =>
+        val w = im.getWidth
+        val h = im.getHeight
+        if (w < gw || h < gh) None
+        else {
+          val sums = new Array[Long](gw * gh)
+          val cnts = new Array[Long](gw * gh)
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            im.getRGB(0, y, w, 1, row, 0, w)
+            val cy = (y.toLong * gh / h).toInt
+            var x = 0
+            while (x < w) {
+              val rgb = row(x)
+              val lum = (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              val cell = cy * gw + (x.toLong * gw / w).toInt
+              sums(cell) += lum
+              cnts(cell) += 1L
+              x += 1
+            }
+            y += 1
+          }
+          Some(Array.tabulate(gw * gh)(i => (sums(i) / cnts(i)).toInt))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** 64-bit difference hash from a [[luminanceGrid]]: bit
+    * cy·(gw−1)+cx is set when the cell to the RIGHT is strictly
+    * brighter — the gradient-sign signature that survives re-encode,
+    * mild rescale and small edits, which is exactly what an
+    * exact-checksum dedup misses (the LAION-scale image near-dup
+    * problem). 9×8 grid ⇒ bits 0..63. */
+  def dHash64FromGrid(grid: Array[Int], gw: Int = DHashGridW,
+                      gh: Int = DHashGridH): Long = {
+    require(grid.length == gw * gh,
+      s"dHash64FromGrid: grid length ${grid.length} != $gw*$gh")
+    var fp = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        if (grid(cy * gw + cx + 1) > grid(cy * gw + cx))
+          fp |= 1L << (cy * (gw - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    fp
+  }
+
+  /** Per-blob perceptual fingerprints: (id, grid, fp) with `grid` the
+    * row-major 9×8 luminance grid and `fp` its 64-bit dHash — null
+    * both when the blob is not a decodable image at least grid-sized
+    * ([[luminanceGrid]]'s contract), so the exclusion rule is itself
+    * observable output, never a silent drop. One narrow mapPartitions
+    * stage, the [[extractFeatures]] batch boundary. */
+  def imageFingerprints(blobs: DataFrame): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        luminanceGrid(data) match {
+          case Some(g) => (id, Some(g), Some(dHash64FromGrid(g)))
+          case None    => (id, None, None)
+        }
+      })
+      .toDF("id", "grid", "fp")
+  }
+
+  /** Image NEAR-dup pairs over a blob corpus — the multimodal twin of
+    * [[Dedup.simhashNearDups]]: decode → 9×8 luminance grid → 64-bit
+    * dHash ([[imageFingerprints]]), then the SHARED 16-bit-chunk
+    * banding + bounded hamming verify ([[Dedup.hammingNearDups]] —
+    * pigeonhole-complete for hamming ≤ 3, `maxBucket` hot-bucket
+    * cap). Blobs without a fingerprint (non-images, codec rejects,
+    * sub-grid thumbnails) never pair. Output (doc_a, doc_b, hamming).
+    *
+    * Scale shape: decode is one narrow stage; candidates come from a
+    * 4-rows-per-image chunk equi-join, never an all-pairs compare —
+    * the same budget the text SimHash family runs on at 100 TB. */
+  def imageNearDups(blobs: DataFrame, maxHamming: Int = 3,
+                    maxBucket: Int = 64,
+                    keepCaches: Boolean = false): DataFrame =
+    Dedup.hammingNearDups(
+      imageFingerprints(blobs).filter(col("fp").isNotNull)
+        .select(col("id"), col("fp")),
+      maxHamming, maxBucket, keepCaches)
+
   /** Sample `n` evenly spaced frames per blob (the video frame-sample
     * shape). Multi-frame containers the JDK can decode (GIF by magic
     * bytes) take the REAL path: n evenly spaced stored-frame indices

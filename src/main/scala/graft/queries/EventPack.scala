@@ -160,6 +160,37 @@ object EventPack extends QueryPack {
                 octet_length(col("frame")).cast("long").as("frame_len"))
     }),
 
+    // perceptual-hash fingerprints end-to-end on REAL containers:
+    // each doc's bytes become grayscale pixels in a genuine PNG
+    // (width 16), the real codec decodes them back, and the 9×8
+    // integer box-average luminance grid + 64-bit dHash are computed
+    // from the DECODED pixels — on gray pixels luminance == the byte
+    // value exactly, so the whole decode→grid→fp stage replays as
+    // integer arithmetic in the oracle. Sub-grid images (h < 8 rows,
+    // i.e. docs under 113 bytes) emit null grid/fp: the exclusion
+    // rule is itself under the hash, never a silent drop
+    "q_image_grid" -> ((s, d) => {
+      val pngs = Multimodal.asPngBlobTable(Tables.documents(s, d),
+        "doc_id", "text", width = 16)
+      Multimodal.imageFingerprints(pngs)
+        .select(col("id"),
+          expr("array_join(transform(grid, x -> cast(x as string)), ' ')")
+            .as("grid_str"),
+          col("fp"))
+    }),
+
+    // image NEAR-dup pairs — the multimodal twin of q_dedup_simhash:
+    // dHash fingerprints from the real decode above, then the SHARED
+    // 16-bit-chunk banding + bucket cap + bounded hamming verify
+    // (Dedup.hammingNearDups). The oracle replays fingerprints,
+    // banding, the 64-bucket cap AND the hamming cut, so the full
+    // candidate discipline is hash-pinned, not just the pair set
+    "q_image_neardup" -> ((s, d) => {
+      val pngs = Multimodal.asPngBlobTable(Tables.documents(s, d),
+        "doc_id", "text", width = 16)
+      Multimodal.imageNearDups(pngs, maxHamming = 3, maxBucket = 64)
+    }),
+
     // REAL audio decode end-to-end: each doc's bytes are wrapped in a
     // genuine RIFF/WAVE container (PCM s16le mono @8kHz), then parsed
     // back by the JDK AudioSystem — channels/rate from the header,
@@ -313,7 +344,85 @@ object EventPack extends QueryPack {
        |       AS BIGINT)))
        |END""".stripMargin
 
+  /** Shared CTE prefix for the image perceptual-hash oracles: rebuild
+    * the asPngBlobTable(width=16) pixel stream from the documents
+    * bytes (hex(encode(text)) — the q_multimodal_features byte path,
+    * UTF-8-true), apply the Multimodal.luminanceGrid cell assignment
+    * (cx = px·9/16, cy = py·8/h, floor-mean) and the dHash64FromGrid
+    * bit rule (bit cy·8+cx set iff right neighbor strictly brighter;
+    * bit 63 is BIGINT min-value — DuckDB refuses 1<<63, so the sum
+    * accumulates in HUGEINT and re-signs at the end). Feasibility
+    * (h ≥ 8) replays the operator's sub-grid exclusion. Ends in
+    * `grid` (doc_id, cy, cx, m) and `fp` (doc_id, fp). */
+  private val imageFpCtes: String =
+    """hx AS (
+      |  SELECT doc_id, lower(hex(encode(text))) AS h FROM documents
+      |),
+      |dims AS (
+      |  SELECT doc_id, h, len(h) // 2 AS nb,
+      |    GREATEST(1, CAST(ceil((len(h) // 2) / 16.0) AS BIGINT)) AS ih
+      |  FROM hx
+      |),
+      |pix AS (
+      |  SELECT doc_id, ih, t.i,
+      |    CASE WHEN t.i < nb THEN
+      |      (strpos('0123456789abcdef', h[2*t.i+1:2*t.i+1]) - 1) * 16
+      |      + (strpos('0123456789abcdef', h[2*t.i+2:2*t.i+2]) - 1)
+      |    ELSE 0 END AS v
+      |  FROM dims, unnest(range(16 * ih)) AS t(i)
+      |  WHERE ih >= 8
+      |),
+      |grid AS (
+      |  SELECT doc_id, CAST(((i // 16) * 8) // ih AS INT) AS cy,
+      |    CAST(((i % 16) * 9) // 16 AS INT) AS cx,
+      |    CAST(sum(v) // count(*) AS INT) AS m
+      |  FROM pix GROUP BY 1, 2, 3
+      |),
+      |fp AS (
+      |  SELECT g1.doc_id,
+      |    CAST(coalesce(sum(CASE WHEN g2.m > g1.m THEN
+      |      CASE WHEN g1.cy * 8 + g1.cx = 63
+      |           THEN CAST(-9223372036854775808 AS HUGEINT)
+      |           ELSE CAST(CAST(1 AS BIGINT) << (g1.cy * 8 + g1.cx) AS HUGEINT)
+      |      END ELSE CAST(0 AS HUGEINT) END), 0) AS BIGINT) AS fp
+      |  FROM grid g1 JOIN grid g2
+      |    ON g1.doc_id = g2.doc_id AND g1.cy = g2.cy AND g2.cx = g1.cx + 1
+      |  GROUP BY 1
+      |)""".stripMargin
+
   override def oracleSql: Map[String, String] = Map(
+    "q_image_grid" ->
+      s"""WITH $imageFpCtes,
+         |gs AS (
+         |  SELECT doc_id, array_to_string(list(m ORDER BY cy, cx), ' ') AS g
+         |  FROM grid GROUP BY doc_id
+         |)
+         |SELECT d.doc_id AS id, gs.g AS grid_str, fp.fp
+         |FROM documents d
+         |LEFT JOIN gs ON d.doc_id = gs.doc_id
+         |LEFT JOIN fp ON d.doc_id = fp.doc_id""".stripMargin,
+
+    // banding + 64-bucket cap + hamming <= 3 replayed verbatim from
+    // the q_dedup_simhash oracle, over the dHash fingerprints above
+    "q_image_neardup" ->
+      s"""WITH $imageFpCtes,
+         |chunks AS (
+         |  SELECT doc_id AS id, fp.fp, jj.band,
+         |    (fp.fp >> (jj.band * 16)) & 65535 AS sig
+         |  FROM fp CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS band) jj
+         |),
+         |sizes AS (SELECT band, sig, count(*) AS c FROM chunks GROUP BY 1, 2),
+         |pruned AS (
+         |  SELECT ch.id, ch.fp, ch.band, ch.sig FROM chunks ch
+         |  JOIN sizes s ON s.band = ch.band AND s.sig = ch.sig
+         |  WHERE s.c <= 64
+         |)
+         |SELECT DISTINCT l.id AS doc_a, r.id AS doc_b,
+         |  CAST(bit_count(xor(l.fp, r.fp)) AS INT) AS hamming
+         |FROM pruned l JOIN pruned r
+         |  ON l.band = r.band AND l.sig = r.sig AND l.id < r.id
+         |WHERE bit_count(xor(l.fp, r.fp)) <= 3""".stripMargin,
+
     "q_zorder" ->
       s"""WITH b AS (
          |  SELECT min(value) AS alo, max(value) AS ahi,
