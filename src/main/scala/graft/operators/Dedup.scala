@@ -377,10 +377,14 @@ object Dedup {
     * candidates); `maxGramFreq > 0` caps it by DROPPING grams shared
     * by more than that many docs — pairs overlapping ONLY in ultra-
     * common grams are then missed, so the cap trades exactness for
-    * a bound, exactly like the LSH path's bucket cap (and the gate
-    * queries run uncapped). For corpus-scale near-dup the LSH path
-    * ([[minhashNearDups]]) remains the production choice; this is
-    * the exact mode for modest corpora and for auditing it.
+    * a bound, exactly like the LSH path's bucket cap. DEFAULT
+    * GUIDANCE: the uncapped default exists for the GATE/oracle path,
+    * which must be exact to be an oracle — production callers should
+    * pass a cap (the q_dedup_pairs_exact bench runs maxGramFreq = 64;
+    * one stop-gram shared by a large corpus fraction makes an
+    * uncapped bucket quadratic). For corpus-scale near-dup the LSH
+    * path ([[minhashNearDups]]) remains the production choice; this
+    * is the exact mode for modest corpora and for auditing it.
     *
     * The trade is MEASURED in DedupSpec: on the sf0.01 synthetic
     * corpus (max 3-gram doc-frequency 7) caps of 16/64/256 change

@@ -480,6 +480,19 @@ object DedupPack extends QueryPack {
         isnotnull(col("cluster_id")) && bit_count(col("cluster_id")) < 0,
         Seq(bundle.pairs, bundle.clusters))
     }),
+
+    // the PRODUCTION shape of the exact pair scan: maxGramFreq > 0 —
+    // the hot-gram valve a real corpus must run with (one stop-gram
+    // at 100 TB makes an uncapped gram bucket quadratic). The gate
+    // keeps the uncapped form (it IS the exactness oracle); the bench
+    // times the capped plan so the valve's freq-filter stage and the
+    // full-set verify join are what the sf1 rung measures. On the
+    // synthetic corpora the cap drops nothing (max 3-gram doc-freq ≪
+    // 64 — DedupSpec's measured-trade test), so capped == uncapped
+    // output here, but the PLAN is the capped one
+    "q_dedup_pairs_exact" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, maxGramFreq = 64)),
   )
 
   /** DuckDB replay of [[Dedup.exactJaccardPairs]] (threshold 0.8,

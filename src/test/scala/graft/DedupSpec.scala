@@ -198,8 +198,16 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("exactJaccardPairs maxGramFreq cap only ever drops pairs, never invents them") {
-    val uncapped = pairs(Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8))
-    val capped = pairs(
+    // compare (a, b, jaccard) TRIPLES, not just id pairs: the cap may
+    // only shrink the candidate set — a surviving pair's jaccard must
+    // still be computed over the FULL gram sets, so its value is
+    // identical to the uncapped run's (a capped-set jaccard would
+    // silently change what the number means)
+    def triples(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val uncapped = triples(Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8))
+    val capped = triples(
       Dedup.exactJaccardPairs(docs, "doc_id", "text", 0.8, maxGramFreq = 8))
     assert(capped.subsetOf(uncapped))
   }
