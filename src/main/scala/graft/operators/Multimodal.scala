@@ -100,6 +100,9 @@ object Multimodal {
     else if (data.length >= 12 && data(0) == 'R' && data(1) == 'I' &&
         data(2) == 'F' && data(3) == 'F' && data(8) == 'W' &&
         data(9) == 'A' && data(10) == 'V' && data(11) == 'E') "wav"
+    else if (data.length >= 12 && data(0) == 'R' && data(1) == 'I' &&
+        data(2) == 'F' && data(3) == 'F' && data(8) == 'A' &&
+        data(9) == 'V' && data(10) == 'I' && data(11) == ' ') "avi"
     else if (data.length >= 12 && data(0) == 'F' && data(1) == 'O' &&
         data(2) == 'R' && data(3) == 'M' && data(8) == 'A' &&
         data(9) == 'I' && data(10) == 'F') "aiff" // AIFF or AIFC
@@ -237,6 +240,9 @@ object Multimodal {
       case f @ ("png" | "jpeg" | "gif") =>
         decodeImage(id, data, f).getOrElse(decodeStub(id, data))
       case f if AudioFormats(f) => decodeStub(id, data).copy(format = f)
+      // video container: byte-level features, sniffed label kept —
+      // its real decode surface is [[frameSample]]'s MJPEG path
+      case "avi" => decodeStub(id, data).copy(format = "avi")
       case _ => decodeStub(id, data)
     }
   }
@@ -707,39 +713,119 @@ object Multimodal {
         .select(col("id"), col("fp")),
       maxHamming, maxBucket, keepCaches)
 
+  /** (offset, length) of every JPEG-compressed video chunk inside an
+    * AVI container — the MJPEG case, the one VIDEO container whose
+    * frames the JDK can decode (each frame is a complete JPEG;
+    * ImageIO does the rest — no codec dependency). A RIFF file is a
+    * chunk tree: 4-byte fourcc + LE32 size + payload (padded to
+    * even), with `LIST` chunks nesting sub-chunks after a 4-byte list
+    * type; video data lives in `##dc`/`##db` chunks under `LIST/movi`
+    * (possibly wrapped in `LIST/rec `). This walks the tree
+    * iteratively with explicit bounds checks — a declared size past
+    * the buffer ends the walk (fuzzed input degrades to fewer frames,
+    * never a throw) — and keeps only chunks that open with the JPEG
+    * SOI marker. Offsets only: the caller decodes just the frames it
+    * picks, so a 10k-frame file costs a header walk plus n decodes. */
+  private[graft] def aviJpegChunks(data: Array[Byte],
+                                   maxFrames: Int = 4096): IndexedSeq[(Int, Int)] = {
+    def le32(i: Int): Long =
+      (data(i) & 0xffL) | ((data(i + 1) & 0xffL) << 8) |
+      ((data(i + 2) & 0xffL) << 16) | ((data(i + 3) & 0xffL) << 24)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    if (sniffFormat(data) != "avi") return out.toIndexedSeq
+    // stack of (pos, end) regions whose chunks remain to walk
+    val riffEnd = math.min(data.length.toLong, 8L + le32(4)).toInt
+    var regions = List((12, riffEnd))
+    while (regions.nonEmpty && out.length < maxFrames) {
+      val (pos, end) = regions.head
+      regions = regions.tail
+      var p = pos
+      var ok = true
+      while (ok && p + 8 <= end && out.length < maxFrames) {
+        val sz = le32(p + 4)
+        val payload = p + 8
+        if (sz < 0 || payload + sz > end) ok = false // lying header: stop this region
+        else {
+          val fourcc = new String(data, p, 4, "US-ASCII")
+          if (fourcc == "LIST" && sz >= 4) {
+            // descend after the 4-byte list type; continue this region
+            // after the LIST, then walk the sub-region first
+            val after = payload + sz + (sz & 1L)
+            if (after <= end) regions = (payload + 4, (payload + sz).toInt) ::
+              (after.toInt, end) :: regions
+            else regions = (payload + 4, (payload + sz).toInt) :: regions
+            ok = false // this region continues via the pushed tail
+          } else {
+            // video data chunk: '##dc' (compressed) / '##db' (raw slot,
+            // MJPEG writers use it too) whose payload opens with SOI
+            if (sz >= 3 && fourcc.length == 4 &&
+                fourcc(0).isDigit && fourcc(1).isDigit &&
+                (fourcc.endsWith("dc") || fourcc.endsWith("db")) &&
+                (data(payload) & 0xff) == 0xff &&
+                (data(payload + 1) & 0xff) == 0xd8 &&
+                (data(payload + 2) & 0xff) == 0xff)
+              out += ((payload, sz.toInt))
+            p = (payload + sz + (sz & 1L)).toInt
+          }
+        }
+      }
+    }
+    out.toIndexedSeq
+  }
+
   /** Sample `n` evenly spaced frames per blob (the video frame-sample
-    * shape). Multi-frame containers the JDK can decode (GIF by magic
-    * bytes) take the REAL path: n evenly spaced stored-frame indices
-    * are picked across the actual frame index range (repeats when the
-    * container has fewer than n) and ONLY those are decoded
-    * ([[readSelectedFrames]]), each re-encoded as PNG — so downstream
-    * consumers see self-contained single-frame images. Everything
-    * else (and bytes the codec rejects) keeps the byte-span stub:
-    * frame i is the span [i·sz, (i+1)·sz) with sz = len/n, the last
-    * frame absorbing the remainder — short blobs yield n-1 empty
-    * frames plus the whole payload, never an error. Both paths emit
-    * EXACTLY n frames per blob with frame_idx 0..n-1. Each input row
-    * expands to its n frames in place (flatMap, one narrow stage); at
-    * corpus scale the fan-out is bounded by n and never shuffles. */
+    * shape). Multi-frame containers the JDK can decode take the REAL
+    * path — GIF (by magic bytes) via the composited
+    * [[readSelectedFrames]], and MJPEG-in-AVI via [[aviJpegChunks]]
+    * (each picked chunk is a complete JPEG the image codec decodes):
+    * n evenly spaced stored-frame indices are picked across the
+    * actual frame index range (repeats when the container has fewer
+    * than n) and ONLY those are decoded, each re-encoded as PNG — so
+    * downstream consumers see self-contained single-frame images.
+    * Everything else — other video codecs (not in the JDK), and bytes
+    * the codec rejects — keeps the byte-span stub: frame i is the
+    * span [i·sz, (i+1)·sz) with sz = len/n, the last frame absorbing
+    * the remainder — short blobs yield n-1 empty frames plus the
+    * whole payload, never an error. All paths emit EXACTLY n frames
+    * per blob with frame_idx 0..n-1. Each input row expands to its n
+    * frames in place (flatMap, one narrow stage); at corpus scale the
+    * fan-out is bounded by n and never shuffles. */
   def frameSample(blobs: DataFrame, n: Int): Dataset[MediaFrame] = {
     require(n >= 1, "frameSample needs n >= 1")
     val spark = blobs.sparkSession
     import spark.implicits._
+    // even spacing over [0, count); n=1 → frame 0
+    def picks(count: Int): Seq[Int] = (0 until n).map { i =>
+      if (n == 1) 0
+      else math.round(i.toDouble * (count - 1) / (n - 1)).toInt
+    }
     blobs.select(col("id"), col("data")).as[(Long, Array[Byte])]
       .flatMap { case (id, d0) =>
         val d = safeBytes(d0) // null blob = n empty frames, not an NPE
-        val real =
-          if (sniffFormat(d) == "gif")
-            readSelectedFrames(d, maxPixels = 1L << 26) { count =>
-              // even spacing over the real frame range; n=1 → frame 0
-              (0 until n).map { i =>
-                if (n == 1) 0
-                else math.round(i.toDouble * (count - 1) / (n - 1)).toInt
+        val real = sniffFormat(d) match {
+          case "gif" =>
+            readSelectedFrames(d, maxPixels = 1L << 26)(picks)
+              .map(frames =>
+                (0 until n).map(i => MediaFrame(id, i.toLong, encodePng(frames(i)))))
+          case "avi" =>
+            val chunks = aviJpegChunks(d)
+            if (chunks.isEmpty) None
+            else {
+              // decode ONLY the picked chunks; any single undecodable
+              // frame degrades the whole blob to the byte stub (a
+              // half-real half-stub frame list would be ambiguous)
+              val imgs = picks(chunks.length).map { ci =>
+                val (off, len) = chunks(ci)
+                readImage(java.util.Arrays.copyOfRange(d, off, off + len),
+                  maxPixels = 1L << 26)
               }
-            }.map { frames =>
-              (0 until n).map(i => MediaFrame(id, i.toLong, encodePng(frames(i))))
+              if (imgs.exists(_.isEmpty)) None
+              else Some(imgs.zipWithIndex.map { case (im, i) =>
+                MediaFrame(id, i.toLong, encodePng(im.get))
+              })
             }
-          else None
+          case _ => None
+        }
         real.getOrElse {
           val sz = d.length / n
           (0 until n).map { i =>
