@@ -102,6 +102,9 @@ case class LmScore(doc_id: Long, n_tokens: Long, avg_logp: Double,
   * [[graft.operators.DataSelection.dsirLogWeights]] columns. */
 case class DsirScore(doc_id: Long, n_tokens: Long, log_w: Double)
 
+/** One scored doc from [[EventStream.clfScoreStream]]. */
+case class ClfScore(doc_id: Long, n_tokens: Long, score: Double)
+
 /** Per-user gap state: the last seen event time. */
 case class GapState(last_us: Long)
 
@@ -1093,6 +1096,53 @@ object EventStream {
           it.foreach { t => n += 1L; s += t.lp }
           if (n == 0L) Iterator.empty
           else Iterator(DsirScore(docId, n, r6(s.toDouble / 1e9)))
+      }.toDF()
+  }
+
+  /** Streaming QUALITY-CLASSIFIER scoring — the
+    * [[graft.operators.DataSelection.logregScore]] twin over a live
+    * doc feed, completing the ingest-gate trio (LM perplexity, DSIR
+    * target-likeness, trained classifier): each arriving doc's
+    * hashed-token stream picks up its per-bucket weight from the
+    * standing [[graft.operators.DataSelection.logregFit]] model (a
+    * STATIC broadcast join side — the (B+1)-row artifact), the exact
+    * fixed-point margin folds per doc, and the sigmoid + round-6
+    * read-out replicates the batch scorer bit-for-bit. The BIAS
+    * weight (bucket −1 — no token carries it) is fetched once at
+    * stream build (1-row bounded read, the nRef discipline) and
+    * added at emission. Same zero-retained-state and
+    * tokenless-docs-invisible contract as [[lmScoreStream]] /
+    * [[dsirScoreStream]]; stream == batch pinned on the
+    * n_tokens > 0 subset in ClfStreamSpec. */
+  def clfScoreStream(spark: SparkSession, dir: String, weights: DataFrame,
+                     buckets: Int, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val biasW: Long = weights.filter(col("bucket") === -1L)
+      .agg(coalesce(sum(col("w_fixed")), lit(0L))).collect()(0).getLong(0)
+    val schema = spark.read.parquet(dir).schema
+    val toks = graft.operators.DataSelection.tokenBuckets(
+        spark.readStream.schema(schema).parquet(dir),
+        idCol, textCol, buckets)
+      .join(broadcast(weights), Seq("bucket"), "left")
+      .select(col("doc_id"),
+        coalesce(col("w_fixed"), lit(0L)).as("lp"))
+      .as[LmTok]
+    toks.groupByKey(_.doc_id)
+      .flatMapGroupsWithState[LmDocState, ClfScore](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (docId: Long, it: Iterator[LmTok], _: GroupState[LmDocState]) =>
+          // state is deliberately never written — the lmScoreStream
+          // zero-retained-state contract (unbounded doc-id key space)
+          var n = 0L
+          var s = 0L
+          it.foreach { t => n += 1L; s += t.lp }
+          if (n == 0L) Iterator.empty
+          else Iterator(ClfScore(docId, n,
+            r6(1.0 / (1.0 + Math.exp(-((s + biasW).toDouble / 1e9))))))
       }.toDF()
   }
 
