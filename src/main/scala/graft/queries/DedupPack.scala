@@ -147,6 +147,21 @@ object DedupPack extends QueryPack {
       Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
         threshold = 0.8)),
 
+    // the PRODUCTION shape of the exact pair scan as its OWN gate:
+    // maxGramFreq = 64 — the hot-gram valve a real corpus must run
+    // with (one stop-gram at 100 TB makes an uncapped gram bucket
+    // quadratic). Kept separate from q_dedup_pairs_exact (the
+    // exactness oracle, uncapped by definition) so both plans carry
+    // their own hash gate AND their own measured slope on every
+    // bench rung; on the synthetic corpora the cap never binds (max
+    // 3-gram doc-freq ≪ 64 — DedupSpec's measured-trade test), so
+    // the OUTPUT matches uncapped while the PLAN is the capped
+    // two-pass (freq filter → capped candidates → full-set verify),
+    // and the oracle replays that capped rule, not the uncapped one
+    "q_dedup_pairs_capped" -> ((s, d) =>
+      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.8, maxGramFreq = 64)),
+
     "q_dedup_drop_exact" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.dropNearDups(docs, "doc_id",
@@ -481,18 +496,6 @@ object DedupPack extends QueryPack {
         Seq(bundle.pairs, bundle.clusters))
     }),
 
-    // the PRODUCTION shape of the exact pair scan: maxGramFreq > 0 —
-    // the hot-gram valve a real corpus must run with (one stop-gram
-    // at 100 TB makes an uncapped gram bucket quadratic). The gate
-    // keeps the uncapped form (it IS the exactness oracle); the bench
-    // times the capped plan so the valve's freq-filter stage and the
-    // full-set verify join are what the sf1 rung measures. On the
-    // synthetic corpora the cap drops nothing (max 3-gram doc-freq ≪
-    // 64 — DedupSpec's measured-trade test), so capped == uncapped
-    // output here, but the PLAN is the capped one
-    "q_dedup_pairs_exact" -> ((s, d) =>
-      Dedup.exactJaccardPairs(Tables.documents(s, d), "doc_id", "text",
-        threshold = 0.8, maxGramFreq = 64)),
   )
 
   /** DuckDB replay of [[Dedup.exactJaccardPairs]] (threshold 0.8,
@@ -619,6 +622,34 @@ object DedupPack extends QueryPack {
     "q_dedup_pairs_exact" ->
       s"""WITH $exactPairsCte
          |SELECT doc_a, doc_b, round(jaccard, 4) AS jaccard FROM pairs
+         |""".stripMargin,
+    // the CAPPED rule replayed, not the uncapped one: gram doc-freq
+    // filter → candidates from capped grams only → intersection
+    // COUNTED over the full gram universe → jaccard on full set sizes
+    "q_dedup_pairs_capped" ->
+      s"""WITH $gramExCte,
+         |freqok AS (
+         |  SELECT gram FROM ex GROUP BY gram HAVING count(*) <= 64
+         |),
+         |kx AS (SELECT ex.doc_id, ex.gram FROM ex JOIN freqok USING (gram)),
+         |candc AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM kx a JOIN kx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+         |),
+         |inters AS (
+         |  SELECT doc_a, doc_b, count(*) AS inter
+         |  FROM candc
+         |  JOIN ex ea ON ea.doc_id = candc.doc_a
+         |  JOIN ex eb ON eb.doc_id = candc.doc_b AND eb.gram = ea.gram
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(inter AS DOUBLE)
+         |    / (len(ga.g) + len(gb.g) - inter), 4) AS jaccard
+         |FROM inters
+         |JOIN grams ga ON ga.doc_id = inters.doc_a
+         |JOIN grams gb ON gb.doc_id = inters.doc_b
+         |WHERE CAST(inter AS DOUBLE) / (len(ga.g) + len(gb.g) - inter) >= 0.8
          |""".stripMargin,
     "q_dedup_drop_exact" ->
       s"""WITH $exactPairsCte
