@@ -407,21 +407,49 @@ object Dedup {
     val result =
       if (maxGramFreq > 0) {
         // capped: candidates come from the capped grams but jaccard is
-        // defined over the FULL gram sets — the verify restricts the
-        // full exploded frame to candidate pairs and COUNTS shared
-        // grams (each (id, gram) row is unique, so count(*) per pair
-        // is |A∩B|), the gramIntersections discipline; shuffling the
-        // dense gram arrays per candidate (array_intersect) measured
-        // ~4× slower at sf0.1 and moves the corpus at scale
-        val freq = ex.groupBy("gram").count()
-          .filter(col("count") <= maxGramFreq).drop("count")
-        val keyed = ex.join(freq, Seq("gram"))
-        val cand = keyed.alias("l")
+        // defined over the FULL gram sets. Shape: ONE capped-gram
+        // self-join counts per-pair CAPPED intersections (the
+        // gramIntersections one-pass discipline — a naive
+        // candidates-then-recount plan re-exploded every candidate's
+        // full gram set and cost 15× the uncapped scan at sf1), then
+        // a SOUND upper bound closes almost every pair without a
+        // second pass: a shared gram is capped or hot, so
+        // inter ≤ inter_c + min(h_a, h_b) with h = the doc's hot-gram
+        // count, and union ≥ na + nb − that bound — pairs whose bound
+        // can't reach the threshold are pruned (never a qualifying
+        // pair), pairs sharing NO hot gram have inter == inter_c and
+        // emit their EXACT jaccard directly, and only hot-involved
+        // survivors (the boilerplate cluster the cap exists for) pay
+        // the full-set recount.
+        val freqAll = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+        val hotGrams = freqAll.filter(col("df") > maxGramFreq).select("gram")
+        val keyed = ex.join(
+          freqAll.filter(col("df") <= maxGramFreq).select("gram"), Seq("gram"))
+        val hotPerDoc = ex.join(hotGrams, Seq("gram"))
+          .groupBy("id").agg(count(lit(1)).as("h"))
+        val docStats = grams.select(col("id"), size(col("g")).as("nn"))
+          .join(hotPerDoc, Seq("id"), "left")
+          .select(col("id"), col("nn"), coalesce(col("h"), lit(0L)).as("h"))
+        val interC = keyed.alias("l")
           .join(keyed.alias("r"),
             col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
-          .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
-          .dropDuplicates("doc_a", "doc_b")
-        cand
+          .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
+          .agg(count(lit(1)).as("inter_c"))
+          .join(docStats.select(col("id").as("doc_a"),
+            col("nn").as("na"), col("h").as("ha")), Seq("doc_a"))
+          .join(docStats.select(col("id").as("doc_b"),
+            col("nn").as("nb"), col("h").as("hb")), Seq("doc_b"))
+          .withColumn("hmin", least(col("ha"), col("hb")))
+          .filter((col("inter_c") + col("hmin")).cast("double")
+            / greatest(lit(1L),
+                col("na") + col("nb") - col("inter_c") - col("hmin"))
+            >= threshold)
+        val noHot = interC.filter(col("hmin") === 0L)
+          .withColumn("jaccard",
+            expr("cast(inter_c as double) / (na + nb - inter_c)"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        val verified = interC.filter(col("hmin") > 0L)
+          .select(col("doc_a"), col("doc_b"))
           .join(ex.select(col("id").as("doc_a"), col("gram")), Seq("doc_a"))
           .join(ex.select(col("id").as("doc_b"), col("gram")),
             Seq("doc_b", "gram"))
@@ -433,6 +461,8 @@ object Dedup {
             Seq("doc_b"))
           .withColumn("jaccard",
             expr("cast(inter as double) / (na + nb - inter)"))
+          .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        noHot.unionByName(verified)
       } else {
         // uncapped (the default and the gate path): the shared
         // count-based machinery — see [[gramIntersections]]
