@@ -933,11 +933,7 @@ object Dedup {
       s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
     val withFp = fps.select(col("id"), col("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
-    val chunks = withFp.select(col("id"), col("fp"),
-      explode(expr(
-        "transform(sequence(0, 3), j -> named_struct('band', j, 'sig', pmod(shiftright(fp, cast(j * 16 as int)), 65536)))"))
-        .as("bs"))
-      .select(col("id"), col("fp"), col("bs.band"), col("bs.sig"))
+    val chunks = fpChunks(withFp)
     val sizes = chunks.groupBy("band", "sig").count()
     val pruned = chunks
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
@@ -953,6 +949,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
     MetricListener.releaseAfterFirstAction(result, withFp,
       expr("bit_count(fp)") < 0, Seq(withFp), keepCaches)
+  }
+
+  /** The four 16-bit chunk rows of each 64-bit fingerprint — the
+    * banding table both hamming joins build on. */
+  private def fpChunks(fps: DataFrame): DataFrame =
+    fps.select(col("id"), col("fp"),
+      explode(expr(
+        "transform(sequence(0, 3), j -> named_struct('band', j, 'sig', pmod(shiftright(fp, cast(j * 16 as int)), 65536)))"))
+        .as("bs"))
+      .select(col("id"), col("fp"), col("bs.band"), col("bs.sig"))
+
+  /** INCREMENTAL form of [[hammingNearDups]] — new fingerprints ×
+    * a STANDING fingerprint table (the production ingest shape the
+    * text family covers with [[incrementalNearDups]]): candidates
+    * come from the chunk equi-join of the new batch's bands against
+    * the corpus's, with the bucket cap applied to the CORPUS side
+    * (a hot corpus chunk is what explodes a batch join; the batch
+    * side is presumed small). Same pigeonhole completeness (hamming
+    * ≤ 3 ⇒ a shared chunk). Ids present on BOTH sides never
+    * self-pair. Output (doc_new, doc_corpus, hamming), each
+    * qualifying cross pair once.
+    *
+    * `corpusFps` is typically a stored (id, fp) parquet table —
+    * fingerprints are 8 bytes/image, so the standing store rescans
+    * cheaply and per-batch memory stays proportional to the batch. */
+  def hammingNearDupsAB(newFps: DataFrame, corpusFps: DataFrame,
+                        maxHamming: Int = 3, maxBucket: Int = 64,
+                        keepCaches: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
+    val nf = newFps.select(col("id"), col("fp"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
+    val corpusChunks = fpChunks(corpusFps.select(col("id"), col("fp")))
+    val sizes = corpusChunks.groupBy("band", "sig").count()
+    val pruned = corpusChunks
+      .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
+      .drop("count")
+    val result = fpChunks(nf).alias("l")
+      .join(pruned.alias("r"),
+        col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+          col("l.id") =!= col("r.id"))
+      .select(col("l.id").as("doc_new"), col("r.id").as("doc_corpus"),
+        expr("bit_count(l.fp ^ r.fp)").as("hamming"))
+      .dropDuplicates("doc_new", "doc_corpus")
+      .filter(col("hamming") <= maxHamming)
+    MetricListener.releaseAfterFirstAction(result, nf,
+      expr("bit_count(fp)") < 0, Seq(nf), keepCaches)
   }
 
   /** EXACT edit-distance similarity self-join — the record-linkage /

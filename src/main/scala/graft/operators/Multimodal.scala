@@ -713,6 +713,22 @@ object Multimodal {
         .select(col("id"), col("fp")),
       maxHamming, maxBucket, keepCaches)
 
+  /** INCREMENTAL image near-dup — an arriving image batch against a
+    * STANDING fingerprint store (the ingest shape: decode and
+    * fingerprint only the batch, band-join against the stored
+    * (id, fp) table, 8 bytes per corpus image): decode → dHash on the
+    * new blobs, then [[Dedup.hammingNearDupsAB]]'s cross-side
+    * banding. Output (doc_new, doc_corpus, hamming). A pipeline
+    * appends the batch's own fingerprints to the store afterwards —
+    * the [[graft.catalog.Catalog.appendPartitioned]] discipline. */
+  def imageNearDupsIncremental(newBlobs: DataFrame, corpusFps: DataFrame,
+                               maxHamming: Int = 3, maxBucket: Int = 64,
+                               keepCaches: Boolean = false): DataFrame =
+    Dedup.hammingNearDupsAB(
+      imageFingerprints(newBlobs).filter(col("fp").isNotNull)
+        .select(col("id"), col("fp")),
+      corpusFps, maxHamming, maxBucket, keepCaches)
+
   /** (offset, length) of every JPEG-compressed video chunk inside an
     * AVI container — the MJPEG case, the one VIDEO container whose
     * frames the JDK can decode (each frame is a complete JPEG;

@@ -191,6 +191,25 @@ object EventPack extends QueryPack {
       Multimodal.imageNearDups(pngs, maxHamming = 3, maxBucket = 64)
     }),
 
+    // incremental image near-dup: odd-id images arrive as the batch,
+    // even-id images stand in for the STORED fingerprint table (the
+    // ingest shape — only the batch is decoded; the corpus side is
+    // (id, fp) rows); cross-side banding with the corpus-side bucket
+    // cap, both sides' fingerprints and the band join replayed in the
+    // oracle
+    "q_image_neardup_incr" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val newPngs = Multimodal.asPngBlobTable(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", width = 16)
+      val corpusFps = Multimodal.imageFingerprints(
+          Multimodal.asPngBlobTable(
+            docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+            width = 16))
+        .filter(col("fp").isNotNull).select(col("id"), col("fp"))
+      Multimodal.imageNearDupsIncremental(newPngs, corpusFps,
+        maxHamming = 3, maxBucket = 64)
+    }),
+
     // REAL audio decode end-to-end: each doc's bytes are wrapped in a
     // genuine RIFF/WAVE container (PCM s16le mono @8kHz), then parsed
     // back by the JDK AudioSystem — channels/rate from the header,
@@ -401,6 +420,34 @@ object EventPack extends QueryPack {
          |FROM documents d
          |LEFT JOIN gs ON d.doc_id = gs.doc_id
          |LEFT JOIN fp ON d.doc_id = fp.doc_id""".stripMargin,
+
+    // cross-side banding: corpus (even ids) chunk table capped at 64,
+    // batch (odd ids) probes it — the same fp CTEs split by parity
+    "q_image_neardup_incr" ->
+      s"""WITH $imageFpCtes,
+         |cchunks AS (
+         |  SELECT doc_id AS id, fp.fp, jj.band,
+         |    (fp.fp >> (jj.band * 16)) & 65535 AS sig
+         |  FROM fp CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS band) jj
+         |  WHERE doc_id % 2 = 0
+         |),
+         |nchunks AS (
+         |  SELECT doc_id AS id, fp.fp, jj.band,
+         |    (fp.fp >> (jj.band * 16)) & 65535 AS sig
+         |  FROM fp CROSS JOIN (SELECT CAST(unnest(range(4)) AS INT) AS band) jj
+         |  WHERE doc_id % 2 = 1
+         |),
+         |csizes AS (SELECT band, sig, count(*) AS c FROM cchunks GROUP BY 1, 2),
+         |cpruned AS (
+         |  SELECT ch.id, ch.fp, ch.band, ch.sig FROM cchunks ch
+         |  JOIN csizes s ON s.band = ch.band AND s.sig = ch.sig
+         |  WHERE s.c <= 64
+         |)
+         |SELECT DISTINCT n.id AS doc_new, c.id AS doc_corpus,
+         |  CAST(bit_count(xor(n.fp, c.fp)) AS INT) AS hamming
+         |FROM nchunks n JOIN cpruned c
+         |  ON n.band = c.band AND n.sig = c.sig AND n.id != c.id
+         |WHERE bit_count(xor(n.fp, c.fp)) <= 3""".stripMargin,
 
     // banding + 64-bucket cap + hamming <= 3 replayed verbatim from
     // the q_dedup_simhash oracle, over the dHash fingerprints above

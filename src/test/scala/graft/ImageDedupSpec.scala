@@ -149,6 +149,40 @@ class ImageDedupSpec extends AnyFunSuite {
     }
   }
 
+  test("imageNearDupsIncremental: batch × standing store finds exactly the cross-side pairs") {
+    val spark2 = spark
+    import spark2.implicits._
+    def cellValue(fam: Int, cx: Int, cy: Int): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"$fam|$cx|$cy".getBytes("UTF-8"))(0) & 0xff
+    }
+    def famPng(fam: Int, bump: Boolean): Array[Byte] =
+      grayPng(36, 32) { (x, y) =>
+        val v = cellValue(fam, x / 4, y / 4)
+        if (bump && x / 4 == 2 && y / 4 == 5) math.min(255, v + 24) else v
+      }
+    // corpus: 4 base families (even ids); batch: near-dup twins of
+    // families 0 and 1 (odd ids) + one novel family with no partner
+    val corpusBlobs = (0 until 4).map(f => (f * 2L, famPng(f, bump = false)))
+      .toDF("id", "data")
+    val corpusFps = Multimodal.imageFingerprints(corpusBlobs)
+      .filter(col("fp").isNotNull).select(col("id"), col("fp"))
+    val batch = Seq(
+      (1L, famPng(0, bump = true)),
+      (3L, famPng(1, bump = true)),
+      (99L, famPng(7, bump = false))).toDF("id", "data")
+    val got = Multimodal.imageNearDupsIncremental(batch, corpusFps)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_corpus"))).toSet
+    assert(got === Set((1L, 0L), (3L, 2L)))
+    // twin check: the full self-join on batch ∪ corpus finds the same
+    // cross pairs (and only adds within-side ones, absent here)
+    val full = Multimodal.imageNearDups(batch.unionByName(corpusBlobs))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(full === Set((0L, 1L), (2L, 3L)))
+  }
+
   test("hammingNearDups bucket cap only ever drops pairs (capped ⊆ uncapped)") {
     val spark2 = spark
     import spark2.implicits._
