@@ -169,28 +169,32 @@ object Bench {
     // are what ships: the r18 driver window healed q_semdedup
     // [5.07,5.43,5.03] with [4.63,7.37,15.17] on a lower MIN and
     // RAISED the shipped median 5.43→7.37 s (r18 verdict #2).
-    val historyMins: Map[String, Double] = try {
+    val (historyMins, historyMedians): (Map[String, Double], Map[String, Double]) = try {
       val cwd = java.nio.file.Paths.get("").toAbsolutePath
       val repoRoot = Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
         .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
         .getOrElse(cwd)
       val hist = repoRoot.resolve("bench_archive/BENCH_HISTORY.jsonl")
-      if (!java.nio.file.Files.exists(hist)) Map.empty
-      else BenchHistory.healthyMins(
-        java.nio.file.Files.readAllLines(hist).asScala.toSeq, sfDir)
+      if (!java.nio.file.Files.exists(hist)) (Map.empty, Map.empty)
+      else {
+        val lines = java.nio.file.Files.readAllLines(hist).asScala.toSeq
+        (BenchHistory.healthyMins(lines, sfDir),
+          BenchHistory.healthyMedians(lines, sfDir))
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] history read failed: ${e.getMessage}")
-      Map.empty
+      (Map.empty, Map.empty)
     }
-    val suspects = BenchHistory.suspects(results, historyMins)
+    val suspects = BenchHistory.suspects(results, historyMins, historyMedians)
     val requeued = scala.collection.mutable.LinkedHashMap
       .empty[String, (Seq[Double], Seq[Double], Boolean)]
     val healedResults: Seq[(String, Seq[Double])] =
       if (suspects.isEmpty) results
       else {
         System.err.println(s"[bench] re-queuing ${suspects.size} suspect " +
-          s"quer${if (suspects.size == 1) "y" else "ies"} (min > " +
-          s"3x historical healthy min): ${suspects.mkString(", ")}")
+          s"quer${if (suspects.size == 1) "y" else "ies"} (min > 3x healthy " +
+          s"min OR median > 3x healthy median, severity-ranked): " +
+          suspects.mkString(", "))
         val byName = SparkEntry.benchQueries
         val reruns: Map[String, Seq[Double]] = suspects.map { name =>
           val rs = scala.collection.mutable.ListBuffer.empty[Double]
@@ -395,6 +399,21 @@ object BenchHistory {
       }
       .groupMapReduce(_._1)(_._2)(math.min)
 
+  /** Per-query HEALTHY MEDIAN across every history line at the same
+    * sf: the lowest shipped median ever recorded (same contention-
+    * only-inflates argument, applied to the statistic that actually
+    * ships). Kept separate from [[healthyMins]] so the suspect rule
+    * compares like with like — min vs healthy min, median vs healthy
+    * median. The r20 driver window is the motivating counterexample:
+    * q_dsir_sample ran [2.0, 37.3, 48.6] — its clean 2.0 s MIN
+    * exonerated it under the min-only rule while the SHIPPED median
+    * (37.3 s) was 30x the healthy median. */
+  def healthyMedians(lines: Seq[String], sfDir: String): Map[String, Double] =
+    lines
+      .filter(_.contains("\"sf\":\"" + sfDir + "\""))
+      .flatMap(line => extractNumObj(line, "queries").toSeq)
+      .groupMapReduce(_._1)(_._2)(math.min)
+
   /** The shipped per-query statistic: upper median (the bench's
     * `rs.sorted(rs.size / 2)`). */
   def median(rs: Seq[Double]): Double = rs.sorted.apply(rs.size / 2)
@@ -408,19 +427,39 @@ object BenchHistory {
   def healed(orig: Seq[Double], rerun: Seq[Double]): Boolean =
     rerun.nonEmpty && orig.nonEmpty && median(rerun) < median(orig)
 
-  /** Queries whose min-of-runs this suite exceeds `requeueX` × their
-    * historical healthy min AND beats it by an absolute floor (tiny
-    * queries jitter multiplicatively without meaning anything) —
-    * the end-of-suite re-run set, capped so a globally-slow host
-    * can't double the suite. Failed queries (-1 sentinel) and
-    * queries with no history are never suspects. */
+  /** Queries worth an end-of-suite re-run. A query is a suspect when
+    * EITHER statistic is poisoned, each judged against its own
+    * historical healthy counterpart (compare like with like):
+    *   - min-of-runs  > `requeueX` × historical healthy MIN, or
+    *   - shipped MEDIAN > `requeueX` × historical healthy MEDIAN,
+    * in both cases also beating it by an absolute floor (tiny queries
+    * jitter multiplicatively without meaning anything). The r20 driver
+    * window motivated the median rule: q_dsir_sample shipped a 37.3 s
+    * median on a clean 2.0 s min and the min-only rule never re-ran it.
+    *
+    * The requeue cap bounds a globally-slow host, and is spent by
+    * SEVERITY (worst shipped-over-healthy ratio first), not
+    * alphabetically — on the same r20 window, 16 alphabetically-earlier
+    * mild suspects consumed the entire budget while the two worst
+    * offenders (30x, 24x) went unhealed. Failed queries (-1 sentinel)
+    * and queries with no history are never suspects. */
   def suspects(results: Seq[(String, Seq[Double])],
                historyMins: Map[String, Double],
+               historyMedians: Map[String, Double] = Map.empty,
                requeueX: Double = 3.0,
                floorSec: Double = 0.15,
-               maxRequeues: Int = 16): Seq[String] =
-    results.collect {
-      case (k, rs) if rs.head >= 0 && historyMins.get(k).exists(h =>
-        rs.min > requeueX * h && rs.min - h > floorSec) => k
-    }.take(maxRequeues)
+               maxRequeues: Int = 16): Seq[String] = {
+    def over(v: Double, healthy: Option[Double]): Option[Double] =
+      healthy.collect {
+        case h if v > requeueX * h && v - h > floorSec => v / math.max(h, 1e-9)
+      }
+    results.flatMap {
+      case (k, rs) if rs.head >= 0 =>
+        val sev = Seq(over(rs.min, historyMins.get(k)),
+          over(median(rs), historyMedians.get(k))).flatten
+        if (sev.isEmpty) None else Some(k -> sev.max)
+      case _ => None
+    }.sortBy { case (k, sev) => (-sev, k) }
+      .take(maxRequeues).map(_._1)
+  }
 }

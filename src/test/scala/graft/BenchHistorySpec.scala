@@ -85,4 +85,45 @@ class BenchHistorySpec extends AnyFunSuite {
     val allSlow = many.map(_._1).map(_ -> 0.1).toMap
     assert(BenchHistory.suspects(many, allSlow).size === 16)
   }
+
+  test("suspects: a poisoned MEDIAN with a clean min IS a suspect (r20 driver window)") {
+    // q_dsir_sample ran [2.0, 37.3, 48.6] on the r20 driver host: the
+    // 2.0 s min was within 3x of healthy (the min rule exonerated it)
+    // while the SHIPPED median, 37.3 s, was ~30x the healthy median.
+    val mins = Map("q_dsir_sample" -> 1.1, "q_clean" -> 1.0)
+    val medians = Map("q_dsir_sample" -> 1.25, "q_clean" -> 1.2)
+    val results = Seq(
+      "q_dsir_sample" -> Seq(2.0, 37.3, 48.6), // clean min, poisoned median
+      "q_clean" -> Seq(1.1, 1.2, 1.3))
+    assert(BenchHistory.suspects(results, mins, medians) === Seq("q_dsir_sample"))
+    // with NO median history the min rule alone still exonerates it —
+    // the pre-fix behavior, kept for pre-r21 history lines
+    assert(BenchHistory.suspects(results, mins) === Seq.empty)
+  }
+
+  test("suspects: the requeue cap is spent by severity, not alphabetically") {
+    // 16 mild suspects with alphabetically-early names plus two severe
+    // ones late in the alphabet — the r20 failure shape. The cap must
+    // keep the severe pair and drop the two mildest, not truncate at
+    // the 16th name.
+    val mild = (1 to 16).map(i => f"q_a$i%02d" -> Seq(0.5, 0.55, 0.6))
+    val severe = Seq(
+      "q_z_dsir" -> Seq(35.0, 37.3, 48.6),
+      "q_z_kmv" -> Seq(15.0, 17.1, 28.5))
+    val hist = (mild.map(_._1) ++ severe.map(_._1)).map(_ -> 0.1).toMap
+    val picked = BenchHistory.suspects(mild ++ severe, hist, hist)
+    assert(picked.size === 16)
+    assert(picked.take(2) === Seq("q_z_dsir", "q_z_kmv"),
+      "the worst offenders must head the requeue list")
+    assert(!picked.contains("q_a15") && !picked.contains("q_a16"),
+      "the mildest suspects are the ones the cap drops")
+  }
+
+  test("healthyMedians folds the all-time min of shipped medians, same-sf only") {
+    val older = line.replace("\"q_a\":0.50", "\"q_a\":0.45")
+    val otherSf = line.replace("/root/testdata/sf0.1", "/root/testdata/sf0.001")
+      .replace("\"q_a\":0.50", "\"q_a\":0.01")
+    assert(BenchHistory.healthyMedians(Seq(line, older, otherSf),
+      "/root/testdata/sf0.1") === Map("q_a" -> 0.45, "q_b" -> 2.00))
+  }
 }
