@@ -400,10 +400,19 @@ object Dedup {
                         keepCaches: Boolean = false): DataFrame = {
     require(threshold > 0, "exactJaccardPairs needs threshold > 0 " +
       "(candidate generation by shared gram is only exact above 0)")
-    val grams = docs.select(col(idCol).as("id"),
+    // spread BEFORE shingling (the signatures() discipline): a small
+    // parquet file arrives as ONE scan partition, which would serialize
+    // the gram build AND everything narrow downstream of the persisted
+    // frame — the explode, the candidate-join probe and its partial
+    // aggregation all inherit the cache's single partition (measured at
+    // sf0.1: a 1.8 s single-task stage on a 32-core host)
+    val grams = spread(docs).select(col(idCol).as("id"),
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = grams.select(col("id"), explode(col("g")).as("gram"))
+    // the capped branch persists its bound-filtered pair frame too;
+    // collected here so the release hook below drops it with `grams`
+    var cappedCaches: Seq[DataFrame] = Seq.empty
     val result =
       if (maxGramFreq > 0) {
         // capped: candidates come from the capped grams but jaccard is
@@ -421,16 +430,52 @@ object Dedup {
         // emit their EXACT jaccard directly, and only hot-involved
         // survivors (the boilerplate cluster the cap exists for) pay
         // the full-set recount.
-        val freqAll = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+        //
+        // Plan shape (r21): every gram-keyed consumer — the doc-freq
+        // aggregate, the capped filter join, the hot-per-doc counts
+        // and both sides of the candidate self-join — reads ONE
+        // materialized, gram-partitioned copy of the exploded relation
+        // (`exG`). Hanging them off a shared Exchange and trusting
+        // ReusedExchange does NOT work here: the exchange's child scans
+        // an InMemoryRelation whose cached plan is an AdaptiveSparkPlan,
+        // which defeats subtree canonicalization, so every consumer
+        // re-computed AND re-shuffled the explode (measured at sf0.1:
+        // 4 identical 5 MB map stages, ~6 s of task time each).
+        // Persisting the repartitioned frame keeps its hash
+        // partitioning visible to the planner (InMemoryRelation
+        // preserves child output partitioning), so the gram-keyed
+        // aggregates and the self-join plan with NO further exchange.
+        // The partition count is pinned at defaultParallelism rather
+        // than left to AQE: the self-join AMPLIFIES — a few MB of gram
+        // rows explode into millions of pair rows — and AQE's
+        // byte-based coalescing would fold the probe stage onto a
+        // handful of cores. The count materializes grams and exG in
+        // one pass (no cache-fill races across AQE's concurrent jobs).
+        val exG = ex.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, col("gram"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        exG.count()
+        val freqAll = exG.groupBy("gram").agg(count(lit(1)).as("df"))
         val hotGrams = freqAll.filter(col("df") > maxGramFreq).select("gram")
-        val keyed = ex.join(
+        val keyed = exG.join(
           freqAll.filter(col("df") <= maxGramFreq).select("gram"), Seq("gram"))
-        val hotPerDoc = ex.join(hotGrams, Seq("gram"))
+        val hotPerDoc = exG.join(hotGrams, Seq("gram"))
           .groupBy("id").agg(count(lit(1)).as("h"))
         val docStats = grams.select(col("id"), size(col("g")).as("nn"))
           .join(hotPerDoc, Seq("id"), "left")
           .select(col("id"), col("nn"), coalesce(col("h"), lit(0L)).as("h"))
-        val interC = keyed.alias("l")
+        // the bound-filtered pair frame feeds THREE consumers (the
+        // no-hot emit, the recount's pair list, and the recount's
+        // doc-id prune) — persist and MATERIALIZE it so the whole
+        // candidate pipeline above runs once, not once per branch
+        // (released by the caller-facing hook below)
+        // MERGE hint: both sides are the same gram-partitioned cached
+        // frame, so sort-merge joins them with NO exchange and no
+        // broadcast build — the planner's size estimate would instead
+        // broadcast one whole side (a ~12 MB HashedRelation built and
+        // deserialized per task at sf0.1, and at corpus scale the side
+        // is the corpus: never broadcastable)
+        val interB = keyed.alias("l").hint("merge")
           .join(keyed.alias("r"),
             col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
           .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
@@ -444,14 +489,29 @@ object Dedup {
             / greatest(lit(1L),
                 col("na") + col("nb") - col("inter_c") - col("hmin"))
             >= threshold)
-        val noHot = interC.filter(col("hmin") === 0L)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        interB.count()
+        val noHot = interB.filter(col("hmin") === 0L)
           .withColumn("jaccard",
             expr("cast(inter_c as double) / (na + nb - inter_c)"))
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
-        val verified = interC.filter(col("hmin") > 0L)
+        // recount input pruned to the docs of hot-involved survivors
+        // BEFORE anything shuffles: the survivors are the boilerplate
+        // cluster the cap exists for — small relative to the corpus by
+        // construction — so their doc-id set broadcasts, the semi-join
+        // prunes the exploded relation map-side, and when no pair
+        // involves a hot gram (the common case on clean corpora) the
+        // recount's joins move zero rows instead of shuffling the full
+        // gram relation twice (measured ~25 s of task time at sf0.1
+        // for joins whose left side was empty).
+        val svDocs = interB.filter(col("hmin") > 0L)
+          .select(explode(array(col("doc_a"), col("doc_b"))).as("id"))
+          .distinct()
+        val exSv = exG.join(broadcast(svDocs), Seq("id"), "left_semi")
+        val verified = interB.filter(col("hmin") > 0L)
           .select(col("doc_a"), col("doc_b"))
-          .join(ex.select(col("id").as("doc_a"), col("gram")), Seq("doc_a"))
-          .join(ex.select(col("id").as("doc_b"), col("gram")),
+          .join(exSv.select(col("id").as("doc_a"), col("gram")), Seq("doc_a"))
+          .join(exSv.select(col("id").as("doc_b"), col("gram")),
             Seq("doc_b", "gram"))
           .groupBy(col("doc_a"), col("doc_b"))
           .agg(count(lit(1)).as("inter"))
@@ -462,6 +522,7 @@ object Dedup {
           .withColumn("jaccard",
             expr("cast(inter as double) / (na + nb - inter)"))
           .select(col("doc_a"), col("doc_b"), col("jaccard"))
+        cappedCaches = Seq(exG, interB)
         noHot.unionByName(verified)
       } else {
         // uncapped (the default and the gate path): the shared
@@ -474,7 +535,8 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
     MetricListener.releaseAfterFirstAction(thresholded, grams,
-      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
+      isnotnull(col("g")) && size(col("g")) < 0,
+      grams +: cappedCaches, keepCaches)
   }
 
   /** The shared count-based gram-intersection machinery behind
@@ -520,7 +582,8 @@ object Dedup {
                       minShared: Int, n: Int = 3,
                       keepCaches: Boolean = false): DataFrame = {
     require(minShared >= 2, "sharedGramPairs needs minShared >= 2")
-    val grams = docs.select(col(idCol).as("id"),
+    // spread before shingling — see exactJaccardPairs
+    val grams = spread(docs).select(col(idCol).as("id"),
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val out = gramIntersections(grams)
@@ -558,7 +621,8 @@ object Dedup {
                        keepCaches: Boolean = false): DataFrame = {
     require(threshold > 0, "containmentPairs needs threshold > 0 " +
       "(candidate generation by shared gram is only exact above 0)")
-    val grams = docs.select(col(idCol).as("id"),
+    // spread before shingling — see exactJaccardPairs
+    val grams = spread(docs).select(col(idCol).as("id"),
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val dirs = gramIntersections(grams).select(explode(array(
