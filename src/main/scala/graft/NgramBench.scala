@@ -36,7 +36,8 @@ object NgramBench {
         // bench-owned cache: dropped by the clearCache() at the top of
         // every timing, and the process exits after the trials
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs = Dedup.candidateIdPairs(Dedup.bandRows(sigs, bands, k / bands))
+      // bandG cache dropped by the clearCache() like sigs above
+      val (pairs, _) = Dedup.candidateIdPairs(Dedup.bandRows(sigs, bands, k / bands))
       val n = Dedup.verifyJaccard(pairs, sigs, 0.8, estMargin).count()
       println(f"$label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  ($n pairs)")
     }

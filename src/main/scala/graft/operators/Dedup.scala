@@ -146,18 +146,42 @@ object Dedup {
   /** Distinct candidate id pairs (a < b) from bucket co-membership.
     * Buckets larger than `maxBucket` are dropped (skew guard — at
     * corpus scale these are boilerplate/empty texts that would
-    * generate quadratic pairs). */
-  def candidateIdPairs(bandTbl: DataFrame, maxBucket: Int = 64): DataFrame = {
-    val sizes = bandTbl.groupBy("band", "sig").count()
-    val pruned = bandTbl
+    * generate quadratic pairs).
+    *
+    * Plan shape (r21, the exactJaccardPairs exG discipline): ONE
+    * materialized (band, sig)-partitioned copy of the band table
+    * feeds the bucket histogram, the prune join and both sides of the
+    * candidate self-join — the shared-subtree shape re-computed the
+    * band explode (and its upstream signature pass against the cached
+    * source) per consumer and re-shuffled it per join side, because
+    * InMemoryRelation's AdaptiveSparkPlan defeats exchange-reuse
+    * canonicalization. The MERGE hints keep both bucket-keyed joins
+    * on the co-partitioned cache (no exchange, no per-task broadcast
+    * build — at corpus scale neither side is broadcastable); the
+    * partition count is pinned at defaultParallelism because the
+    * self-join amplifies band rows into pairs, which AQE byte-based
+    * coalescing would under-parallelize. Returns the pair frame plus
+    * the internal cache for the CALLER's release hook (the band table
+    * materializes eagerly — a leaked cache would outlive the query). */
+  def candidateIdPairs(bandTbl: DataFrame, maxBucket: Int = 64)
+      : (DataFrame, Seq[DataFrame]) = {
+    val bandG = bandTbl.repartition(
+        bandTbl.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    bandG.count()
+    val sizes = bandG.groupBy("band", "sig").count()
+    val pruned = bandG.hint("merge")
       .join(sizes.filter(col("count") <= maxBucket), Seq("band", "sig"))
       .drop("count")
-    val lhs = pruned.alias("l")
+    val lhs = pruned.alias("l").hint("merge")
     val rhs = pruned.alias("r")
-    lhs.join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+    val pairs = lhs
+      .join(rhs, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
               col("l.id") < col("r.id"))
       .select(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    (pairs, Seq(bandG))
   }
 
   /** Exact Jaccard on candidates: join the (small) pair list back to
@@ -217,14 +241,16 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sigs = signatures(docs, idCol, shingler, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
-    val pairs = candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
+    val (pairs, bandCaches) =
+      candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
     // isnotnull guard: size(mh) < 0 alone is never-true only because
     // signatures() pre-filters empty/null hash arrays — under legacy
     // (non-ANSI) sizeOfNull semantics a null mh would score -1 and
     // PASS, injecting fabricated zero rows. Null-safe, not coupled.
     MetricListener.releaseAfterFirstAction(
       verifyJaccard(pairs, sigs, threshold), sigs,
-      isnotnull(col("mh")) && size(col("mh")) < 0, Seq(sigs), keepCaches)
+      isnotnull(col("mh")) && size(col("mh")) < 0, sigs +: bandCaches,
+      keepCaches)
   }
 
   /** Word-shingle MinHash-LSH near-dups (the classic document dedup). */
@@ -527,9 +553,10 @@ object Dedup {
       } else {
         // uncapped (the default and the gate path): the shared
         // count-based machinery — see [[gramIntersections]]
-        gramIntersections(grams)
-          .withColumn("jaccard",
-            expr("cast(inter as double) / (na + nb - inter)"))
+        val (inter, exCaches) = gramIntersections(grams)
+        cappedCaches = exCaches
+        inter.withColumn("jaccard",
+          expr("cast(inter as double) / (na + nb - inter)"))
       }
     val thresholded = result
       .filter(col("jaccard") >= threshold)
@@ -551,10 +578,26 @@ object Dedup {
     * at sf0.1 and is strictly worse at corpus scale, where the
     * arrays are the corpus. Input is the persisted (id, g) gram
     * frame (caller owns its release); output:
-    * (doc_a, doc_b, inter, na, nb) with doc_a < doc_b. */
-  private def gramIntersections(grams: DataFrame): DataFrame = {
+    * (doc_a, doc_b, inter, na, nb) with doc_a < doc_b, plus the
+    * internal gram-partitioned cache for the caller's release hook. */
+  private def gramIntersections(grams: DataFrame): (DataFrame, Seq[DataFrame]) = {
+    // Plan shape, MEASURED both ways this round (r21): the self-join's
+    // build side is left to the planner, which BROADCASTS one side of
+    // the exploded relation — at these gate corpora the whole gram
+    // relation fits a HashedRelation, so the join runs with ZERO
+    // exchanges and the explode recomputes cheaply from the `grams`
+    // cache per side. The capped path's exG shape (materialize one
+    // gram-partitioned copy + MERGE self-join) was tried here too and
+    // measured ~35% SLOWER at sf0.1 (pairs_exact min 2.16 → 2.98 s
+    // same-window A/B): the upfront exchange + cache fill + two sorts
+    // cost more than the saved recompute when broadcast is available.
+    // This stays scale-sound because the UNCAPPED scan is the
+    // gate/oracle twin by contract — production corpora run the
+    // maxGramFreq path, which already has the materialized-exchange
+    // shape (its relation is capped, the planner's broadcast estimate
+    // is not trustworthy there, and at 100 TB neither side broadcasts).
     val ex = grams.select(col("id"), explode(col("g")).as("gram"))
-    ex.alias("l")
+    val out = ex.alias("l")
       .join(ex.alias("r"),
         col("l.gram") === col("r.gram") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("doc_a"), col("r.id").as("doc_b"))
@@ -563,6 +606,7 @@ object Dedup {
         Seq("doc_a"))
       .join(grams.select(col("id").as("doc_b"), size(col("g")).as("nb")),
         Seq("doc_b"))
+    (out, Seq.empty)
   }
 
   /** Gram-OVERLAP pairs: (doc_a, doc_b, shared) for every pair of
@@ -586,11 +630,12 @@ object Dedup {
     val grams = spread(docs).select(col(idCol).as("id"),
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val out = gramIntersections(grams)
+    val (inter, exCaches) = gramIntersections(grams)
+    val out = inter
       .filter(col("inter") >= minShared)
       .select(col("doc_a"), col("doc_b"), col("inter").as("shared"))
     MetricListener.releaseAfterFirstAction(out, grams,
-      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
+      isnotnull(col("g")) && size(col("g")) < 0, grams +: exCaches, keepCaches)
   }
 
   /** Asymmetric CONTAINMENT pairs — the quote/subset detector exact
@@ -625,7 +670,8 @@ object Dedup {
     val grams = spread(docs).select(col(idCol).as("id"),
         TextAnalysis.stringShingles(textCol, n).as("g"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dirs = gramIntersections(grams).select(explode(array(
+    val (inter, exCaches) = gramIntersections(grams)
+    val dirs = inter.select(explode(array(
         struct(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
           (col("inter").cast("double") / col("na")).as("containment")),
         struct(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
@@ -636,7 +682,7 @@ object Dedup {
       .select(col("doc_inner"), col("doc_outer"),
         round(col("containment"), 4).as("containment"))
     MetricListener.releaseAfterFirstAction(out, grams,
-      isnotnull(col("g")) && size(col("g")) < 0, Seq(grams), keepCaches)
+      isnotnull(col("g")) && size(col("g")) < 0, grams +: exCaches, keepCaches)
   }
 
   /** Brute-force exact Jaccard pairs over an arbitrary shingler

@@ -657,8 +657,9 @@ object Similarity {
     * branch still rides, because it doubles as the cache-release
     * hook.
     *
-    * Cache lifecycle: the three internal persists (vectors,
-    * signatures, bucket histogram) release automatically when the
+    * Cache lifecycle: the three internal persists (vectors, the
+    * bucket-partitioned band table, bucket histogram) release
+    * automatically when the
     * FIRST action consuming the returned frame completes — a later
     * action recomputes them, so persist the RESULT if you need
     * several passes, or pass `keepCaches = true` to pin the internal
@@ -718,33 +719,54 @@ object Similarity {
     val maxB = if (maxBucket > 0) maxBucket else adaptMaxB
     log.info(s"nearDupPairs: n=$n bands=$bands bitsPerBand=$r pool=$pool maxBucket=$maxB")
     val bandIdx = bandIndexSets(bands, pool, r, seed)
-    // signatures persisted once (id + bits only — vectors stay in
-    // `base`, so neither cache stores them twice); band rows carry ONLY
-    // (id, band, sig) so the vectors never ride the 16-way band explode
-    // — they are joined back for exactly the candidate pairs
+    // band rows carry ONLY (id, band, sig) so the vectors never ride
+    // the 16-way band explode — they are joined back for exactly the
+    // candidate pairs. The bit projection itself is NOT persisted: its
+    // single consumer is the band table below (r21 — the old cache
+    // existed when the band explode was recomputed per consumer).
     val withBits = base.select(col("id"),
       hyperplaneBits("v", dim, pool, seed).as("bits"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandStructs = bandIdx.zipWithIndex.map { case (idx, j) =>
       val sig = idx.map(i => s"element_at(bits, ${i + 1})").zipWithIndex
         .map { case (b, pos) => s"shiftleft(cast($b as bigint), $pos)" }
         .mkString(" + ")
       struct(lit(j).as("band"), expr(sig).as("sig"))
     }
+    // ONE materialized (band, sig)-partitioned copy of the band table
+    // feeds every bucket-keyed consumer — the histogram aggregate, the
+    // prune join and both sides of the candidate self-join (r21, the
+    // exactJaccardPairs exG discipline): hanging them off the shared
+    // subtree re-computed the hyperplane projection + explode per
+    // consumer and re-shuffled it per join side, because
+    // InMemoryRelation's AdaptiveSparkPlan defeats exchange-reuse
+    // canonicalization. Persisting the repartitioned frame keeps its
+    // hash partitioning visible to the planner, so the aggregate and
+    // both joins below plan with NO further exchange; the count fills
+    // base + chunks in one pass (no cache-fill races). Partition count
+    // pinned at defaultParallelism — the self-join amplifies band rows
+    // into candidate pairs, so AQE byte-based coalescing would
+    // under-parallelize the probe stage.
     val chunks = withBits
       .select(col("id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("id"), col("bs.band"), col("bs.sig"))
-    // persisted: the pruned frame below feeds BOTH sides of the pair
-    // self-join, so without the cache the histogram shuffle would rely
-    // on ReuseExchange collapsing two identical subtrees — guaranteed
-    // by the cache instead (it fills inside the main query; no extra
-    // action is involved, unlike the old eager accounting job)
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("band"), col("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    chunks.count()
+    // bucket histogram: aggregates the cache in place (co-partitioned,
+    // no exchange); persisted because it feeds the prune join AND the
+    // skew-accounting observe branch below
     val sizes = chunks.groupBy("band", "sig").count()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = chunks
+    // MERGE hints: both joins read the (band, sig)-partitioned cache,
+    // so sort-merge joins them with no exchange and no per-task
+    // broadcast build (the planner's size estimate would broadcast the
+    // histogram — at corpus scale that side is ~n/targetBucket rows,
+    // never broadcastable)
+    val pruned = chunks.hint("merge")
       .join(sizes.filter(col("count") <= maxB), Seq("band", "sig"))
       .drop("count")
-    val lhs = pruned.alias("l")
+    val lhs = pruned.alias("l").hint("merge")
     val rhs = pruned.alias("r")
     val vecs = base.select(col("id"), col("v"))
     val result = lhs
@@ -784,7 +806,7 @@ object Similarity {
     if (!keepCaches)
       MetricListener.once(emb.sparkSession, obsName) { (_, _) =>
         // non-blocking: runs on the listener bus thread
-        Seq(base, withBits, sizes).foreach(_.unpersist(false))
+        Seq(base, chunks, sizes).foreach(_.unpersist(false))
       }
     val observed = sizes.observe(obsName,
       coalesce(sum(when(col("count") > maxB, col("count"))), lit(0L))
