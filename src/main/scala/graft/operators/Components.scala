@@ -558,7 +558,13 @@ object Components {
     // in a fraction of that with identical output (the k-truss is a
     // unique fixpoint, so processing order never changes the result).
     // Node COUNT is bounded by 2·localSolveMaxEdges ≪ 2^31, so dense
-    // ints always fit regardless of the original id range.
+    // ints always fit regardless of the original id range — but that
+    // bound is a caller-settable Long, so fail loudly instead of
+    // silently colliding packed keys if a future cap exceeds 2^30
+    // edges (r21 ADVICE).
+    require(edgeArr.length.toLong * 2 <= Int.MaxValue,
+      s"localKTruss: ${edgeArr.length} edges could index > Int.MaxValue " +
+        "nodes — lower localSolveMaxEdges (dense-int packing would overflow)")
     val idOf = mutable.LongMap.empty[Int]
     val origId = mutable.ArrayBuffer.empty[Long]
     def idx(x: Long): Int =

@@ -241,16 +241,24 @@ object Dedup {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val sigs = signatures(docs, idCol, shingler, k, seed)
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
+    // candidateIdPairs materializes its band cache EAGERLY (count); if
+    // it or the downstream construction throws, unpersist here instead
+    // of leaking the caches until session end — the release hook only
+    // registers on the result (r21 ADVICE).
     val (pairs, bandCaches) =
-      candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
+      try candidateIdPairs(bandRows(sigs, bands, k / bands), maxBucket)
+      catch { case e: Throwable => sigs.unpersist(false); throw e }
     // isnotnull guard: size(mh) < 0 alone is never-true only because
     // signatures() pre-filters empty/null hash arrays — under legacy
     // (non-ANSI) sizeOfNull semantics a null mh would score -1 and
     // PASS, injecting fabricated zero rows. Null-safe, not coupled.
-    MetricListener.releaseAfterFirstAction(
+    try MetricListener.releaseAfterFirstAction(
       verifyJaccard(pairs, sigs, threshold), sigs,
       isnotnull(col("mh")) && size(col("mh")) < 0, sigs +: bandCaches,
       keepCaches)
+    catch { case e: Throwable =>
+      (sigs +: bandCaches).foreach(_.unpersist(false)); throw e
+    }
   }
 
   /** Word-shingle MinHash-LSH near-dups (the classic document dedup). */

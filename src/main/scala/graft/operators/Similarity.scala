@@ -752,7 +752,13 @@ object Similarity {
       .repartition(emb.sparkSession.sparkContext.defaultParallelism,
         col("band"), col("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    chunks.count()
+    // eager materialization; if it or any downstream construction
+    // throws, unpersist instead of leaking the caches until session
+    // end — the release hook only registers at the end (r21 ADVICE)
+    try chunks.count()
+    catch { case e: Throwable =>
+      Seq(base, chunks).foreach(_.unpersist(false)); throw e
+    }
     // bucket histogram: aggregates the cache in place (co-partitioned,
     // no exchange); persisted because it feeds the prune join AND the
     // skew-accounting observe branch below
