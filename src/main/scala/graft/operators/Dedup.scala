@@ -1051,6 +1051,13 @@ object Dedup {
       s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
     val withFp = fps.select(col("id"), col("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
+    // materialize before the fan-out (chunk explode ×2 join sides +
+    // histogram + the verify's fp reads): a lazy persist lets AQE's
+    // concurrent stages race to fill the same cache partitions and
+    // re-run the fingerprint pass (md5 per token over the corpus — the
+    // expensive map work) once per consumer
+    try withFp.count()
+    catch { case e: Throwable => withFp.unpersist(false); throw e }
     val chunks = fpChunks(withFp)
     val sizes = chunks.groupBy("band", "sig").count()
     val pruned = chunks

@@ -36,28 +36,102 @@ object Eval {
     * denominator, one double division, round-6. Output one row:
     * (auc, n_pos, n_neg); auc NULL when a class is empty (no pairs
     * to rank — the honest degenerate answer). Null scores/labels are
-    * excluded. */
-  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    * excluded.
+    *
+    * `before` (rows scoring strictly lower) has TWO shapes, picked
+    * from the input's plan-stats size the way [[Spread.ensureWidth]]
+    * does (scale-adaptive, never a constant; `distributedMinBytes`
+    * overrides for tests, -1 = derive):
+    *
+    *  - SMALL input (estimated bytes under defaultParallelism ×
+    *    maxPartitionBytes — it scans in one task wave, so the
+    *    distinct-score reduction is bounded by a modest input): one
+    *    ordered window over the reduction. Single partition, but over
+    *    the reduction — the bounded-window class the topK/vocab
+    *    windows are in; measured 2-3× cheaper than the distributed
+    *    form at sf0.1 (0.6 vs 1.5 s q_filter_auc, interleaved A/B).
+    *  - LARGE input: for a continuous score the reduction IS the
+    *    corpus (the r21 verdict's scale bug — a single-partition sort
+    *    of everything), so the prefix is computed distributively:
+    *    range-partition the distinct scores (partition order == score
+    *    order), per-partition ordered running sums — parallel windows
+    *    — and fold the cross-partition prefix ALGEBRAICALLY: with
+    *    off_p = Σ_{q<p} C_q,
+    *      s2 = Σ_p [Σ_s∈p cp·(2·within + c + 1)] + 2·Σ_p off_p·CP_p,
+    *    so one pass reduces to per-partition rows (pid, C, CP, s2in,
+    *    nn) — bounded by the shuffle partition count — fetched to the
+    *    driver like any other bounded model artifact (the k-means
+    *    centroid-read precedent). Single consumer of the range
+    *    exchange: no cache, no pid-stability hazard (range boundary
+    *    sampling is per-evaluation). Accumulation stays in exact
+    *    longs either way, and the final division + round ride the
+    *    same Spark expressions, so both shapes are bit-identical
+    *    (EvalSpec forces and pins each). */
+  def rocAuc(df: DataFrame, scoreCol: String, labelCol: String,
+             distributedMinBytes: Long = -1L): DataFrame = {
     val g = df
       .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("c"), sum(col(labelCol).cast("long")).as("cp"))
-    val w = Window.orderBy(col("s"))
+    val spark = df.sparkSession
+    val threshold =
+      if (distributedMinBytes >= 0) BigInt(distributedMinBytes)
+      else {
+        val splitBytes =
+          try org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+          catch { case scala.util.control.NonFatal(_) => 128L << 20 }
+        BigInt(spark.sparkContext.defaultParallelism) * splitBytes
+      }
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < threshold) {
+      val w = Window.orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      return g
+        .withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
+        .agg(
+          sum(col("cp") * (lit(2L) * col("before") + col("c") + lit(1L)))
+            .as("s2"),
+          sum(col("cp")).as("np"),
+          sum(col("c") - col("cp")).as("nn"))
+        .select(
+          when(col("np") > 0 && col("nn") > 0,
+            round((col("s2") - col("np") * (col("np") + lit(1L)))
+                .cast("double")
+              / (lit(2.0) * col("np") * col("nn")), 6))
+            .as("auc"),
+          coalesce(col("np"), lit(0L)).as("n_pos"),
+          coalesce(col("nn"), lit(0L)).as("n_neg"))
+    }
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("s"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    g.withColumn("before", coalesce(sum(col("c")).over(w), lit(0L)))
-      .agg(
-        sum(col("cp") * (lit(2L) * col("before") + col("c") + lit(1L)))
-          .as("s2"),
-        sum(col("cp")).as("np"),
-        sum(col("c") - col("cp")).as("nn"))
+    val perPid = g.repartitionByRange(col("s"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("within", coalesce(sum(col("c")).over(wIn), lit(0L)))
+      .groupBy("pid")
+      .agg(sum(col("c")).as("pc"), sum(col("cp")).as("pcp"),
+        sum(col("cp") * (lit(2L) * col("within") + col("c") + lit(1L)))
+          .as("s2in"),
+        sum(col("c") - col("cp")).as("pnn"))
+      .collect()
+      .sortBy(_.getAs[Int]("pid"))
+    var off = 0L; var s2 = 0L; var np = 0L; var nn = 0L
+    perPid.foreach { r =>
+      s2 += r.getAs[Long]("s2in") + 2L * off * r.getAs[Long]("pcp")
+      np += r.getAs[Long]("pcp")
+      nn += r.getAs[Long]("pnn")
+      off += r.getAs[Long]("pc")
+    }
+    import spark.implicits._
+    Seq((s2, np, nn)).toDF("s2", "np", "nn")
       .select(
         when(col("np") > 0 && col("nn") > 0,
           round((col("s2") - col("np") * (col("np") + lit(1L)))
               .cast("double")
             / (lit(2.0) * col("np") * col("nn")), 6))
           .as("auc"),
-        coalesce(col("np"), lit(0L)).as("n_pos"),
-        coalesce(col("nn"), lit(0L)).as("n_neg"))
+        col("np").as("n_pos"),
+        col("nn").as("n_neg"))
   }
 
   /** Reliability diagram input — the calibration companion to

@@ -1165,7 +1165,14 @@ object TextAnalysis {
     // the [[packSequences]] window INLINED (same shard/tok_start/bin
     // arithmetic, pinned equal by the shared q_pack_bpe oracle window)
     // so the id payload rides the single pass — calling packSequences
-    // and joining back would evaluate the whole id pipeline twice
+    // and joining back would evaluate the whole id pipeline twice.
+    // Measured r22 (interleaved A/B): a decide-with-small-rows
+    // restructure (persist seqs, run the window over (id, n_ids)
+    // only, join the bin assignment back) lost ~1.5-2 s at sf0.1 —
+    // the cache write/read of the id payload plus the extra join
+    // exchange cost more than keeping the payload in the window's
+    // shard exchange; payload movement is 2 bounded exchanges either
+    // way, and window parallelism at scale is governed by `shards`.
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard").orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -1176,7 +1183,7 @@ object TextAnalysis {
       .withColumn("bin", floor(col("tok_start") / ctxTokens))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(col("ids")).cast("long")).as("n_ids"),
+        sum(col("n_ids").cast("long")).as("n_ids"),
         expr(s"flatten(transform(array_sort(collect_list(struct(`$idCol`, ids))), x -> x.ids))")
           .as("ids"))
   }

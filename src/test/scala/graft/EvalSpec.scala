@@ -54,6 +54,44 @@ class EvalSpec extends AnyFunSuite {
     assert(auc(Seq((0.3, 0), (0.7, 0))) === ((None, 0L, 2L)))
   }
 
+  test("rocAuc distributed midrank: many distinct scores spanning range partitions, repeat-stable, == single-window form") {
+    // the r22 large-input form folds per-range-partition running sums
+    // plus an algebraic cross-partition prefix — forced here with
+    // distributedMinBytes = 0 and pinned against BOTH the plain-Scala
+    // reference and the small-input single-window form on a score set
+    // with thousands of DISTINCT values (so the distinct-score frame
+    // genuinely spans partitions); re-run to catch pid/boundary
+    // instability between evaluations
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(5000)((rnd.nextDouble(),
+      if (rnd.nextDouble() < 0.3) 1 else 0))
+    val want = BigDecimal(refAuc(rows).get).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val df = rows.toDF("score", "label")
+    val single = Eval.rocAuc(df, "score", "label",
+      distributedMinBytes = Long.MaxValue).first()
+    (1 to 3).foreach { i =>
+      val r = Eval.rocAuc(df, "score", "label",
+        distributedMinBytes = 0L).first()
+      val got = Option(r.getAs[java.lang.Double]("auc")).map(_.doubleValue)
+      assert(r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg") === 5000L)
+      assert(got.isDefined && math.abs(got.get - want) < 1e-9,
+        s"run $i: auc $got vs reference $want")
+      assert(got.get === single.getAs[java.lang.Double]("auc").doubleValue,
+        "distributed and single-window forms must be bit-identical")
+    }
+    // degenerate inputs through the distributed path too
+    def aucD(rs: Seq[(Double, Int)]) = {
+      val r = Eval.rocAuc(rs.toDF("score", "label"), "score", "label",
+        distributedMinBytes = 0L).first()
+      (Option(r.getAs[java.lang.Double]("auc")).map(_.doubleValue),
+        r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"))
+    }
+    assert(aucD(Seq((0.3, 1), (0.7, 1))) === ((None, 2L, 0L)))
+    assert(aucD(Seq.empty[(Double, Int)]) === ((None, 0L, 0L)))
+  }
+
   test("calibrationBins: bin edges, top-bin clamp, exact means, determinism") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
