@@ -1049,15 +1049,16 @@ object Dedup {
                       keepCaches: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming=$maxHamming: 4-chunk banding only guarantees candidates for hamming <= 3")
+    // The fingerprint persist is deliberately LAZY (unlike the other
+    // fan-out caches): an eager count() was A/B'd in r22 and REVERTED
+    // — it serializes the fingerprint pass ahead of the join stages
+    // instead of letting the scheduler overlap them, and the driver-
+    // style bench showed q_image_neardup (dHash decode — the heaviest
+    // fingerprint this core serves) regressing ~2× median AND min.
+    // The concurrent-fill race only duplicates partition compute, it
+    // never corrupts the cache.
     val withFp = fps.select(col("id"), col("fp"))
       .persist(StorageLevel.MEMORY_AND_DISK) // released by the hook below
-    // materialize before the fan-out (chunk explode ×2 join sides +
-    // histogram + the verify's fp reads): a lazy persist lets AQE's
-    // concurrent stages race to fill the same cache partitions and
-    // re-run the fingerprint pass (md5 per token over the corpus — the
-    // expensive map work) once per consumer
-    try withFp.count()
-    catch { case e: Throwable => withFp.unpersist(false); throw e }
     val chunks = fpChunks(withFp)
     val sizes = chunks.groupBy("band", "sig").count()
     val pruned = chunks
